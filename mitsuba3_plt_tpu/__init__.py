@@ -1,0 +1,56 @@
+"""mitsuba3_plt_tpu — a TPU-native differentiable wave-optics renderer.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of Mitsuba 3 +
+the PLT (Physical Light Transport) research fork: path tracing with NEE/MIS,
+polarized Stokes/Mueller transport, coherence-aware diffraction-grating
+rendering, and path-replay differentiation — expressed as pure functions over
+pytrees of arrays, sharded with jax.sharding across TPU meshes.
+"""
+
+from .config import RenderConfig, RGB, RGB_POLARIZED, SPECTRAL, SPECTRAL_POLARIZED, VARIANTS
+
+__version__ = "0.1.0"
+
+_variant = "rgb"
+
+
+def set_variant(name: str):
+    global _variant
+    if name not in VARIANTS:
+        raise ValueError(f"unknown variant {name!r}; have {list(VARIANTS)}")
+    _variant = name
+
+
+def variant() -> str:
+    return _variant
+
+
+def config() -> RenderConfig:
+    return VARIANTS[_variant]
+
+
+def load_file(path, parameters=None, **overrides):
+    from .scene.loader import load_file as _lf
+
+    return _lf(path, parameters, **overrides)
+
+
+def load_dict(d):
+    from .scene.dict_loader import load_dict as _ld
+
+    return _ld(d)
+
+
+def render(scene, integrator=None, spp=16, seed=0, cfg=None, **kw):
+    """Convenience render: scene (+meta) -> [H, W, 3] image array."""
+    from .integrators import make_integrator
+    from .integrators.common import render as _render
+
+    if isinstance(scene, tuple):
+        scene, meta = scene
+        if integrator is None:
+            integrator = make_integrator(meta.get("integrator", {"type": "path"}))
+    if integrator is None:
+        integrator = make_integrator({"type": "path"})
+    cfg = cfg or config()
+    return _render(scene, integrator.sample, seed=seed, spp=spp, cfg=cfg, **kw)

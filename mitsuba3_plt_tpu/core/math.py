@@ -1,0 +1,253 @@
+"""Core math utilities for the TPU-native renderer.
+
+Vectorized special functions, numeric helpers and epsilon conventions.
+Behavioural parity targets (reference, for documentation only — independent
+implementation): /root/reference/include/mitsuba/core/math.h (RayEpsilon:18-23,
+bessel_j:280-347).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+Pi = 3.14159265358979323846
+InvPi = 1.0 / Pi
+TwoPi = 2.0 * Pi
+InvTwoPi = 1.0 / TwoPi
+InvFourPi = 1.0 / (4.0 * Pi)
+SqrtPi = 1.77245385090551602793
+InvSqrtPi = 1.0 / SqrtPi
+
+# float32 machine epsilon / 2 is what drjit calls Epsilon
+Epsilon = float(jnp.finfo(jnp.float32).eps) / 2.0
+RayEpsilon = Epsilon * 1500.0          # ~8.9e-5
+ShadowEpsilon = RayEpsilon * 10.0      # ~8.9e-4
+ShapeEpsilon = RayEpsilon / 80.0
+Infinity = float("inf")
+
+
+def sqr(x):
+    return x * x
+
+
+def safe_sqrt(x):
+    return jnp.sqrt(jnp.maximum(x, 0.0))
+
+
+def safe_rsqrt(x):
+    return jax.lax.rsqrt(jnp.maximum(x, 1e-30))
+
+
+def safe_acos(x):
+    return jnp.arccos(jnp.clip(x, -1.0, 1.0))
+
+
+def safe_asin(x):
+    return jnp.arcsin(jnp.clip(x, -1.0, 1.0))
+
+
+def rcp(x):
+    return 1.0 / x
+
+
+def safe_rcp(x, eps=1e-20):
+    """Reciprocal that returns 0 where |x| is (near) zero."""
+    return jnp.where(jnp.abs(x) > eps, 1.0 / jnp.where(jnp.abs(x) > eps, x, 1.0), 0.0)
+
+
+def mulsign(x, s):
+    """x * sign(s) with sign(0) == +1 (copysign semantics on the sign bit)."""
+    return jnp.where(s >= 0, x, -x)
+
+
+def mulsign_neg(x, s):
+    return jnp.where(s >= 0, -x, x)
+
+
+def sign(x):
+    """sign with sign(0) == +1 (drjit convention)."""
+    return jnp.where(x >= 0, 1.0, -1.0)
+
+
+def lerp(a, b, t):
+    return a * (1.0 - t) + b * t
+
+
+def fmadd(a, b, c):
+    return a * b + c
+
+
+def select(mask, a, b):
+    return jnp.where(mask, a, b)
+
+
+def clamp(x, lo, hi):
+    return jnp.clip(x, lo, hi)
+
+
+def hypot2(a, b):
+    return jnp.sqrt(a * a + b * b)
+
+
+def unit_angle(u, v):
+    """Numerically well-behaved angle between two *unit* vectors.
+
+    Uses the half-angle formulation 2*asin(|u -/+ v|/2) which is accurate for
+    both small and near-pi angles (unlike acos(dot)).
+    """
+    dot_uv = jnp.sum(u * v, axis=-1)
+    d = jnp.linalg.norm(jnp.where(dot_uv[..., None] < 0, u + v, u - v), axis=-1)
+    theta = 2.0 * safe_asin(0.5 * d)
+    return jnp.where(dot_uv < 0, Pi - theta, theta)
+
+
+# ---------------------------------------------------------------------------
+# Composite Simpson quadrature (used by bessel_j_small); static point count so
+# it unrolls at trace time into pure vector math.
+# ---------------------------------------------------------------------------
+
+def integrate_simpson(f, a, b, points: int = 20):
+    """Composite Simpson integration of callable `f` over [a, b].
+
+    `points` must be even; f is evaluated at points+1 static abscissae and may
+    return batched arrays.
+    """
+    assert points % 2 == 0, "Simpson rule needs an even interval count"
+    h = (b - a) / points
+    # Evaluate at all nodes in one shot: shape (points+1,) broadcast against f's batch
+    ts = a + h * jnp.arange(points + 1, dtype=jnp.float32)
+    vals = jax.vmap(f, in_axes=0, out_axes=-1)(ts)  # [..., points+1]
+    w = jnp.ones(points + 1, dtype=jnp.float32)
+    w = w.at[1:-1:2].set(4.0)
+    w = w.at[2:-1:2].set(2.0)
+    return (h / 3.0) * jnp.sum(vals * w, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Bessel function of the first kind J_nu(x), vectorized, f32.
+#
+# The reference fork blends a 20-point Simpson integral with a one-term
+# asymptotic form (math.h:280-347); that scheme loses multiple digits in the
+# oscillatory crossover region.  We instead use Miller's downward recurrence
+# (normalized by J0 + 2*sum J_2k = 1), which yields *all* orders 0..n_max in
+# one O(M) vector sweep — exactly what the grating lobe loop consumes — and
+# is accurate to f32 roundoff for |x| <= ~0.8*M.  Very large |x| falls back
+# to the two-term Hankel asymptotic expansion.
+# ---------------------------------------------------------------------------
+
+_BESSEL_M = 160          # recurrence start order: accurate for |x| <= ~128
+_BESSEL_X_SWITCH = 100.0  # beyond this, use the asymptotic expansion
+
+
+def bessel_jn(x, n_max: int, M: int = _BESSEL_M):
+    """J_0(|x|) .. J_{n_max}(|x|) by Miller's algorithm.
+
+    Returns array [..., n_max+1]. Caller applies parity for negative x/order.
+    Accurate (f32 level) for |x| up to about 0.8*M.
+    """
+    x_abs = jnp.abs(jnp.asarray(x, jnp.float32))
+    x_safe = jnp.maximum(x_abs, 1e-6)
+    inv_x = 1.0 / x_safe
+
+    jp1 = jnp.zeros_like(x_safe)           # J_{k+1}
+    jk = jnp.full_like(x_safe, 1e-30)      # J_k  (arbitrary scale)
+    norm = jnp.zeros_like(x_safe)          # accumulates J0 + 2*sum J_{2k}
+    outs = [jnp.zeros_like(x_safe) for _ in range(n_max + 1)]
+
+    for k in range(M, 0, -1):
+        jm1 = (2.0 * k) * inv_x * jk - jp1
+        jp1, jk = jk, jm1
+        # prevent f32 overflow of the unnormalized recurrence
+        big = jnp.abs(jk) > 1e18
+        scale = jnp.where(big, 1e-18, 1.0)
+        jp1 = jp1 * scale
+        jk = jk * scale
+        norm = norm * scale
+        outs = [o * scale for o in outs]
+        kk = k - 1  # jk now holds (unnormalized) J_{k-1}
+        if kk <= n_max:
+            outs[kk] = jk
+        if kk % 2 == 0:
+            norm = norm + (jk if kk == 0 else 2.0 * jk)
+
+    res = jnp.stack(outs, axis=-1) / jnp.maximum(jnp.abs(norm), 1e-30)[..., None]
+    res = res * jnp.sign(norm)[..., None]
+    # exact values at x == 0
+    at_zero = (x_abs < 1e-6)[..., None]
+    exact0 = jnp.zeros(n_max + 1, jnp.float32).at[0].set(1.0)
+    return jnp.where(at_zero, exact0, res)
+
+
+def bessel_j_asymp(x, nu):
+    """Two-term Hankel asymptotic expansion; accurate for |x| >> nu^2."""
+    x_abs = jnp.abs(jnp.asarray(x, jnp.float32))
+    x_safe = jnp.maximum(x_abs, 1e-12)
+    nub = jnp.asarray(nu, jnp.float32)
+    mu = 4.0 * nub * nub
+    i8x = 1.0 / (8.0 * x_safe)
+    p = 1.0 - (mu - 1.0) * (mu - 9.0) * 0.5 * i8x * i8x
+    q = (mu - 1.0) * i8x
+    omega = x_abs - (0.5 * nub + 0.25) * Pi
+    val = jnp.sqrt(2.0 / (Pi * x_safe)) * (
+        jnp.cos(omega) * p - jnp.sin(omega) * q
+    )
+    tiny = x_abs <= 10.0 * Epsilon
+    return jnp.where(tiny, jnp.where(nub == 0, 1.0, 0.0), val)
+
+
+def bessel_j(x, nu):
+    """J_nu(x) for integer scalar-or-array order nu, vectorized over x.
+
+    Miller recurrence for |x| <= 100, two-term asymptotics beyond; parity
+    identities J_{-n}(x) = (-1)^n J_n(x), J_n(-x) = (-1)^n J_n(x).
+    """
+    x = jnp.asarray(x, jnp.float32)
+    nu_arr = jnp.asarray(nu)
+    n_max = int(jnp.max(jnp.abs(nu_arr)))  # static: orders are lobe indices
+    nu_abs = jnp.abs(nu_arr).astype(jnp.int32)
+
+    all_orders = bessel_jn(x, n_max)  # [..., n_max+1] at |x|
+    j_small = jnp.take_along_axis(
+        all_orders,
+        jnp.broadcast_to(nu_abs, x.shape)[..., None],
+        axis=-1,
+    )[..., 0]
+    j_large = bessel_j_asymp(x, nu_abs.astype(jnp.float32))
+    j_pos = jnp.where(jnp.abs(x) > _BESSEL_X_SWITCH, j_large, j_small)
+
+    odd = (nu_abs % 2) == 1
+    parity = jnp.where(odd, -1.0, 1.0)
+    out = j_pos
+    out = jnp.where(nu_arr < 0, parity * out, out)
+    out = jnp.where(x < 0, parity * out, out)
+    return out
+
+
+def sinc(x):
+    """Unnormalized sinc: sin(x)/x with sinc(0) = 1."""
+    x_safe = jnp.where(jnp.abs(x) < 1e-8, 1.0, x)
+    return jnp.where(jnp.abs(x) < 1e-8, 1.0, jnp.sin(x_safe) / x_safe)
+
+
+def find_interval(cdf, x):
+    """Binary-search index i such that cdf[i] <= x < cdf[i+1] (batched).
+
+    cdf: [..., K] monotone array (shared leading dims broadcastable with x).
+    Returns int32 indices clipped to [0, K-2].
+    """
+    idx = jnp.searchsorted(cdf, x, side="right") - 1
+    return jnp.clip(idx, 0, cdf.shape[-1] - 2)
+
+
+def morton_encode2(x, y):
+    """Interleave bits of two uint32 (lower 16 bits each) — utility for tiling."""
+    def part(v):
+        v = (v | (v << 8)) & 0x00FF00FF
+        v = (v | (v << 4)) & 0x0F0F0F0F
+        v = (v | (v << 2)) & 0x33333333
+        v = (v | (v << 1)) & 0x55555555
+        return v
+
+    x = part(jnp.asarray(x, jnp.uint32))
+    y = part(jnp.asarray(y, jnp.uint32))
+    return x | (y << 1)

@@ -1,0 +1,106 @@
+"""Integrator framework: wavefront construction, spp-pass loop, film splat.
+
+Functional twin of ADIntegrator.render / sample_rays / prepare (reference
+src/python/python/ad/integrators/common.py:46-368) redesigned for XLA: one
+jitted megakernel renders (pixels x spp_per_pass) lanes; the host loops over
+passes and accumulates the film (analog of integrator.cpp:246-355 wavefront
+splitting).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..config import RenderConfig
+from ..core import spectrum as spec
+from ..core.rng import Sampler, DIM_CAMERA, DIM_WAVELENGTH
+from ..librender.film import ImageBlock, FILTER_BOX
+from ..librender.records import Ray
+
+
+def sample_rays(scene, sampler: Sampler, width, height, spp_pass, cfg: RenderConfig,
+                lane_offset=0):
+    """Build the camera wavefront: one lane per (pixel, sample).
+
+    Returns (ray, pos_uv [N,2], wavelengths [N,C] or None, wl_weight or None).
+    """
+    n = width * height * spp_pass
+    lane = jnp.arange(n, dtype=jnp.uint32)
+    pix = (lane // spp_pass).astype(jnp.uint32)
+    px = (pix % width).astype(jnp.float32)
+    py = (pix // width).astype(jnp.float32)
+
+    jitter = sampler.next_2d(DIM_CAMERA)
+    uv = jnp.stack(
+        [(px + jitter[..., 0]) / width, (py + jitter[..., 1]) / height], axis=-1
+    )
+    aperture = sampler.next_2d(DIM_CAMERA + 2)
+    o, d = scene.sensor.sample_ray(uv, aperture)
+
+    wavelengths = None
+    wl_weight = None
+    if cfg.spectral:
+        u_wl = sampler.next_1d(DIM_WAVELENGTH)
+        wavelengths, wl_weight = spec.sample_hero_wavelengths(u_wl, cfg.n_channels)
+
+    return Ray.create(o, d), uv, wavelengths, wl_weight
+
+
+def mis_weight(pdf_a, pdf_b):
+    """Power heuristic (beta=2), reference common.py:1304-1312."""
+    a2 = pdf_a * pdf_a
+    w = a2 / jnp.maximum(a2 + pdf_b * pdf_b, 1e-30)
+    return jnp.where(pdf_a > 0, w, 0.0)
+
+
+def render(
+    scene,
+    integrator_sample,
+    seed: int = 0,
+    spp: int = 16,
+    cfg: RenderConfig = RenderConfig(),
+    spp_per_pass: int | None = None,
+    rfilter: int = FILTER_BOX,
+    n_out_channels: int | None = None,
+):
+    """Render orchestration: loops spp passes on host, jits the per-pass
+    megakernel, accumulates an ImageBlock, develops to [H, W, C].
+
+    integrator_sample(scene, sampler, ray, wavelengths, cfg) -> (values [N,C'],
+    valid [N]) where C' = n_out_channels (3 for RGB L, 12 for stokes AOVs...).
+    """
+    width, height = scene.sensor.resolution
+    if spp_per_pass is None:
+        # cap wavefront at ~2^21 lanes to bound device memory
+        spp_per_pass = max(1, min(spp, (1 << 21) // (width * height) or 1))
+    n_pass = (spp + spp_per_pass - 1) // spp_per_pass
+    ch = n_out_channels or 3
+
+    @jax.jit
+    def render_pass(block_data, pass_idx):
+        sampler = Sampler.create(seed, width * height * spp_per_pass)
+        sampler = sampler.fork(pass_idx)
+        ray, uv, wavelengths, wl_weight = sample_rays(
+            scene, sampler, width, height, spp_per_pass, cfg
+        )
+        values, valid = integrator_sample(scene, sampler, ray, wavelengths, cfg)
+        if cfg.spectral:
+            # convert hero-wavelength spectral values to RGB via CIE XYZ
+            xyz = spec.spectrum_to_xyz(values, wavelengths, wl_weight)
+            values = spec.xyz_to_srgb(xyz)
+        block = ImageBlock(
+            data=block_data, width=width, height=height,
+            n_channels=values.shape[-1], rfilter=rfilter,
+        )
+        block = block.put(uv, values, valid)
+        return block.data
+
+    block = ImageBlock.create(width, height, ch, rfilter)
+    data = block.data
+    for p in range(n_pass):
+        data = render_pass(data, p)
+    block = dataclasses.replace(block, data=data)
+    return block.develop()

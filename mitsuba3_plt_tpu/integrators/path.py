@@ -1,0 +1,188 @@
+"""Path tracer with NEE + MIS — the lax.scan bounce megakernel.
+
+Functional twin of the reference `path` plugin (src/integrators/path.cpp:158-246
+dr::while_loop formulation): detached sampling, power-heuristic MIS between
+BSDF sampling and emitter sampling, Russian roulette after rr_depth.
+
+Unpolarized transport ([N, C] throughput); the polarized Stokes/Mueller
+variant lives in stokes.py which wraps this module's polarized sibling.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..config import RenderConfig
+from ..core import frame as fr
+from ..core import math as mth
+from ..core.rng import Sampler, bounce_dim
+from ..librender import bsdfs
+from ..librender.bsdf import BSDFContext, BSDFFlags
+from ..librender.records import Ray, spawn_ray, DirectionSample
+from ..scene import emitters as em_mod
+from .common import mis_weight
+
+
+@dataclasses.dataclass(frozen=True)
+class PathIntegrator:
+    max_depth: int = 6
+    rr_depth: int = 5
+    hide_emitters: bool = False
+
+    def sample(self, scene, sampler: Sampler, ray: Ray, wavelengths, cfg: RenderConfig):
+        """Returns (L [N, C], valid [N])."""
+        n = ray.o.shape[0]
+        C = cfg.n_channels
+        em = scene.emitters
+        geo = scene.geo
+        has_emitters = em.count > 0
+
+        L = jnp.zeros((n, C), jnp.float32)
+        beta = jnp.ones((n, C), jnp.float32)
+        eta = jnp.ones((n,), jnp.float32)
+        active = jnp.ones((n,), bool)
+        prev_pdf = jnp.ones((n,), jnp.float32)
+        prev_delta = jnp.ones((n,), bool)  # depth 0 counts as "delta" (no MIS)
+        prev_p = ray.o
+        ctx = BSDFContext()
+
+        def body(carry, b):
+            (ray_o, ray_d, L, beta, eta, active, prev_pdf, prev_delta, prev_p) = carry
+
+            ray_b = Ray.create(ray_o, ray_d)
+            si = scene.ray_intersect(ray_b)
+            hit = si.valid & active
+
+            # ---- emitter hit (and environment) with MIS ----------------
+            if has_emitters:
+                hit_emitter = hit & (si.emitter_idx >= 0) & (
+                    fr.cos_theta(si.wi) > 0
+                )
+                ds_hit = DirectionSample(
+                    p=si.p, n=si.n, uv=si.uv,
+                    d=fr.normalize(si.p - prev_p),
+                    dist=jnp.linalg.norm(si.p - prev_p, axis=-1),
+                    pdf=jnp.zeros((n,)), delta=jnp.zeros((n,), bool),
+                    emitter_idx=si.emitter_idx,
+                )
+                em_pdf = em_mod.pdf_emitter_direction(em, geo, prev_p, ds_hit)
+                em_pdf = jnp.where(prev_delta, 0.0, em_pdf)
+                mis_bsdf = mis_weight(prev_pdf, em_pdf)
+                e_val = em_mod.eval_emitter(
+                    em, si.emitter_idx, ds_hit.d, ds_hit.dist, hit_emitter
+                )
+                e_val = _to_channels(e_val, cfg)
+                L = L + beta * e_val * jnp.where(hit_emitter, mis_bsdf, 0.0)[..., None]
+
+                # escaped -> environment
+                escaped = active & ~si.valid
+                if scene.env_emitter >= 0:
+                    env_val = _to_channels(em_mod.eval_env(em, ray_d), cfg)
+                    # MIS vs constant-emitter direction pdf
+                    env_pdf = jnp.where(prev_delta, 0.0, mth.InvFourPi / em.count)
+                    mis_env = mis_weight(prev_pdf, env_pdf)
+                    L = L + beta * env_val * jnp.where(escaped, mis_env, 0.0)[..., None]
+
+            active_next = hit & (b + 1 < self.max_depth)
+
+            # ---- NEE ------------------------------------------------------
+            if has_emitters:
+                u_nee1 = sampler.next_1d(bounce_dim(b, 5))
+                u_nee2 = sampler.next_2d(bounce_dim(b, 3))
+                mat_flags = scene.materials.flags[jnp.maximum(si.mat_idx, 0)]
+                smooth_lane = (mat_flags & BSDFFlags.Smooth) != 0
+                nee_active = active_next & smooth_lane
+                ds = em_mod.sample_emitter_direction(
+                    em, geo, si.p, u_nee1, u_nee2, nee_active
+                )
+                occ_ray = Ray(
+                    o=si.p + si.n * jnp.where(
+                        fr.dot(ds.d, si.n) >= 0, mth.RayEpsilon, -mth.RayEpsilon
+                    )[..., None],
+                    d=ds.d,
+                    maxt=ds.dist * (1.0 - mth.ShadowEpsilon),
+                )
+                occluded = scene.ray_test(occ_ray)
+                vis = nee_active & ~occluded & (ds.pdf > 0)
+
+                wo_local = si.to_local(ds.d)
+                bsdf_val, bsdf_pdf = bsdfs.eval_pdf(
+                    scene.materials, jnp.maximum(si.mat_idx, 0), si, wo_local,
+                    ctx, cfg, wavelengths,
+                )
+                mis_em = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, bsdf_pdf))
+                e_val = em_mod.eval_emitter(em, ds.emitter_idx, ds.d, ds.dist, vis)
+                e_val = _to_channels(e_val, cfg)
+                contrib = beta * bsdf_val * e_val * (
+                    mis_em / jnp.maximum(ds.pdf, 1e-20)
+                )[..., None]
+                L = L + jnp.where(vis[..., None], contrib, 0.0)
+
+            # ---- BSDF sampling ---------------------------------------------
+            u1 = sampler.next_1d(bounce_dim(b, 0))
+            u2 = sampler.next_2d(bounce_dim(b, 1))
+            bs, weight, ok = bsdfs.sample(
+                scene.materials, jnp.maximum(si.mat_idx, 0), si, u1, u2,
+                ctx, cfg, wavelengths,
+            )
+            beta_next = beta * weight
+            eta_next = eta * bs.eta
+            wo_world = si.to_world(bs.wo)
+            new_o = si.p + si.n * jnp.where(
+                fr.dot(wo_world, si.n) >= 0, mth.RayEpsilon, -mth.RayEpsilon
+            )[..., None]
+
+            active_next = active_next & ok & (bs.pdf > 0) & (
+                jnp.max(beta_next, axis=-1) > 0
+            )
+
+            # ---- Russian roulette ------------------------------------------
+            beta_max = jnp.max(beta_next, axis=-1) * eta_next * eta_next
+            rr_prob = jnp.minimum(beta_max, 0.95)
+            rr_active = b + 1 >= self.rr_depth
+            u_rr = sampler.next_1d(bounce_dim(b, 6))
+            rr_continue = ~rr_active | (u_rr < rr_prob)
+            rr_scale = jnp.where(
+                rr_active, 1.0 / jnp.maximum(rr_prob, 1e-6), 1.0
+            )
+            beta_next = beta_next * jnp.where(rr_active, rr_scale, 1.0)[..., None]
+            active_next = active_next & rr_continue
+
+            is_delta = (bs.sampled_type & jnp.uint32(BSDFFlags.Delta)) != 0
+
+            carry = (
+                new_o, wo_world,
+                L,
+                jnp.where(active_next[..., None], beta_next, beta),
+                jnp.where(active_next, eta_next, eta),
+                active_next,
+                jnp.where(active_next, bs.pdf, prev_pdf),
+                jnp.where(active_next, is_delta, prev_delta),
+                jnp.where(active_next[..., None], ray_o * 0 + si.p, prev_p),
+            )
+            return carry, None
+
+        carry = (ray.o, ray.d, L, beta, eta, active, prev_pdf, prev_delta, prev_p)
+        carry, _ = jax.lax.scan(
+            body, carry, jnp.arange(self.max_depth, dtype=jnp.uint32)
+        )
+        L = carry[2]
+        return L, jnp.ones((n,), bool)
+
+
+def _to_channels(rgb, cfg: RenderConfig):
+    """Adapt an RGB emitter value to the configured channel count.
+
+    Spectral mode: treat stored RGB radiance as a smooth spectrum via
+    luminance (proper spectral emitter curves arrive with the spectra module).
+    """
+    if cfg.spectral:
+        from ..core import spectrum as spec
+
+        return jnp.broadcast_to(
+            spec.luminance_rgb(rgb)[..., None], (*rgb.shape[:-1], cfg.n_channels)
+        )
+    return rgb

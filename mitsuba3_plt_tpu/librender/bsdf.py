@@ -1,0 +1,178 @@
+"""BSDF framework: flags, context, material table, masked-dispatch.
+
+TPU-native replacement for the reference's virtual-call plugin dispatch
+(include/mitsuba/render/bsdf.h): materials live in a struct-of-arrays table;
+a wavefront is evaluated by running every *present* BSDF type on all lanes
+and masking — the idiomatic XLA formulation of Dr.Jit's vcall grouping
+(there is no per-lane control flow on the VPU anyway, so this is also the
+fast formulation).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class BSDFFlags:
+    Empty = 0
+    Null = 0x00001
+    DiffuseReflection = 0x00002
+    DiffuseTransmission = 0x00004
+    GlossyReflection = 0x00008
+    GlossyTransmission = 0x00010
+    DeltaReflection = 0x00020
+    DeltaTransmission = 0x00040
+    Anisotropic = 0x01000
+    SpatiallyVarying = 0x02000
+    NonSymmetric = 0x04000
+    FrontSide = 0x08000
+    BackSide = 0x10000
+
+    Reflection = DiffuseReflection | DeltaReflection | GlossyReflection
+    Transmission = DiffuseTransmission | DeltaTransmission | GlossyTransmission | Null
+    Diffuse = DiffuseReflection | DiffuseTransmission
+    Glossy = GlossyReflection | GlossyTransmission
+    Smooth = Diffuse | Glossy
+    Delta = DeltaReflection | DeltaTransmission | Null
+    All = Reflection | Transmission
+
+
+class TransportMode:
+    Radiance = 0
+    Importance = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class BSDFContext:
+    """Static per-trace context (hashable; not a pytree)."""
+
+    mode: int = TransportMode.Radiance
+    type_mask: int = BSDFFlags.All
+    component: int = -1  # -1: all
+
+    def is_enabled(self, flags: int) -> bool:
+        return (self.type_mask & flags) != 0
+
+    def reverse(self) -> "BSDFContext":
+        return BSDFContext(
+            mode=1 - self.mode, type_mask=self.type_mask, component=self.component
+        )
+
+
+# BSDF type tags (values are table indices — keep stable, loaders depend on them)
+BSDF_NULL = 0
+BSDF_DIFFUSE = 1
+BSDF_CONDUCTOR = 2
+BSDF_ROUGH_CONDUCTOR = 3
+BSDF_DIELECTRIC = 4
+BSDF_THIN_DIELECTRIC = 5
+BSDF_ROUGH_DIELECTRIC = 6
+BSDF_PLASTIC = 7
+BSDF_ROUGH_PLASTIC = 8
+BSDF_ROUGH_GRATING = 9
+BSDF_MASK = 10
+BSDF_POLARIZER = 11
+BSDF_RETARDER = 12
+BSDF_PPLASTIC = 13
+BSDF_MEASURED = 14
+BSDF_BLEND = 15
+BSDF_NORMALMAP = 16
+BSDF_BUMPMAP = 17
+BSDF_CIRCULAR = 18
+
+BSDF_TYPE_NAMES = {
+    BSDF_NULL: "null",
+    BSDF_DIFFUSE: "diffuse",
+    BSDF_CONDUCTOR: "conductor",
+    BSDF_ROUGH_CONDUCTOR: "roughconductor",
+    BSDF_DIELECTRIC: "dielectric",
+    BSDF_THIN_DIELECTRIC: "thindielectric",
+    BSDF_ROUGH_DIELECTRIC: "roughdielectric",
+    BSDF_PLASTIC: "plastic",
+    BSDF_ROUGH_PLASTIC: "roughplastic",
+    BSDF_ROUGH_GRATING: "roughgrating",
+    BSDF_MASK: "mask",
+    BSDF_POLARIZER: "polarizer",
+    BSDF_RETARDER: "retarder",
+    BSDF_PPLASTIC: "pplastic",
+    BSDF_MEASURED: "measured",
+    BSDF_BLEND: "blendbsdf",
+    BSDF_NORMALMAP: "normalmap",
+    BSDF_BUMPMAP: "bumpmap",
+    BSDF_CIRCULAR: "circular",
+}
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class MaterialTable:
+    """Struct-of-arrays material storage, [M, ...] per field.
+
+    `present_types` is static metadata: the sorted tuple of BSDF type tags in
+    this scene — the dispatcher unrolls over it at trace time.
+    All color-like fields are stored in RGB; spectral variants up-sample on
+    the fly via the sigmoid-polynomial coefficients in `*_coeff` fields.
+    """
+
+    mtype: Any          # [M] int32 tag
+    flags: Any          # [M] uint32 BSDFFlags
+    twosided: Any       # [M] bool — wrap in twosided adapter
+    base_color: Any     # [M, 3] reflectance / specular_reflectance / diffuse
+    base_color_coeff: Any  # [M, 3] sigmoid-poly coeffs of base_color
+    transmittance: Any  # [M, 3] specular_transmittance
+    eta_re: Any         # [M, 3] conductor eta (RGB) or dielectric eta in [:,0]
+    eta_im: Any         # [M, 3] conductor k
+    alpha: Any          # [M, 2] roughness (u, v)
+    mf_type: Any        # [M] int32 microfacet type (GGX=0 / Beckmann=1)
+    # --- diffraction grating parameters (roughgrating) ---
+    grt_inv_period: Any  # [M, 2] 1/period in x,y (units 1/um)
+    grt_height: Any      # [M] peak-to-trough height (um)
+    grt_lobes: Any       # [M] int32 number of lobes per side
+    grt_type: Any        # [M] int32 DiffractionGratingType
+    grt_multiplier: Any  # [M] intensity multiplier
+    grt_coherence: Any   # [M] coherence mode weight
+    # --- nested-bsdf indirection (mask/blend/normalmap wrap another entry) ---
+    nested_idx: Any      # [M] int32, -1 when unused
+    weight: Any          # [M] blend weight / opacity
+
+    present_types: Tuple[int, ...] = dataclasses.field(
+        default=(), metadata=dict(static=True)
+    )
+
+    @staticmethod
+    def empty(m: int, present_types=()):
+        z3 = jnp.zeros((m, 3), jnp.float32)
+        z1 = jnp.zeros((m,), jnp.float32)
+        return MaterialTable(
+            mtype=jnp.zeros((m,), jnp.int32),
+            flags=jnp.zeros((m,), jnp.uint32),
+            twosided=jnp.zeros((m,), bool),
+            base_color=z3 + 0.5,
+            base_color_coeff=z3,
+            transmittance=z3 + 1.0,
+            eta_re=z3,
+            eta_im=z3 + 1.0,
+            alpha=jnp.full((m, 2), 0.1, jnp.float32),
+            mf_type=jnp.zeros((m,), jnp.int32),
+            grt_inv_period=jnp.ones((m, 2), jnp.float32),
+            grt_height=z1 + 0.1,
+            grt_lobes=jnp.full((m,), 3, jnp.int32),
+            grt_type=jnp.zeros((m,), jnp.int32),
+            grt_multiplier=z1 + 1.0,
+            grt_coherence=z1 + 1.0,
+            nested_idx=jnp.full((m,), -1, jnp.int32),
+            weight=z1 + 0.5,
+            present_types=tuple(present_types),
+        )
+
+    def gather(self, midx) -> Dict[str, Any]:
+        """Per-lane parameter dict for material indices midx [N]."""
+        out = {}
+        for f in dataclasses.fields(self):
+            if f.metadata.get("static"):
+                continue
+            out[f.name] = getattr(self, f.name)[midx]
+        return out

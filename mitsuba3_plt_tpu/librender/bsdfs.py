@@ -1,0 +1,556 @@
+"""BSDF implementations + masked dispatch.
+
+Each implementation is a set of pure functions over gathered per-lane
+parameter dicts, operating in the local shading frame (z-up, wi/wo point away
+from the surface). `sample` returns (BSDFSample, weight) where weight is
+f*cos/pdf — the same contract as the reference (bsdf.h sample()).
+
+Value shapes: unpolarized [N, C]; polarized [N, 4, 4, C] Mueller stacks whose
+implicit Stokes bases follow the reference convention (light travels
+-wo_hat -> +wi_hat, bases = stokes_basis of those local directions; cf.
+src/bsdfs/conductor.cpp:270-305) — converted to world bases by the caller via
+`to_world_mueller`.
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+import jax.numpy as jnp
+
+from ..core import math as m
+from ..core import frame as fr
+from ..core import warp
+from ..core import spectrum as spec
+from ..config import RenderConfig
+from . import fresnel as fres
+from . import microfacet as mf
+from . import mueller as mu
+from .records import BSDFSample
+from .bsdf import (
+    BSDFContext,
+    BSDFFlags,
+    MaterialTable,
+    TransportMode,
+    BSDF_NULL,
+    BSDF_DIFFUSE,
+    BSDF_CONDUCTOR,
+    BSDF_ROUGH_CONDUCTOR,
+    BSDF_DIELECTRIC,
+    BSDF_THIN_DIELECTRIC,
+    BSDF_PLASTIC,
+    BSDF_ROUGH_GRATING,
+)
+
+
+# --- helpers ---------------------------------------------------------------
+
+def eval_color(p, key: str, cfg: RenderConfig, wavelengths):
+    """Color parameter as [N, C]: RGB directly, or spectral upsampling."""
+    if cfg.spectral:
+        coeff = p.get(key + "_coeff")
+        if coeff is None:
+            # fall back to luminance-preserving flat spectrum
+            return jnp.broadcast_to(
+                spec.luminance_rgb(p[key])[..., None],
+                (*p[key].shape[:-1], cfg.n_channels),
+            )
+        return spec.sigmoid_poly_eval(coeff[..., None, :], wavelengths)
+    return p[key]
+
+
+def spectral_or_rgb(v_rgb, cfg):
+    return v_rgb
+
+
+def depolarized(value, cfg: RenderConfig):
+    """Lift an unpolarized [N, C] value to the configured representation."""
+    if not cfg.polarized:
+        return value
+    out = jnp.zeros((*value.shape[:-1], 4, 4, value.shape[-1]), value.dtype)
+    return out.at[..., 0, 0, :].set(value)
+
+
+def mueller_from_unpolarized(mueller_nc, cfg):
+    """[N, C, 4, 4] -> [N, 4, 4, C]."""
+    return jnp.moveaxis(mueller_nc, -3, -1)
+
+
+def mul_value(a, b_unpol, cfg: RenderConfig):
+    """Multiply a (possibly Mueller) value by an unpolarized [N, C] factor."""
+    if cfg.polarized:
+        return a * b_unpol[..., None, None, :]
+    return a * b_unpol
+
+
+def zeros_value(n, cfg: RenderConfig):
+    if cfg.polarized:
+        return jnp.zeros((n, 4, 4, cfg.n_channels), jnp.float32)
+    return jnp.zeros((n, cfg.n_channels), jnp.float32)
+
+
+def where_value(mask, a, b, cfg: RenderConfig):
+    if cfg.polarized:
+        return jnp.where(mask[..., None, None, None], a, b)
+    return jnp.where(mask[..., None], a, b)
+
+
+def _spec_reflect_mueller(wo_hat, wi_hat, cos_theta_mueller_fn, normal, cfg):
+    """Shared polarized specular-reflection assembly in the local frame.
+
+    `cos_theta_mueller_fn(ct)` builds [N, C, 4, 4] reflection matrices;
+    normal is the (local) reflection normal (z or microfacet normal m).
+    Implements the reference's basis alignment (conductor.cpp:270-305).
+    """
+    M = cos_theta_mueller_fn()  # [N, C, 4, 4]
+
+    s_axis_in = jnp.cross(normal, -wo_hat)
+    s_axis_out = jnp.cross(normal, wi_hat)
+    degenerate = fr.squared_norm(s_axis_in) < 1e-12
+    fallback = jnp.broadcast_to(
+        jnp.asarray([1.0, 0.0, 0.0], jnp.float32), s_axis_in.shape
+    )
+    s_axis_in = jnp.where(degenerate[..., None], fallback, fr.normalize(s_axis_in))
+    s_axis_out = jnp.where(degenerate[..., None], fallback, fr.normalize(s_axis_out))
+
+    R_in = mu.rotate_stokes_basis(-wo_hat, s_axis_in, mu.stokes_basis(-wo_hat))
+    R_out = mu.rotate_stokes_basis(wi_hat, s_axis_out, mu.stokes_basis(wi_hat))
+    # [N,4,4] x [N,C,4,4] x [N,4,4]^T, broadcast over C
+    Mr = jnp.einsum("...ij,...cjk,...lk->...cil", R_out, M, R_in)
+    return mueller_from_unpolarized(Mr, cfg)  # [N, 4, 4, C]
+
+
+def to_world_mueller(si, M, in_forward_local, out_forward_local):
+    """Rotate a local-basis Mueller stack [N,4,4,C] to world implicit bases."""
+    in_fwd_w = si.to_world(in_forward_local)
+    out_fwd_w = si.to_world(out_forward_local)
+    in_basis_cur = si.to_world(mu.stokes_basis(in_forward_local))
+    out_basis_cur = si.to_world(mu.stokes_basis(out_forward_local))
+    R_in = mu.rotate_stokes_basis(in_fwd_w, in_basis_cur, mu.stokes_basis(in_fwd_w))
+    R_out = mu.rotate_stokes_basis(out_fwd_w, out_basis_cur, mu.stokes_basis(out_fwd_w))
+    return jnp.einsum("...ij,...jkc,...lk->...ilc", R_out, M, R_in)
+
+
+# ---------------------------------------------------------------------------
+# diffuse  (reference: src/bsdfs/diffuse.cpp)
+# ---------------------------------------------------------------------------
+
+class Diffuse:
+    @staticmethod
+    def sample(p, si, u1, u2, ctx, cfg, wavelengths):
+        n = si.wi.shape[0]
+        cos_i = fr.cos_theta(si.wi)
+        active = cos_i > 0
+        wo = warp.square_to_cosine_hemisphere(u2)
+        pdf = warp.square_to_cosine_hemisphere_pdf(wo)
+        bs = BSDFSample(
+            wo=wo,
+            pdf=pdf,
+            eta=jnp.ones((n,), jnp.float32),
+            sampled_type=jnp.full((n,), BSDFFlags.DiffuseReflection, jnp.uint32),
+            sampled_component=jnp.zeros((n,), jnp.int32),
+        )
+        albedo = eval_color(p, "base_color", cfg, wavelengths)
+        weight = depolarized(albedo, cfg)
+        ok = jnp.logical_and(active, pdf > 0)
+        return bs, where_value(ok, weight, zeros_value(n, cfg), cfg), ok
+
+    @staticmethod
+    def eval(p, si, wo, ctx, cfg, wavelengths):
+        cos_i = fr.cos_theta(si.wi)
+        cos_o = fr.cos_theta(wo)
+        active = jnp.logical_and(cos_i > 0, cos_o > 0)
+        albedo = eval_color(p, "base_color", cfg, wavelengths)
+        val = albedo * (m.InvPi * jnp.maximum(cos_o, 0.0))[..., None]
+        val = depolarized(val, cfg)
+        return where_value(active, val, zeros_value(si.wi.shape[0], cfg), cfg)
+
+    @staticmethod
+    def pdf(p, si, wo, ctx, cfg):
+        cos_i = fr.cos_theta(si.wi)
+        cos_o = fr.cos_theta(wo)
+        pdf = warp.square_to_cosine_hemisphere_pdf(wo)
+        return jnp.where(jnp.logical_and(cos_i > 0, cos_o > 0), pdf, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# smooth conductor  (reference: src/bsdfs/conductor.cpp)
+# ---------------------------------------------------------------------------
+
+class Conductor:
+    @staticmethod
+    def sample(p, si, u1, u2, ctx, cfg, wavelengths):
+        n = si.wi.shape[0]
+        cos_i = fr.cos_theta(si.wi)
+        active = cos_i > 0
+        wo = fr.reflect(si.wi)
+        bs = BSDFSample(
+            wo=wo,
+            pdf=jnp.ones((n,), jnp.float32),
+            eta=jnp.ones((n,), jnp.float32),
+            sampled_type=jnp.full((n,), BSDFFlags.DeltaReflection, jnp.uint32),
+            sampled_component=jnp.zeros((n,), jnp.int32),
+        )
+        refl = eval_color(p, "base_color", cfg, wavelengths)
+        eta_re = p["eta_re"][..., : cfg.n_channels] if not cfg.spectral else p["eta_re"]
+        eta_im = p["eta_im"][..., : cfg.n_channels] if not cfg.spectral else p["eta_im"]
+        if cfg.spectral:
+            # use RGB eta/k averaged — proper spectral IOR curves arrive with
+            # the ior database module
+            eta_re = jnp.broadcast_to(
+                jnp.mean(p["eta_re"], -1, keepdims=True), (n, cfg.n_channels)
+            )
+            eta_im = jnp.broadcast_to(
+                jnp.mean(p["eta_im"], -1, keepdims=True), (n, cfg.n_channels)
+            )
+
+        if cfg.polarized:
+            wo_hat = wo if ctx.mode == TransportMode.Radiance else si.wi
+            wi_hat = si.wi if ctx.mode == TransportMode.Radiance else wo
+            ct = fr.cos_theta(wo_hat)
+
+            def build():
+                return mu.specular_reflection_conductor(
+                    ct[..., None], eta_re, eta_im
+                )  # [N, C, 4, 4]
+
+            normal = jnp.broadcast_to(
+                jnp.asarray([0.0, 0.0, 1.0], jnp.float32), wo.shape
+            )
+            value = _spec_reflect_mueller(wo_hat, wi_hat, build, normal, cfg)
+            value = mul_value(value, refl, cfg)
+        else:
+            F = fres.fresnel_conductor(cos_i[..., None], eta_re, eta_im)
+            value = refl * F
+        ok = active
+        return bs, where_value(ok, value, zeros_value(n, cfg), cfg), ok
+
+    @staticmethod
+    def eval(p, si, wo, ctx, cfg, wavelengths):
+        return zeros_value(si.wi.shape[0], cfg)
+
+    @staticmethod
+    def pdf(p, si, wo, ctx, cfg):
+        return jnp.zeros(si.wi.shape[0], jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# rough conductor  (reference: src/bsdfs/roughconductor.cpp)
+# ---------------------------------------------------------------------------
+
+class RoughConductor:
+    @staticmethod
+    def _fresnel_value(p, si, wo, mvec, ctx, cfg, wavelengths):
+        n = si.wi.shape[0]
+        refl = eval_color(p, "base_color", cfg, wavelengths)
+        eta_re, eta_im = p["eta_re"], p["eta_im"]
+        if cfg.spectral:
+            eta_re = jnp.broadcast_to(
+                jnp.mean(eta_re, -1, keepdims=True), (n, cfg.n_channels)
+            )
+            eta_im = jnp.broadcast_to(
+                jnp.mean(eta_im, -1, keepdims=True), (n, cfg.n_channels)
+            )
+        if cfg.polarized:
+            wo_hat = wo if ctx.mode == TransportMode.Radiance else si.wi
+            wi_hat = si.wi if ctx.mode == TransportMode.Radiance else wo
+            ct = fr.dot(wo_hat, mvec)
+
+            def build():
+                return mu.specular_reflection_conductor(
+                    ct[..., None], eta_re, eta_im
+                )
+
+            F = _spec_reflect_mueller(wo_hat, wi_hat, build, mvec, cfg)
+            return mul_value(F, refl, cfg)
+        ct = fr.dot(si.wi, mvec)
+        F = fres.fresnel_conductor(ct[..., None], eta_re, eta_im)
+        return refl * F
+
+    @staticmethod
+    def sample(p, si, u1, u2, ctx, cfg, wavelengths):
+        n = si.wi.shape[0]
+        cos_i = fr.cos_theta(si.wi)
+        active = cos_i > 0
+        au = p["alpha"][..., 0]
+        av = p["alpha"][..., 1]
+        # scene loader guarantees a single microfacet type per material table
+        # entry; GGX path uses VNDF
+        mvec, mpdf = mf.sample_vndf_ggx(
+            jnp.where((cos_i < 0)[..., None], -si.wi, si.wi), u2, au, av
+        )
+        wo = fr.reflect_n(si.wi, mvec)
+        # reflection jacobian: pdf_wo = pdf_m / (4 |wo.m|)
+        pdf = mpdf / jnp.maximum(4.0 * jnp.abs(fr.dot(wo, mvec)), 1e-12)
+        cos_o = fr.cos_theta(wo)
+        ok = active & (cos_o > 0) & (mpdf > 0)
+
+        # VNDF sampling weight: eval/pdf = F * G2/G1
+        G = mf.g_smith(si.wi, wo, mvec, au, av, mf.GGX)
+        G1 = mf.smith_g1(si.wi, mvec, au, av, mf.GGX)
+        # VNDF weight simplifies to F * G2/G1
+        w_scalar = G / jnp.maximum(G1, 1e-12)
+        Fv = RoughConductor._fresnel_value(p, si, wo, mvec, ctx, cfg, wavelengths)
+        weight = mul_value(Fv, jnp.broadcast_to(w_scalar[..., None], (n, cfg.n_channels)), cfg)
+        bs = BSDFSample(
+            wo=wo,
+            pdf=pdf,
+            eta=jnp.ones((n,), jnp.float32),
+            sampled_type=jnp.full((n,), BSDFFlags.GlossyReflection, jnp.uint32),
+            sampled_component=jnp.zeros((n,), jnp.int32),
+        )
+        return bs, where_value(ok, weight, zeros_value(n, cfg), cfg), ok
+
+    @staticmethod
+    def eval(p, si, wo, ctx, cfg, wavelengths):
+        n = si.wi.shape[0]
+        cos_i = fr.cos_theta(si.wi)
+        cos_o = fr.cos_theta(wo)
+        active = (cos_i > 0) & (cos_o > 0)
+        au = p["alpha"][..., 0]
+        av = p["alpha"][..., 1]
+        h = fr.normalize(si.wi + wo)
+        D = mf.ndf_eval(h, au, av, mf.GGX)
+        G = mf.g_smith(si.wi, wo, h, au, av, mf.GGX)
+        scalar = D * G / jnp.maximum(4.0 * cos_i, 1e-12)
+        Fv = RoughConductor._fresnel_value(p, si, wo, h, ctx, cfg, wavelengths)
+        val = mul_value(Fv, jnp.broadcast_to(scalar[..., None], (n, cfg.n_channels)), cfg)
+        return where_value(active & (D > 0), val, zeros_value(n, cfg), cfg)
+
+    @staticmethod
+    def pdf(p, si, wo, ctx, cfg):
+        cos_i = fr.cos_theta(si.wi)
+        cos_o = fr.cos_theta(wo)
+        active = (cos_i > 0) & (cos_o > 0)
+        au = p["alpha"][..., 0]
+        av = p["alpha"][..., 1]
+        h = fr.normalize(si.wi + wo)
+        mpdf = mf.pdf_vndf(si.wi, h, au, av, mf.GGX)
+        pdf = mpdf / jnp.maximum(4.0 * jnp.abs(fr.dot(wo, h)), 1e-12)
+        return jnp.where(active, pdf, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# smooth dielectric  (reference: src/bsdfs/dielectric.cpp)
+# ---------------------------------------------------------------------------
+
+class Dielectric:
+    @staticmethod
+    def sample(p, si, u1, u2, ctx, cfg, wavelengths):
+        n = si.wi.shape[0]
+        eta = p["eta_re"][..., 0]  # relative IOR int/ext
+        cos_i = fr.cos_theta(si.wi)
+        F, cos_t, eta_it, eta_ti = fres.fresnel_dielectric(cos_i, eta)
+
+        sel_reflect = u1 <= F
+        wo_r = fr.reflect(si.wi)
+        wo_t = fr.refract(si.wi, cos_t, eta_ti)
+        wo = jnp.where(sel_reflect[..., None], wo_r, wo_t)
+        pdf = jnp.where(sel_reflect, F, 1.0 - F)
+        bs = BSDFSample(
+            wo=wo,
+            pdf=pdf,
+            eta=jnp.where(sel_reflect, 1.0, eta_it),
+            sampled_type=jnp.where(
+                sel_reflect,
+                jnp.uint32(BSDFFlags.DeltaReflection),
+                jnp.uint32(BSDFFlags.DeltaTransmission),
+            ),
+            sampled_component=jnp.where(sel_reflect, 0, 1).astype(jnp.int32),
+        )
+        refl_c = eval_color(p, "base_color", cfg, wavelengths)
+        tran_c = eval_color(p, "transmittance", cfg, wavelengths)
+
+        if cfg.polarized:
+            wo_hat = wo if ctx.mode == TransportMode.Radiance else si.wi
+            wi_hat = si.wi if ctx.mode == TransportMode.Radiance else wo
+            ct_hat = fr.cos_theta(wo_hat)
+            MR = mu.specular_reflection_dielectric(ct_hat[..., None], eta[..., None])
+            MT = mu.specular_transmission(ct_hat[..., None], eta[..., None])
+            Msel = jnp.where(sel_reflect[..., None, None, None], MR, MT)  # [N,1,4,4]
+            Msel = jnp.broadcast_to(Msel, (n, cfg.n_channels, 4, 4))
+            normal = jnp.broadcast_to(
+                jnp.asarray([0.0, 0.0, 1.0], jnp.float32), wo.shape
+            )
+            value = _spec_reflect_mueller(
+                wo_hat, wi_hat, lambda: Msel, normal, cfg
+            )
+            color = jnp.where(sel_reflect[..., None], refl_c, tran_c)
+            value = mul_value(value, color, cfg)
+        else:
+            w = jnp.where(sel_reflect[..., None], refl_c, tran_c)
+            value = w
+
+        # radiance transport: account for solid-angle compression eta^2
+        if True:
+            factor = jnp.where(
+                sel_reflect,
+                1.0,
+                jnp.where(
+                    jnp.full((n,), ctx.mode == TransportMode.Radiance),
+                    eta_ti * eta_ti,
+                    1.0,
+                ),
+            )
+            value = mul_value(
+                value, jnp.broadcast_to(factor[..., None], (n, cfg.n_channels)), cfg
+            )
+        ok = jnp.ones((n,), bool)
+        return bs, value, ok
+
+    @staticmethod
+    def eval(p, si, wo, ctx, cfg, wavelengths):
+        return zeros_value(si.wi.shape[0], cfg)
+
+    @staticmethod
+    def pdf(p, si, wo, ctx, cfg):
+        return jnp.zeros(si.wi.shape[0], jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# null (pass-through)
+# ---------------------------------------------------------------------------
+
+class Null:
+    @staticmethod
+    def sample(p, si, u1, u2, ctx, cfg, wavelengths):
+        n = si.wi.shape[0]
+        bs = BSDFSample(
+            wo=-si.wi,
+            pdf=jnp.ones((n,), jnp.float32),
+            eta=jnp.ones((n,), jnp.float32),
+            sampled_type=jnp.full((n,), BSDFFlags.Null, jnp.uint32),
+            sampled_component=jnp.zeros((n,), jnp.int32),
+        )
+        one = jnp.ones((n, cfg.n_channels), jnp.float32)
+        # identity mueller for pass-through (not depolarizing!)
+        if cfg.polarized:
+            val = jnp.broadcast_to(
+                jnp.eye(4, dtype=jnp.float32)[None, :, :, None],
+                (n, 4, 4, cfg.n_channels),
+            )
+        else:
+            val = one
+        return bs, val, jnp.ones((n,), bool)
+
+    @staticmethod
+    def eval(p, si, wo, ctx, cfg, wavelengths):
+        return zeros_value(si.wi.shape[0], cfg)
+
+    @staticmethod
+    def pdf(p, si, wo, ctx, cfg):
+        return jnp.zeros(si.wi.shape[0], jnp.float32)
+
+
+IMPLS = {
+    BSDF_NULL: Null,
+    BSDF_DIFFUSE: Diffuse,
+    BSDF_CONDUCTOR: Conductor,
+    BSDF_ROUGH_CONDUCTOR: RoughConductor,
+    BSDF_DIELECTRIC: Dielectric,
+}
+
+
+# ---------------------------------------------------------------------------
+# dispatch
+# ---------------------------------------------------------------------------
+
+def _flip_z(v):
+    return v * jnp.asarray([1.0, 1.0, -1.0], jnp.float32)
+
+
+def _effective_si(p, si):
+    """Twosided handling: mirror the local frame for back-facing lanes of
+    twosided materials (reference: src/bsdfs/twosided.cpp)."""
+    flip = jnp.logical_and(p["twosided"], si.wi[..., 2] < 0)
+    import dataclasses as _dc
+
+    wi_eff = jnp.where(flip[..., None], _flip_z(si.wi), si.wi)
+    return _dc.replace(si, wi=wi_eff), flip
+
+
+def sample(mat: MaterialTable, midx, si, u1, u2, ctx, cfg, wavelengths=None):
+    """Dispatching BSDF sample over all present material types.
+
+    Returns (BSDFSample, weight_value, active_mask).
+    """
+    n = si.wi.shape[0]
+    p = mat.gather(midx)
+    si_eff, flip = _effective_si(p, si)
+
+    bs_acc = BSDFSample.zeros(n)
+    val_acc = zeros_value(n, cfg)
+    ok_acc = jnp.zeros((n,), bool)
+
+    for t in mat.present_types:
+        impl = IMPLS.get(t)
+        if impl is None:
+            continue
+        mask = p["mtype"] == t
+        bs, val, ok = impl.sample(p, si_eff, u1, u2, ctx, cfg, wavelengths)
+        bs_acc = BSDFSample(
+            wo=jnp.where(mask[..., None], bs.wo, bs_acc.wo),
+            pdf=jnp.where(mask, bs.pdf, bs_acc.pdf),
+            eta=jnp.where(mask, bs.eta, bs_acc.eta),
+            sampled_type=jnp.where(mask, bs.sampled_type, bs_acc.sampled_type),
+            sampled_component=jnp.where(
+                mask, bs.sampled_component, bs_acc.sampled_component
+            ),
+        )
+        val_acc = where_value(mask, val, val_acc, cfg)
+        ok_acc = jnp.where(mask, ok, ok_acc)
+
+    # un-flip wo for mirrored lanes
+    wo_out = jnp.where(flip[..., None], _flip_z(bs_acc.wo), bs_acc.wo)
+    bs_acc = BSDFSample(
+        wo=wo_out,
+        pdf=bs_acc.pdf,
+        eta=bs_acc.eta,
+        sampled_type=bs_acc.sampled_type,
+        sampled_component=bs_acc.sampled_component,
+    )
+    return bs_acc, val_acc, ok_acc
+
+
+def eval_(mat: MaterialTable, midx, si, wo, ctx, cfg, wavelengths=None):
+    n = si.wi.shape[0]
+    p = mat.gather(midx)
+    si_eff, flip = _effective_si(p, si)
+    wo_eff = jnp.where(flip[..., None], _flip_z(wo), wo)
+
+    val_acc = zeros_value(n, cfg)
+    for t in mat.present_types:
+        impl = IMPLS.get(t)
+        if impl is None:
+            continue
+        mask = p["mtype"] == t
+        val = impl.eval(p, si_eff, wo_eff, ctx, cfg, wavelengths)
+        val_acc = where_value(mask, val, val_acc, cfg)
+    return val_acc
+
+
+def pdf(mat: MaterialTable, midx, si, wo, ctx, cfg):
+    p = mat.gather(midx)
+    si_eff, flip = _effective_si(p, si)
+    wo_eff = jnp.where(flip[..., None], _flip_z(wo), wo)
+
+    pdf_acc = jnp.zeros(si.wi.shape[0], jnp.float32)
+    for t in mat.present_types:
+        impl = IMPLS.get(t)
+        if impl is None:
+            continue
+        mask = p["mtype"] == t
+        pd = impl.pdf(p, si_eff, wo_eff, ctx, cfg)
+        pdf_acc = jnp.where(mask, pd, pdf_acc)
+    return pdf_acc
+
+
+def eval_pdf(mat, midx, si, wo, ctx, cfg, wavelengths=None):
+    return (
+        eval_(mat, midx, si, wo, ctx, cfg, wavelengths),
+        pdf(mat, midx, si, wo, ctx, cfg),
+    )
+
+
+def flags_for(mat: MaterialTable, midx):
+    """Per-lane BSDFFlags."""
+    return mat.flags[midx]

@@ -1,0 +1,200 @@
+"""Mueller/Stokes calculus, batched as [..., 4, 4] / [..., 4] arrays.
+
+Frame conventions follow the reference exactly (independent implementation):
+stokes_basis(forward) = coordinate_system(forward).first; rotations follow
+"Polarized Light" (Collett); specular reflection/transmission use the Verdet
+a_p sign convention. See /root/reference/include/mitsuba/render/mueller.h.
+
+When a spectral channel axis is present it trails: Mueller [..., 4, 4, C].
+All constructors here produce [..., 4, 4]; use `expand` to add the channel
+axis, or multiply by a [..., C] spectrum after `apply`.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core import math as m
+from ..core.frame import coordinate_system, dot, cross, normalize
+from . import fresnel as fr
+
+
+def _mm(rows, batch_shape, dtype=jnp.float32):
+    """Build [..., 4, 4] from 16 broadcastable entries (row-major)."""
+    flat = [jnp.broadcast_to(jnp.asarray(e, dtype), batch_shape) for e in rows]
+    out = jnp.stack(flat, axis=-1)
+    return out.reshape(*batch_shape, 4, 4)
+
+
+def identity(batch_shape=()):
+    return jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (*batch_shape, 4, 4))
+
+
+def depolarizer(value):
+    value = jnp.asarray(value, jnp.float32)
+    out = jnp.zeros((*value.shape, 4, 4), jnp.float32)
+    return out.at[..., 0, 0].set(value)
+
+
+def absorber(value):
+    value = jnp.asarray(value, jnp.float32)
+    return identity(value.shape) * value[..., None, None]
+
+
+def linear_polarizer(value=1.0):
+    value = jnp.asarray(value, jnp.float32)
+    a = value * 0.5
+    z = jnp.zeros_like(a)
+    return _mm([a, a, z, z,
+                a, a, z, z,
+                z, z, z, z,
+                z, z, z, z], a.shape)
+
+
+def linear_retarder(phase):
+    phase = jnp.asarray(phase, jnp.float32)
+    s, c = jnp.sin(phase), jnp.cos(phase)
+    o, z = jnp.ones_like(s), jnp.zeros_like(s)
+    return _mm([o, z, z, z,
+                z, o, z, z,
+                z, z, c, s,
+                z, z, -s, c], s.shape)
+
+
+def right_circular_polarizer(batch_shape=()):
+    M = jnp.array(
+        [[1, 0, 0, 1], [0, 0, 0, 0], [0, 0, 0, 0], [1, 0, 0, 1]], jnp.float32
+    ) * 0.5
+    return jnp.broadcast_to(M, (*batch_shape, 4, 4))
+
+
+def left_circular_polarizer(batch_shape=()):
+    M = jnp.array(
+        [[1, 0, 0, -1], [0, 0, 0, 0], [0, 0, 0, 0], [-1, 0, 0, 1]], jnp.float32
+    ) * 0.5
+    return jnp.broadcast_to(M, (*batch_shape, 4, 4))
+
+
+def diattenuator(x, y):
+    x = jnp.asarray(x, jnp.float32)
+    y = jnp.asarray(y, jnp.float32)
+    a = 0.5 * (x + y)
+    b = 0.5 * (x - y)
+    c = m.safe_sqrt(x * y)
+    z = jnp.zeros_like(a)
+    return _mm([a, b, z, z,
+                b, a, z, z,
+                z, z, c, z,
+                z, z, z, c], a.shape)
+
+
+def rotator(theta):
+    """Counter-clockwise rotation of the Stokes reference frame by theta."""
+    theta = jnp.asarray(theta, jnp.float32)
+    s, c = jnp.sin(2.0 * theta), jnp.cos(2.0 * theta)
+    o, z = jnp.ones_like(s), jnp.zeros_like(s)
+    return _mm([o, z, z, z,
+                z, c, s, z,
+                z, -s, c, z,
+                z, z, z, o], s.shape)
+
+
+def rotated_element(theta, M):
+    R = rotator(theta)
+    Rt = jnp.swapaxes(R, -1, -2)
+    return Rt @ M @ R
+
+
+def specular_reflection_dielectric(cos_theta_i, eta):
+    a_s, a_p, _, _, _ = fr.fresnel_polarized_dielectric(cos_theta_i, eta)
+    return _reflection_mueller(a_s, a_p)
+
+
+def specular_reflection_conductor(cos_theta_i, eta_re, eta_im):
+    a_s, a_p, _, _, _ = fr.fresnel_polarized_conductor(cos_theta_i, eta_re, eta_im)
+    return _reflection_mueller(a_s, a_p)
+
+
+def _reflection_mueller(a_s, a_p):
+    sin_delta, cos_delta = fr.sincos_arg_diff(a_p, a_s)
+    r_s = fr.c_abs2(a_s)
+    r_p = fr.c_abs2(a_p)
+    a = 0.5 * (r_s + r_p)
+    b = 0.5 * (r_s - r_p)
+    c = m.safe_sqrt(r_s * r_p)
+    zero_c = c == 0.0
+    sin_delta = jnp.where(zero_c, 0.0, sin_delta)
+    cos_delta = jnp.where(zero_c, 0.0, cos_delta)
+    z = jnp.zeros_like(a)
+    return _mm([a, b, z, z,
+                b, a, z, z,
+                z, z, c * cos_delta, -c * sin_delta,
+                z, z, c * sin_delta, c * cos_delta], a.shape)
+
+
+def specular_transmission(cos_theta_i, eta):
+    a_s, a_p, cos_theta_t, eta_it, eta_ti = fr.fresnel_polarized_dielectric(
+        cos_theta_i, eta
+    )
+    factor = -eta_it * jnp.where(
+        jnp.abs(cos_theta_i) > 1e-8,
+        cos_theta_t / jnp.where(jnp.abs(cos_theta_i) > 1e-8, cos_theta_i, 1.0),
+        0.0,
+    )
+    a_s_r = 1.0 + a_s[0]
+    a_p_r = (1.0 + a_p[0]) * eta_ti
+    t_s = a_s_r * a_s_r
+    t_p = a_p_r * a_p_r
+    a = 0.5 * factor * (t_s + t_p)
+    b = 0.5 * factor * (t_s - t_p)
+    c = factor * m.safe_sqrt(t_s * t_p)
+    z = jnp.zeros_like(a)
+    return _mm([a, b, z, z,
+                b, a, z, z,
+                z, z, c, z,
+                z, z, z, c], a.shape)
+
+
+# --- Stokes reference frames --------------------------------------------------
+
+def stokes_basis(forward):
+    """Implicit Stokes basis for a propagation direction (first basis vector
+    of coordinate_system — must match the reference convention)."""
+    return coordinate_system(forward)[0]
+
+
+def rotate_stokes_basis(forward, basis_current, basis_target):
+    theta = m.unit_angle(normalize(basis_current), normalize(basis_target))
+    flip = dot(forward, cross(basis_current, basis_target)) < 0
+    theta = jnp.where(flip, -theta, theta)
+    return rotator(theta)
+
+
+def rotate_mueller_basis(
+    M, in_forward, in_basis_current, in_basis_target,
+    out_forward, out_basis_current, out_basis_target,
+):
+    R_in = rotate_stokes_basis(in_forward, in_basis_current, in_basis_target)
+    R_out = rotate_stokes_basis(out_forward, out_basis_current, out_basis_target)
+    return R_out @ M @ jnp.swapaxes(R_in, -1, -2)
+
+
+def rotate_mueller_basis_collinear(M, forward, basis_current, basis_target):
+    R = rotate_stokes_basis(forward, basis_current, basis_target)
+    return R @ M @ jnp.swapaxes(R, -1, -2)
+
+
+# --- helpers for spectrally-valued Mueller stacks ------------------------------
+
+def expand(M, n_channels):
+    """[..., 4, 4] -> [..., 4, 4, C] by broadcast."""
+    return jnp.broadcast_to(M[..., None], (*M.shape, n_channels))
+
+
+def matmul_spectral(A, B):
+    """Multiply two [..., 4, 4, C] Mueller stacks channel-wise."""
+    return jnp.einsum("...ikc,...kjc->...ijc", A, B)
+
+
+def apply_stokes(M, s):
+    """[..., 4, 4, C] x [..., 4, C] -> [..., 4, C]."""
+    return jnp.einsum("...ijc,...jc->...ic", M, s)

@@ -1,0 +1,139 @@
+"""Sensors: perspective / orthographic / thinlens / batch, with optional
+spectral response (srf) hooks.
+
+Functional twin of src/sensors/*.cpp + src/render/sensor.cpp. A sensor is a
+small pytree of parameters; `sample_ray` maps film-plane samples in [0,1]^2
+(plus aperture samples) to world-space rays.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import frame as fr
+
+SENSOR_PERSPECTIVE = 0
+SENSOR_ORTHOGRAPHIC = 1
+SENSOR_THINLENS = 2
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Sensor:
+    stype: Any            # scalar int32
+    to_world: Any         # [4, 4]
+    tan_half_x: Any       # scalar: tan(fov_x/2) (perspective/thinlens)
+    aspect: Any           # scalar: width/height
+    near: Any
+    far: Any
+    aperture_radius: Any  # thinlens
+    focus_distance: Any
+    ortho_scale: Any      # [2] orthographic half-extents
+    ppo: Any              # [2] principal point offset
+
+    resolution: tuple = dataclasses.field(default=(256, 256), metadata=dict(static=True))
+    stype_static: int = dataclasses.field(default=0, metadata=dict(static=True))
+
+    @staticmethod
+    def perspective(to_world, fov_x_deg, width, height, near=1e-2, far=1e4,
+                    ppo=(0.0, 0.0)):
+        return Sensor(
+            stype=jnp.asarray(SENSOR_PERSPECTIVE, jnp.int32),
+            to_world=jnp.asarray(to_world, jnp.float32),
+            tan_half_x=jnp.asarray(np.tan(np.deg2rad(fov_x_deg) / 2), jnp.float32),
+            aspect=jnp.asarray(width / height, jnp.float32),
+            near=jnp.asarray(near, jnp.float32),
+            far=jnp.asarray(far, jnp.float32),
+            aperture_radius=jnp.asarray(0.0, jnp.float32),
+            focus_distance=jnp.asarray(1.0, jnp.float32),
+            ortho_scale=jnp.ones((2,), jnp.float32),
+            ppo=jnp.asarray(ppo, jnp.float32),
+            resolution=(width, height),
+            stype_static=SENSOR_PERSPECTIVE,
+        )
+
+    @staticmethod
+    def orthographic(to_world, width, height, scale_x=1.0, scale_y=None,
+                     near=1e-2, far=1e4):
+        if scale_y is None:
+            scale_y = scale_x * height / width
+        return Sensor(
+            stype=jnp.asarray(SENSOR_ORTHOGRAPHIC, jnp.int32),
+            to_world=jnp.asarray(to_world, jnp.float32),
+            tan_half_x=jnp.asarray(0.0, jnp.float32),
+            aspect=jnp.asarray(width / height, jnp.float32),
+            near=jnp.asarray(near, jnp.float32),
+            far=jnp.asarray(far, jnp.float32),
+            aperture_radius=jnp.asarray(0.0, jnp.float32),
+            focus_distance=jnp.asarray(1.0, jnp.float32),
+            ortho_scale=jnp.asarray([scale_x, scale_y], jnp.float32),
+            ppo=jnp.zeros((2,), jnp.float32),
+            resolution=(width, height),
+            stype_static=SENSOR_ORTHOGRAPHIC,
+        )
+
+    @staticmethod
+    def thinlens(to_world, fov_x_deg, width, height, aperture_radius,
+                 focus_distance, near=1e-2, far=1e4):
+        s = Sensor.perspective(to_world, fov_x_deg, width, height, near, far)
+        return dataclasses.replace(
+            s,
+            stype=jnp.asarray(SENSOR_THINLENS, jnp.int32),
+            aperture_radius=jnp.asarray(aperture_radius, jnp.float32),
+            focus_distance=jnp.asarray(focus_distance, jnp.float32),
+            stype_static=SENSOR_THINLENS,
+        )
+
+    def sample_ray(self, film_uv, aperture_uv=None):
+        """film_uv [N,2] in [0,1]^2 -> (o [N,3], d [N,3]) world-space.
+
+        Convention matches the reference perspective projection chain
+        (transform.py:perspective_projection): u=0 -> +x (camera 'left'),
+        v=0 -> +y (top), camera looks along +z.
+        """
+        u = film_uv[..., 0]
+        v = film_uv[..., 1]
+        R = self.to_world[:3, :3]
+        t = self.to_world[:3, 3]
+
+        if self.stype_static == SENSOR_ORTHOGRAPHIC:
+            x = (1.0 - 2.0 * u) * self.ortho_scale[0]
+            y = (1.0 - 2.0 * v) * self.ortho_scale[1]
+            o_cam = jnp.stack([x, y, jnp.zeros_like(x)], axis=-1)
+            d_cam = jnp.broadcast_to(
+                jnp.asarray([0.0, 0.0, 1.0], jnp.float32), o_cam.shape
+            )
+            o = o_cam @ R.T + t
+            d = d_cam @ R.T
+            return o, fr.normalize(d)
+
+        tx = self.tan_half_x
+        ty = self.tan_half_x / self.aspect
+        x = (1.0 - 2.0 * (u + self.ppo[0])) * tx
+        y = (1.0 - 2.0 * (v + self.ppo[1])) * ty
+        d_cam = jnp.stack([x, y, jnp.ones_like(x)], axis=-1)
+
+        if self.stype_static == SENSOR_THINLENS and aperture_uv is not None:
+            from ..core import warp as _warp
+
+            p_lens = (
+                _warp.square_to_uniform_disk_concentric(aperture_uv)
+                * self.aperture_radius
+            )
+            ft = self.focus_distance  # focal plane at z = focus_distance
+            p_focus = d_cam * (ft / d_cam[..., 2:3])
+            o_cam = jnp.concatenate(
+                [p_lens, jnp.zeros_like(p_lens[..., :1])], axis=-1
+            )
+            d_cam = p_focus - o_cam
+            o = o_cam @ R.T + t
+            d = fr.normalize(d_cam @ R.T)
+            return o, d
+
+        o = jnp.broadcast_to(t, d_cam.shape)
+        d = fr.normalize(d_cam @ R.T)
+        return o, d

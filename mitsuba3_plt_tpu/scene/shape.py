@@ -1,0 +1,329 @@
+"""Host-side geometry: mesh loading (PLY/OBJ), analytic-shape tessellation,
+and flattening into the SoA triangle soup consumed by the device.
+
+All shapes become triangles (reference keeps analytic sphere/disk prims,
+src/shapes/*; we tessellate — wavefront-uniform triangle intersection is the
+TPU-friendly choice. Analytic quadrics can be added as a second prim stream
+later if golden-image parity demands it).
+"""
+from __future__ import annotations
+
+import dataclasses
+import struct
+from typing import Optional
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class HostMesh:
+    vertices: np.ndarray            # [V, 3] f32
+    faces: np.ndarray               # [F, 3] i32
+    normals: Optional[np.ndarray] = None   # [V, 3] f32 (vertex normals)
+    uvs: Optional[np.ndarray] = None       # [V, 2] f32
+    face_normals: bool = False      # force flat shading
+
+    def transformed(self, to_world: np.ndarray) -> "HostMesh":
+        v = self.vertices @ to_world[:3, :3].T + to_world[:3, 3]
+        n = None
+        if self.normals is not None:
+            inv = np.linalg.inv(to_world[:3, :3])
+            n = self.normals @ inv  # inverse transpose: (A^-1)^T applied = n @ A^-1
+            norms = np.linalg.norm(n, axis=-1, keepdims=True)
+            n = n / np.maximum(norms, 1e-20)
+        return HostMesh(
+            vertices=v.astype(np.float32),
+            faces=self.faces,
+            normals=None if n is None else n.astype(np.float32),
+            uvs=self.uvs,
+            face_normals=self.face_normals,
+        )
+
+    def surface_areas(self) -> np.ndarray:
+        p0 = self.vertices[self.faces[:, 0]]
+        p1 = self.vertices[self.faces[:, 1]]
+        p2 = self.vertices[self.faces[:, 2]]
+        return 0.5 * np.linalg.norm(np.cross(p1 - p0, p2 - p0), axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# PLY loader (ascii + binary_little_endian), minimal but covers Mitsuba/Blender
+# exports used by the bundled scenes.
+# ---------------------------------------------------------------------------
+
+_PLY_TYPES = {
+    "char": ("b", 1), "int8": ("b", 1),
+    "uchar": ("B", 1), "uint8": ("B", 1),
+    "short": ("h", 2), "int16": ("h", 2),
+    "ushort": ("H", 2), "uint16": ("H", 2),
+    "int": ("i", 4), "int32": ("i", 4),
+    "uint": ("I", 4), "uint32": ("I", 4),
+    "float": ("f", 4), "float32": ("f", 4),
+    "double": ("d", 8), "float64": ("d", 8),
+}
+
+
+def load_ply(path: str) -> HostMesh:
+    with open(path, "rb") as f:
+        data = f.read()
+
+    # --- header ---
+    end = data.find(b"end_header\n")
+    if end < 0:
+        raise ValueError(f"{path}: no PLY end_header")
+    header = data[:end].decode("ascii", "replace").splitlines()
+    body = data[end + len(b"end_header\n"):]
+
+    fmt = None
+    elements = []  # (name, count, [(prop_type, prop_name) | ('list', idx_t, cnt_t, name)])
+    for line in header:
+        tok = line.strip().split()
+        if not tok:
+            continue
+        if tok[0] == "format":
+            fmt = tok[1]
+        elif tok[0] == "element":
+            elements.append((tok[1], int(tok[2]), []))
+        elif tok[0] == "property":
+            if tok[1] == "list":
+                elements[-1][2].append(("list", tok[2], tok[3], tok[4]))
+            else:
+                elements[-1][2].append((tok[1], tok[2]))
+
+    verts = normals = uvs = None
+    faces = []
+
+    if fmt == "ascii":
+        lines = body.decode("ascii", "replace").split("\n")
+        li = 0
+        for name, count, props in elements:
+            if name == "vertex":
+                rows = np.array(
+                    [lines[li + i].split() for i in range(count)], dtype=np.float64
+                )
+                li += count
+                cols = [p[1] for p in props]
+                verts, normals, uvs = _extract_vertex_data(rows, cols)
+            elif name == "face":
+                for i in range(count):
+                    tok = lines[li + i].split()
+                    k = int(tok[0])
+                    idx = list(map(int, tok[1 : 1 + k]))
+                    for j in range(1, k - 1):
+                        faces.append((idx[0], idx[j], idx[j + 1]))
+                li += count
+            else:
+                li += count
+    else:
+        if fmt != "binary_little_endian":
+            raise ValueError(f"{path}: unsupported PLY format {fmt}")
+        off = 0
+        for name, count, props in elements:
+            if name == "vertex":
+                dt = np.dtype(
+                    [(p[1], "<" + _PLY_TYPES[p[0]][0]) for p in props]
+                )
+                arr = np.frombuffer(body, dtype=dt, count=count, offset=off)
+                off += count * dt.itemsize
+                cols = [p[1] for p in props]
+                rows = np.stack(
+                    [arr[c].astype(np.float64) for c in cols], axis=-1
+                )
+                verts, normals, uvs = _extract_vertex_data(rows, cols)
+            elif name == "face":
+                lp = props[0]
+                cnt_fmt, cnt_sz = _PLY_TYPES[lp[1]]
+                idx_fmt, idx_sz = _PLY_TYPES[lp[2]]
+                # fast path: all faces are triangles (the common export case)
+                tri_stride = cnt_sz + 3 * idx_sz
+                if off + count * tri_stride <= len(body):
+                    dt = np.dtype(
+                        [("k", "<" + cnt_fmt), ("idx", "<" + idx_fmt, (3,))]
+                    )
+                    probe = np.frombuffer(body, dtype=dt, count=count, offset=off)
+                    if (probe["k"] == 3).all():
+                        faces = probe["idx"].astype(np.int32).reshape(-1, 3)
+                        off += count * tri_stride
+                        probe = None
+                    else:
+                        probe = None
+                if isinstance(faces, list):
+                    for _ in range(count):
+                        (k,) = struct.unpack_from("<" + cnt_fmt, body, off)
+                        off += cnt_sz
+                        idx = struct.unpack_from("<" + idx_fmt * k, body, off)
+                        off += idx_sz * k
+                        for j in range(1, k - 1):
+                            faces.append((idx[0], idx[j], idx[j + 1]))
+            else:
+                # skip fixed-size elements
+                fmt_str = "<" + "".join(_PLY_TYPES[p[0]][0] for p in props)
+                off += count * struct.calcsize(fmt_str)
+
+    return HostMesh(
+        vertices=np.asarray(verts, np.float32),
+        faces=np.asarray(faces, np.int32).reshape(-1, 3),
+        normals=None if normals is None else np.asarray(normals, np.float32),
+        uvs=None if uvs is None else np.asarray(uvs, np.float32),
+    )
+
+
+def _extract_vertex_data(rows, cols):
+    def col(name):
+        return rows[:, cols.index(name)] if name in cols else None
+
+    verts = np.stack([col("x"), col("y"), col("z")], -1)
+    normals = None
+    if "nx" in cols:
+        normals = np.stack([col("nx"), col("ny"), col("nz")], -1)
+    uvs = None
+    for uname, vname in (("u", "v"), ("s", "t"), ("texture_u", "texture_v")):
+        if uname in cols:
+            uvs = np.stack([col(uname), col(vname)], -1)
+            break
+    return verts, normals, uvs
+
+
+def load_obj(path: str) -> HostMesh:
+    verts, norms, uvs = [], [], []
+    fv, fn, ft = [], [], []
+    with open(path) as f:
+        for line in f:
+            tok = line.split()
+            if not tok:
+                continue
+            if tok[0] == "v":
+                verts.append(tuple(map(float, tok[1:4])))
+            elif tok[0] == "vn":
+                norms.append(tuple(map(float, tok[1:4])))
+            elif tok[0] == "vt":
+                uvs.append(tuple(map(float, tok[1:3])))
+            elif tok[0] == "f":
+                idx = []
+                for t in tok[1:]:
+                    parts = t.split("/")
+                    vi = int(parts[0])
+                    ti = int(parts[1]) if len(parts) > 1 and parts[1] else 0
+                    ni = int(parts[2]) if len(parts) > 2 and parts[2] else 0
+                    idx.append((vi, ti, ni))
+                for j in range(1, len(idx) - 1):
+                    for vi, ti, ni in (idx[0], idx[j], idx[j + 1]):
+                        fv.append(vi - 1 if vi > 0 else len(verts) + vi)
+                        ft.append(ti - 1 if ti > 0 else -1)
+                        fn.append(ni - 1 if ni > 0 else -1)
+
+    v = np.asarray(verts, np.float32)
+    faces = np.asarray(fv, np.int32).reshape(-1, 3)
+    mesh_normals = None
+    mesh_uvs = None
+    # OBJ may index normals/uvs separately — rebuild per-corner then average
+    if norms and all(n >= 0 for n in fn):
+        ncorner = np.asarray(norms, np.float32)[np.asarray(fn).reshape(-1, 3)]
+        acc = np.zeros_like(v)
+        np.add.at(acc, faces.ravel(), ncorner.reshape(-1, 3))
+        ln = np.linalg.norm(acc, axis=-1, keepdims=True)
+        mesh_normals = acc / np.maximum(ln, 1e-20)
+    if uvs and all(t >= 0 for t in ft):
+        ucorner = np.asarray(uvs, np.float32)[np.asarray(ft).reshape(-1, 3)]
+        mesh_uvs = np.zeros((len(v), 2), np.float32)
+        mesh_uvs[faces.ravel()] = ucorner.reshape(-1, 2)
+    return HostMesh(vertices=v, faces=faces, normals=mesh_normals, uvs=mesh_uvs)
+
+
+# ---------------------------------------------------------------------------
+# analytic-shape tessellation
+# ---------------------------------------------------------------------------
+
+def make_rectangle() -> HostMesh:
+    """Unit rectangle on the xy-plane, z=0, spanning [-1,1]^2 (Mitsuba's)."""
+    v = np.array(
+        [[-1, -1, 0], [1, -1, 0], [1, 1, 0], [-1, 1, 0]], np.float32
+    )
+    f = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    n = np.tile(np.array([[0, 0, 1]], np.float32), (4, 1))
+    uv = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+    return HostMesh(vertices=v, faces=f, normals=n, uvs=uv)
+
+
+def make_cube() -> HostMesh:
+    """Mitsuba cube: [-1,1]^3."""
+    corners = np.array(
+        [
+            [-1, -1, -1], [1, -1, -1], [1, 1, -1], [-1, 1, -1],
+            [-1, -1, 1], [1, -1, 1], [1, 1, 1], [-1, 1, 1],
+        ],
+        np.float32,
+    )
+    quads = [
+        (0, 3, 2, 1), (4, 5, 6, 7), (0, 1, 5, 4),
+        (2, 3, 7, 6), (1, 2, 6, 5), (0, 4, 7, 3),
+    ]
+    verts, faces = [], []
+    for q in quads:
+        b = len(verts)
+        for i in q:
+            verts.append(corners[i])
+        faces += [[b, b + 1, b + 2], [b, b + 2, b + 3]]
+    return HostMesh(
+        vertices=np.asarray(verts, np.float32),
+        faces=np.asarray(faces, np.int32),
+        face_normals=True,
+    )
+
+
+def make_sphere(subdiv: int = 4) -> HostMesh:
+    """Unit icosphere (smooth normals = exact sphere normals at vertices)."""
+    t = (1.0 + np.sqrt(5.0)) / 2.0
+    v = np.array(
+        [
+            [-1, t, 0], [1, t, 0], [-1, -t, 0], [1, -t, 0],
+            [0, -1, t], [0, 1, t], [0, -1, -t], [0, 1, -t],
+            [t, 0, -1], [t, 0, 1], [-t, 0, -1], [-t, 0, 1],
+        ],
+        np.float64,
+    )
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    f = np.array(
+        [
+            [0, 11, 5], [0, 5, 1], [0, 1, 7], [0, 7, 10], [0, 10, 11],
+            [1, 5, 9], [5, 11, 4], [11, 10, 2], [10, 7, 6], [7, 1, 8],
+            [3, 9, 4], [3, 4, 2], [3, 2, 6], [3, 6, 8], [3, 8, 9],
+            [4, 9, 5], [2, 4, 11], [6, 2, 10], [8, 6, 7], [9, 8, 1],
+        ],
+        np.int64,
+    )
+    for _ in range(subdiv):
+        edge_mid = {}
+        verts = list(map(tuple, v))
+
+        def midpoint(a, b):
+            key = (min(a, b), max(a, b))
+            if key not in edge_mid:
+                mid = (np.asarray(verts[a]) + np.asarray(verts[b])) / 2
+                mid = mid / np.linalg.norm(mid)
+                verts.append(tuple(mid))
+                edge_mid[key] = len(verts) - 1
+            return edge_mid[key]
+
+        nf = []
+        for a, b, c in f:
+            ab, bc, ca = midpoint(a, b), midpoint(b, c), midpoint(c, a)
+            nf += [[a, ab, ca], [b, bc, ab], [c, ca, bc], [ab, bc, ca]]
+        v = np.asarray(verts)
+        f = np.asarray(nf, np.int64)
+
+    v = v.astype(np.float32)
+    return HostMesh(
+        vertices=v, faces=f.astype(np.int32), normals=v.copy()
+    )
+
+
+def make_disk(segments: int = 64) -> HostMesh:
+    ang = np.linspace(0, 2 * np.pi, segments, endpoint=False)
+    rim = np.stack([np.cos(ang), np.sin(ang), np.zeros_like(ang)], -1)
+    v = np.concatenate([[[0.0, 0.0, 0.0]], rim]).astype(np.float32)
+    f = np.array(
+        [[0, 1 + i, 1 + ((i + 1) % segments)] for i in range(segments)], np.int32
+    )
+    n = np.tile(np.array([[0, 0, 1]], np.float32), (len(v), 1))
+    return HostMesh(vertices=v, faces=f, normals=n)

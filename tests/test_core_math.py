@@ -1,0 +1,105 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+from scipy import special
+
+from mitsuba3_plt_tpu.core import math as m
+from mitsuba3_plt_tpu.core import frame as fr
+from mitsuba3_plt_tpu.core import warp
+from mitsuba3_plt_tpu.core import rng as rng_mod
+from mitsuba3_plt_tpu.core import distr
+
+
+def test_bessel_j_vs_scipy():
+    x = np.linspace(-80.0, 80.0, 321).astype(np.float32)
+    for nu in [-3, -1, 0, 1, 2, 4, 8]:
+        ours = np.asarray(m.bessel_j(x, nu))
+        ref = special.jv(nu, x)
+        assert np.max(np.abs(ours - ref)) < 2e-3, f"nu={nu}"
+
+
+def test_simpson():
+    val = m.integrate_simpson(lambda t: jnp.sin(t), 0.0, np.pi, 20)
+    assert abs(float(val) - 2.0) < 1e-5
+
+
+def test_coordinate_system_orthonormal(rng):
+    n = rng.normal(size=(256, 3)).astype(np.float32)
+    n /= np.linalg.norm(n, axis=-1, keepdims=True)
+    s, t = fr.coordinate_system(jnp.asarray(n))
+    s, t = np.asarray(s), np.asarray(t)
+    assert np.abs((s * n).sum(-1)).max() < 1e-5
+    assert np.abs((t * n).sum(-1)).max() < 1e-5
+    assert np.abs((s * t).sum(-1)).max() < 1e-5
+    assert np.abs(np.linalg.norm(s, axis=-1) - 1).max() < 1e-5
+    # right-handedness: s x t == n
+    assert np.abs(np.cross(s, t) - n).max() < 1e-5
+
+
+def test_unit_angle(rng):
+    a = rng.normal(size=(128, 3))
+    b = rng.normal(size=(128, 3))
+    a /= np.linalg.norm(a, axis=-1, keepdims=True)
+    b /= np.linalg.norm(b, axis=-1, keepdims=True)
+    ours = np.asarray(m.unit_angle(jnp.asarray(a, jnp.float32), jnp.asarray(b, jnp.float32)))
+    ref = np.arccos(np.clip((a * b).sum(-1), -1, 1))
+    assert np.abs(ours - ref).max() < 1e-3
+
+
+@pytest.mark.parametrize(
+    "warp_fn,pdf_fn",
+    [
+        (warp.square_to_cosine_hemisphere, warp.square_to_cosine_hemisphere_pdf),
+        (warp.square_to_uniform_sphere, warp.square_to_uniform_sphere_pdf),
+        (warp.square_to_uniform_hemisphere, warp.square_to_uniform_hemisphere_pdf),
+    ],
+)
+def test_warp_pdf_integrates_to_one(warp_fn, pdf_fn, rng):
+    # MC check: E[1/pdf] over samples == domain measure is implied by
+    # histogram comparison; here check pdf integral over the sphere via
+    # uniform directions.
+    d = rng.normal(size=(200_000, 3))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    pdf = np.asarray(pdf_fn(jnp.asarray(d, jnp.float32)))
+    integral = pdf.mean() * 4.0 * np.pi
+    assert abs(integral - 1.0) < 0.02
+
+
+def test_warp_sample_pdf_consistency(rng):
+    # chi2-lite: histogram of samples matches pdf-weighted measure
+    u = rng.random(size=(400_000, 2)).astype(np.float32)
+    v = np.asarray(warp.square_to_cosine_hemisphere(jnp.asarray(u)))
+    cos_mean = v[..., 2].mean()
+    assert abs(cos_mean - 2.0 / 3.0) < 5e-3  # E[cos] under cos/pi on hemisphere
+
+
+def test_rng_uniform_stats():
+    s = rng_mod.Sampler.create(42, 1 << 16)
+    x = np.asarray(s.next_1d(3))
+    assert 0.0 <= x.min() and x.max() < 1.0
+    assert abs(x.mean() - 0.5) < 5e-3
+    assert abs(x.var() - 1.0 / 12.0) < 2e-3
+    # decorrelation between dims and lanes
+    y = np.asarray(s.next_1d(4))
+    assert abs(np.corrcoef(x, y)[0, 1]) < 0.02
+
+
+def test_discrete_distribution():
+    d = distr.DiscreteDistribution.create(jnp.asarray([1.0, 2.0, 3.0]))
+    u = jnp.linspace(0.0, 0.999, 6000)
+    idx = np.asarray(d.sample(u))
+    frac = np.bincount(idx, minlength=3) / len(idx)
+    assert np.abs(frac - np.array([1, 2, 3]) / 6.0).max() < 0.01
+
+
+def test_continuous_distribution():
+    # linear ramp density on [0, 1]
+    k = 64
+    v = np.linspace(0.0, 1.0, k).astype(np.float32)
+    d = distr.ContinuousDistribution.create([0.0, 1.0], v)
+    u = jnp.linspace(1e-4, 1 - 1e-4, 20000)
+    x = np.asarray(d.sample(u))
+    # cdf of ramp is x^2 -> samples should be sqrt(u)
+    assert np.abs(x - np.sqrt(np.asarray(u))).max() < 5e-3
+    pdf = np.asarray(d.pdf_normalized(jnp.asarray([0.5])))
+    assert abs(pdf[0] - 1.0) < 0.05  # normalized ramp density at 0.5 is 2*0.5
