@@ -149,28 +149,37 @@ def bessel_jn(x, n_max: int, M: int = _BESSEL_M):
     x_safe = jnp.maximum(x_abs, 1e-6)
     inv_x = 1.0 / x_safe
 
-    jp1 = jnp.zeros_like(x_safe)           # J_{k+1}
-    jk = jnp.full_like(x_safe, 1e-30)      # J_k  (arbitrary scale)
-    norm = jnp.zeros_like(x_safe)          # accumulates J0 + 2*sum J_{2k}
-    outs = [jnp.zeros_like(x_safe) for _ in range(n_max + 1)]
+    order_idx = jnp.arange(n_max + 1, dtype=jnp.int32)  # static small axis
 
-    for k in range(M, 0, -1):
+    def body(i, carry):
+        jp1, jk, norm, outs = carry
+        k = (M - i).astype(jnp.float32)  # i = 0..M-1  ->  k = M..1
         jm1 = (2.0 * k) * inv_x * jk - jp1
         jp1, jk = jk, jm1
         # prevent f32 overflow of the unnormalized recurrence
-        big = jnp.abs(jk) > 1e18
-        scale = jnp.where(big, 1e-18, 1.0)
+        scale = jnp.where(jnp.abs(jk) > 1e18, 1e-18, 1.0)
         jp1 = jp1 * scale
         jk = jk * scale
         norm = norm * scale
-        outs = [o * scale for o in outs]
-        kk = k - 1  # jk now holds (unnormalized) J_{k-1}
-        if kk <= n_max:
-            outs[kk] = jk
-        if kk % 2 == 0:
-            norm = norm + (jk if kk == 0 else 2.0 * jk)
+        outs = outs * scale[..., None]
+        kk = (M - i - 1).astype(jnp.int32)  # jk now holds (unnormalized) J_{kk}
+        outs = jnp.where(order_idx == kk, jk[..., None], outs)
+        even = (kk % 2) == 0
+        contrib = jnp.where(kk == 0, jk, 2.0 * jk)
+        norm = norm + jnp.where(even, contrib, 0.0)
+        return jp1, jk, norm, outs
 
-    res = jnp.stack(outs, axis=-1) / jnp.maximum(jnp.abs(norm), 1e-30)[..., None]
+    init = (
+        jnp.zeros_like(x_safe),                      # J_{k+1}
+        jnp.full_like(x_safe, 1e-30),                # J_k (arbitrary scale)
+        jnp.zeros_like(x_safe),                      # norm: J0 + 2*sum J_{2k}
+        jnp.zeros((*x_safe.shape, n_max + 1), jnp.float32),
+    )
+    _, _, norm, outs = jax.lax.fori_loop(
+        0, M, body, init, unroll=4
+    )
+
+    res = outs / jnp.maximum(jnp.abs(norm), 1e-30)[..., None]
     res = res * jnp.sign(norm)[..., None]
     # exact values at x == 0
     at_zero = (x_abs < 1e-6)[..., None]

@@ -85,6 +85,10 @@ class Sampler:
             seed=hash_combine(self.seed, jnp.asarray(salt, U32)), lane=self.lane
         )
 
+    # traced-salt variant (same computation; separate name documents that the
+    # salt may be a tracer, e.g. the pass index inside a jitted pass loop)
+    fork_traced = fork
+
 
 # Fixed dimension-allocation map for the path/PLT integrators. Each bounce gets
 # a static stride of dimensions so sample/replay phases agree by construction.

@@ -45,7 +45,8 @@ def smith_g1(v, mu, alpha_u, alpha_v, mtype: int):
         a = m.safe_rsqrt(tan_theta_alpha_2)
         a2 = a * a
         approx = (3.535 * a + 2.181 * a2) / (1.0 + 2.276 * a + 2.577 * a2)
-        g = jnp.where(a >= 1.6, 1.0, approx)
+        # the rational fit slightly overshoots 1 near a=1.6; clamp
+        g = jnp.minimum(jnp.where(a >= 1.6, 1.0, approx), 1.0)
     else:
         g = 2.0 / (1.0 + jnp.sqrt(1.0 + tan_theta_alpha_2))
 

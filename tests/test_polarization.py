@@ -82,16 +82,14 @@ def test_rotate_stokes_basis_roundtrip():
 
 
 def test_specular_transmission_energy():
-    # At normal incidence transmission factor: 1 - F, adjusted for radiance
-    # compression eta^2: M00 = (1-F) * (1/eta_it)^2 * eta_it^... — check
-    # against the scalar formula T = 1 - F directly in power terms:
+    # At normal incidence the Mueller M00 of specular transmission equals the
+    # power transmittance 1 - F: amplitudes t_s = 1 + r_s = 0.8,
+    # t_p = (1 + r_p) * eta_ti = 0.8, factor = eta_it * |cos_t/cos_i| = 1.5,
+    # M00 = 0.5 * 1.5 * (0.64 + 0.64) = 0.96 = 1 - F.  (Solid-angle
+    # compression 1/eta^2 is applied separately by the BSDF, as in the
+    # reference mueller.h:238 convention.)
     eta = 1.5
     M = mueller.specular_transmission(jnp.asarray(1.0), eta)
     F, _, _, _ = fresnel.fresnel_dielectric(jnp.asarray(1.0), eta)
-    # factor -eta_it * cos_t/cos_i = eta * 1 -> M00 = eta * t^2 ... verify
-    # energy: radiance scaling for transmission is (1-F)/eta^2 * eta^3=... use
-    # the simpler invariant: M00 > 0 and matches 1-F within the radiance
-    # convention factor eta_it:
     assert float(M[0, 0]) > 0
-    t_power = float(M[0, 0]) / eta  # remove the radiance conversion factor
-    assert abs(t_power - (1.0 - float(F))) < 1e-5
+    assert abs(float(M[0, 0]) - (1.0 - float(F))) < 1e-5
