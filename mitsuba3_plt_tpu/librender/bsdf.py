@@ -169,10 +169,35 @@ class MaterialTable:
         )
 
     def gather(self, midx) -> Dict[str, Any]:
-        """Per-lane parameter dict for material indices midx [N]."""
-        out = {}
+        """Per-lane parameter dict for material indices midx [N].
+
+        All fields are packed into one [M, D] f32 matrix and fetched with a
+        SINGLE gather (in-loop gathers cost ~2 ms per 256k lanes on TPU; one
+        packed row fetch replaces ~20 separate ones). Integer fields are
+        exact in f32 (all values < 2^24)."""
+        parts = []
+        names = []
+        widths = []
+        dtypes = []
         for f in dataclasses.fields(self):
             if f.metadata.get("static"):
                 continue
-            out[f.name] = getattr(self, f.name)[midx]
+            arr = getattr(self, f.name)
+            a2 = arr[:, None] if arr.ndim == 1 else arr
+            parts.append(a2.astype(jnp.float32))
+            names.append(f.name)
+            widths.append(a2.shape[1])
+            dtypes.append((arr.dtype, arr.ndim))
+        packed = jnp.concatenate(parts, axis=-1)  # [M, D]
+        rows = packed[midx]  # [N, D] — the single gather
+        out = {}
+        off = 0
+        for name, w, (dt, nd) in zip(names, widths, dtypes):
+            sl = rows[..., off : off + w]
+            if nd == 1:
+                sl = sl[..., 0]
+            if jnp.issubdtype(dt, jnp.integer) or dt == jnp.bool_:
+                sl = sl.astype(dt)
+            out[name] = sl
+            off += w
         return out

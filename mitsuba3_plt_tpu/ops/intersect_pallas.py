@@ -1,0 +1,292 @@
+"""Pallas TPU ray-triangle intersection kernel.
+
+The hot op of the whole renderer (SURVEY §3: every bounce calls
+scene.ray_intersect). This kernel replaces the XLA chunked brute-force path
+for small/medium scenes: rays are tiled [SUB, 128] into VMEM-perfect VPU
+tiles, the triangle soup stays resident in VMEM, and the kernel loops over
+triangles broadcasting 9 scalars per step — all temporaries live in vector
+registers, so HBM traffic is exactly one read of the rays + one write of the
+hits (the XLA version materializes [N, chunk, 3] cross-product temporaries).
+
+Layout contract (set up by scene.build_geometry):
+  tri_isect [T_pad, 16] f32 — rows (p0.xyz, e1.xyz, e2.xyz, pad...) with
+  degenerate padding rows; ray fields arrive as flat [N_pad] arrays reshaped
+  to [N_pad/128, 128].
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+SUB = 64          # sublane rows per block
+LANES = 128       # TPU lane width
+BLOCK = SUB * LANES  # rays per grid step (8192)
+
+
+def _kernel(tri_ref, ox, oy, oz, dx, dy, dz, mt,
+            t_out, p_out, u_out, v_out, *, n_tris: int):
+    t_best = mt[...]
+    prim = jnp.full((SUB, LANES), -1.0, jnp.float32)
+    u_best = jnp.zeros((SUB, LANES), jnp.float32)
+    v_best = jnp.zeros((SUB, LANES), jnp.float32)
+
+    o_x, o_y, o_z = ox[...], oy[...], oz[...]
+    d_x, d_y, d_z = dx[...], dy[...], dz[...]
+
+    def body(ti, carry):
+        t_best, prim, u_best, v_best = carry
+        tr = tri_ref[ti]
+        p0x, p0y, p0z = tr[0], tr[1], tr[2]
+        e1x, e1y, e1z = tr[3], tr[4], tr[5]
+        e2x, e2y, e2z = tr[6], tr[7], tr[8]
+
+        # pvec = d x e2
+        pvx = d_y * e2z - d_z * e2y
+        pvy = d_z * e2x - d_x * e2z
+        pvz = d_x * e2y - d_y * e2x
+        det = e1x * pvx + e1y * pvy + e1z * pvz
+        ok = jnp.abs(det) > 1e-12
+        inv_det = jnp.where(ok, 1.0, 0.0) / jnp.where(ok, det, 1.0)
+        # tvec = o - p0
+        tvx = o_x - p0x
+        tvy = o_y - p0y
+        tvz = o_z - p0z
+        u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+        # qvec = tvec x e1
+        qvx = tvy * e1z - tvz * e1y
+        qvy = tvz * e1x - tvx * e1z
+        qvz = tvx * e1y - tvy * e1x
+        v = (d_x * qvx + d_y * qvy + d_z * qvz) * inv_det
+        t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+        hit = ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t > 0.0) & (
+            t < t_best
+        )
+        t_best = jnp.where(hit, t, t_best)
+        prim = jnp.where(hit, jnp.float32(ti), prim)
+        u_best = jnp.where(hit, u, u_best)
+        v_best = jnp.where(hit, v, v_best)
+        return t_best, prim, u_best, v_best
+
+    t_best, prim, u_best, v_best = jax.lax.fori_loop(
+        0, n_tris, body, (t_best, prim, u_best, v_best)
+    )
+    t_out[...] = t_best
+    p_out[...] = prim
+    u_out[...] = u_best
+    v_out[...] = v_best
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pallas_intersect(tri_isect, o, d, maxt, interpret: bool = False):
+    """Closest-hit over the packed triangle soup.
+
+    tri_isect: [T_pad, 16] (p0, e1, e2, pad); o, d: [N, 3]; maxt: [N].
+    Returns (t [N], prim [N] i32 (-1 = miss), u [N], v [N]).
+    """
+    n = o.shape[0]
+    n_tris = tri_isect.shape[0]
+    pad = (-n) % BLOCK
+    npad = n + pad
+
+    def prep(x):
+        x = jnp.pad(x, (0, pad))
+        return x.reshape(npad // LANES, LANES)
+
+    args = [
+        prep(o[:, 0]), prep(o[:, 1]), prep(o[:, 2]),
+        prep(d[:, 0]), prep(d[:, 1]), prep(d[:, 2]),
+        prep(jnp.where(jnp.isfinite(maxt), maxt, jnp.float32(3.4e38))),
+    ]
+
+    grid = (npad // BLOCK,)
+    ray_spec = pl.BlockSpec((SUB, LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((SUB, LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    tri_spec = pl.BlockSpec(memory_space=pltpu.VMEM)  # whole table, resident
+
+    outs = pl.pallas_call(
+        functools.partial(_kernel, n_tris=n_tris),
+        grid=grid,
+        in_specs=[tri_spec] + [ray_spec] * 7,
+        out_specs=[out_spec] * 4,
+        out_shape=[jax.ShapeDtypeStruct((npad // LANES, LANES), jnp.float32)] * 4,
+        interpret=interpret,
+    )(tri_isect, *args)
+
+    t, p, u, v = [x.reshape(npad)[:n] for x in outs]
+    prim = p.astype(jnp.int32)
+    hit = prim >= 0
+    return jnp.where(hit, t, jnp.inf), prim, u, v
+
+
+def pallas_occluded(tri_isect, o, d, maxt, interpret: bool = False):
+    """Any-hit via the closest-hit kernel (prim >= 0 within maxt)."""
+    t, prim, _, _ = pallas_intersect(tri_isect, o, d, maxt, interpret=interpret)
+    return prim >= 0
+
+
+# ---------------------------------------------------------------------------
+# MXU formulation
+#
+# Moller-Trumbore's four quantities are affine in ray features:
+#   det   = -d . n2                      (n2 = e1 x e2)
+#   u*det =  d^T [e2]x o  -  d . (e2 x p0)
+#   v*det = -d^T [e1]x o  +  d . (e1 x p0)
+#   t*det =  o . n2       -  p0 . n2
+# so with phi(ray) = [d(3), o(3), vec(d o^T)(9), 1] (16 features) the whole
+# triangle soup is tested by ONE f32 matmul phi [B,16] @ W [16,4T] on the
+# MXU; the VPU only does the sign logic and the running-min reduction.
+# ---------------------------------------------------------------------------
+
+MXU_B = 512  # rays per grid step for the MXU kernel
+
+
+def pack_tri_mxu(p0, e1, e2):
+    """Host-side: build W [16, 4T] columns grouped [det | u' | v' | t']."""
+    import numpy as np
+
+    p0 = np.asarray(p0, np.float64)
+    e1 = np.asarray(e1, np.float64)
+    e2 = np.asarray(e2, np.float64)
+    T = p0.shape[0]
+    n2 = np.cross(e1, e2)
+
+    def cross_mat(v):
+        z = np.zeros(T)
+        return np.stack(
+            [
+                np.stack([z, -v[:, 2], v[:, 1]], -1),
+                np.stack([v[:, 2], z, -v[:, 0]], -1),
+                np.stack([-v[:, 1], v[:, 0], z], -1),
+            ],
+            -2,
+        )  # [T, 3, 3] with M @ o = v x o
+
+    E2 = cross_mat(e2)
+    E1 = cross_mat(e1)
+
+    W = np.zeros((T, 4, 16), np.float64)
+    # det column: phi_d . (-n2)
+    W[:, 0, 0:3] = -n2
+    # u' column: d.(E2 o) - d.(e2 x p0)
+    W[:, 1, 0:3] = -np.cross(e2, p0)
+    W[:, 1, 6:15] = E2.reshape(T, 9)  # d_i o_k coeff = E2[i, k]
+    # v' column: -d.(E1 o) + d.(e1 x p0)
+    W[:, 2, 0:3] = np.cross(e1, p0)
+    W[:, 2, 6:15] = -E1.reshape(T, 9)
+    # t' column: o.n2 - p0.n2
+    W[:, 3, 3:6] = n2
+    W[:, 3, 15] = -np.einsum("ij,ij->i", p0, n2)
+
+    # group columns [det(T), u'(T), v'(T), t'(T)]
+    Wg = np.concatenate([W[:, 0], W[:, 1], W[:, 2], W[:, 3]], axis=0)  # [4T, 16]
+    return np.ascontiguousarray(Wg.T.astype(np.float32))  # [16, 4T]
+
+
+def _mxu_kernel(w_ref, fiota_ref, phi_ref, mt_ref, out_ref, *, t_pad: int):
+    T = t_pad
+    t_max = mt_ref[...]  # [B, 1]
+
+    U = jnp.dot(phi_ref[...], w_ref[...],
+                preferred_element_type=jnp.float32)  # [B, 4T]
+    det = U[:, 0:T]
+    up = U[:, T:2 * T]
+    vp = U[:, 2 * T:3 * T]
+    tp = U[:, 3 * T:4 * T]
+
+    ok = jnp.abs(det) > 1e-12
+    sd = jnp.where(det >= 0.0, 1.0, -1.0)
+    adet = jnp.abs(det)
+    us = up * sd
+    vs = vp * sd
+    ts = tp * sd
+    inv = jnp.where(ok, 1.0, 0.0) / jnp.where(ok, adet, 1.0)
+    t = ts * inv
+    hit = (
+        ok & (us >= 0.0) & (vs >= 0.0) & (us + vs <= adet)
+        & (ts > 0.0) & (t < t_max)
+    )
+    t_h = jnp.where(hit, t, jnp.float32(3.4e38))
+    t_best = jnp.min(t_h, axis=-1, keepdims=True)          # [B, 1]
+    best = jnp.argmin(t_h, axis=-1, keepdims=True)         # [B, 1]
+    found = t_best < t_max
+    onehot = jax.lax.broadcasted_iota(jnp.int32, t_h.shape, 1) == best
+    u_best = jnp.sum(jnp.where(onehot, us * inv, 0.0), axis=-1, keepdims=True)
+    v_best = jnp.sum(jnp.where(onehot, vs * inv, 0.0), axis=-1, keepdims=True)
+    # float prim index via host-provided index row (Mosaic rejects both
+    # vector sitofp and float iota inside the kernel)
+    best_f = jnp.sum(
+        jnp.where(onehot, fiota_ref[...], 0.0), axis=-1, keepdims=True
+    )
+
+    out_ref[...] = jnp.concatenate(
+        [
+            jnp.where(found, t_best, t_max),
+            jnp.where(found, best_f, -1.0),
+            u_best,
+            v_best,
+        ],
+        axis=1,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pallas_intersect_mxu(tri_mxu, o, d, maxt, interpret: bool = False):
+    """Closest-hit via the MXU matmul formulation.
+
+    tri_mxu: [16, 4*T_pad] from pack_tri_mxu (T_pad a multiple of 128;
+    padding columns are all-zero -> det = 0 -> never hit).
+    """
+    n = o.shape[0]
+    four_t = tri_mxu.shape[1]
+    t_pad = four_t // 4
+    pad = (-n) % MXU_B
+    npad = n + pad
+
+    def prep(x):
+        return jnp.pad(x, (0, pad))
+
+    ox, oy, oz = prep(o[:, 0]), prep(o[:, 1]), prep(o[:, 2])
+    dx, dy, dz = prep(d[:, 0]), prep(d[:, 1]), prep(d[:, 2])
+    # ray feature matrix (XLA fuses this elementwise prologue)
+    phi = jnp.stack(
+        [
+            dx, dy, dz, ox, oy, oz,
+            dx * ox, dx * oy, dx * oz,
+            dy * ox, dy * oy, dy * oz,
+            dz * ox, dz * oy, dz * oz,
+            jnp.ones((npad,), jnp.float32),
+        ],
+        axis=-1,
+    )  # [npad, 16]
+    mt = prep(jnp.where(jnp.isfinite(maxt), maxt, jnp.float32(3.4e38)))[:, None]
+
+    fiota = jnp.arange(t_pad, dtype=jnp.float32)[None, :]  # [1, T]
+
+    outs = pl.pallas_call(
+        functools.partial(_mxu_kernel, t_pad=t_pad),
+        grid=(npad // MXU_B,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((MXU_B, 16), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((MXU_B, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((MXU_B, 4), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((npad, 4), jnp.float32),
+        interpret=interpret,
+    )(tri_mxu, fiota, phi, mt)
+
+    t = outs[:n, 0]
+    prim = outs[:n, 1].astype(jnp.int32)
+    u = outs[:n, 2]
+    v = outs[:n, 3]
+    return jnp.where(prim >= 0, t, jnp.inf), prim, u, v

@@ -1,0 +1,419 @@
+"""Wave-BSDF API: the PLT extension of the BSDF interface.
+
+Functional twin of the reference's wbsdf_* virtual methods
+(include/mitsuba/render/bsdf.h:378-620, defaults src/render/bsdf.cpp:22-127)
+as masked dispatch over the material table:
+
+  wbsdf_sample(...) -> (PLTSamplePhaseData, weight, ok)
+  wbsdf_eval / wbsdf_pdf / wbsdf_weight
+
+Per-type behavior mirrored from the reference:
+  * default           : classic sample/eval/pdf; weight = eval/pdf
+  * diffuse           : weight = albedo (src/bsdfs/diffuse.cpp:182-200)
+  * conductor         : weight = Mueller/scalar specular Fresnel
+                        (src/bsdfs/conductor.cpp:320-380)
+  * roughgrating      : wave path — microfacet normal + diffraction-lobe
+                        sampling (src/bsdfs/roughgrating.cpp:414-595), lobe
+                        sum with angular-coherence falloff in eval
+                        (roughgrating.cpp:676-970), far-field alpha as pdf
+                        (roughgrating.cpp:1009-1034)
+
+TPU-native design notes: the eval lobe sum is a fully vectorized
+[lanes x lobes^2 x channels] broadcast with a single Bessel sweep per
+(lane, channel); no per-order special-function calls.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..config import RenderConfig
+from ..core import frame as fr
+from ..core import math as m
+from ..core import spectrum as spec
+from ..librender import bsdfs
+from ..librender import fresnel as fres
+from ..librender import microfacet as mf
+from ..librender import mueller as mu
+from ..librender.bsdf import (
+    BSDFContext,
+    BSDFFlags,
+    MaterialTable,
+    TransportMode,
+    BSDF_DIFFUSE,
+    BSDF_CONDUCTOR,
+    BSDF_DIELECTRIC,
+    BSDF_ROUGH_GRATING,
+)
+from ..librender.records import BSDFSample
+from . import grating as gr
+from .coherence import Coherence, GeneralizedRadiance
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PLTSamplePhaseData:
+    """Extra sample-phase payload (reference include/mitsuba/plt/sample_solve.h:10-54)."""
+
+    bs: BSDFSample
+    lobe: Any                   # [N, 2] int32 sampled diffraction lobe
+    internal_frame: Any         # [N, 3] microfacet-perturbed frame dir
+    coherence: Coherence
+    sampling_wavelengths: Any   # [N, C] nm
+
+    @staticmethod
+    def zeros(n, n_channels):
+        return PLTSamplePhaseData(
+            bs=BSDFSample.zeros(n),
+            lobe=jnp.zeros((n, 2), jnp.int32),
+            internal_frame=jnp.zeros((n, 3), jnp.float32),
+            coherence=Coherence.isotropic(
+                jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.float32)
+            ),
+            sampling_wavelengths=jnp.zeros((n, n_channels), jnp.float32),
+        )
+
+
+def sample_plt_wavelengths(u, n_channels):
+    """Sampling wavelengths in [CIE_MIN, CIE_MAX-150] nm.
+
+    u: [N, C] uniforms. The reference intends lam = u * (830-150-360) + 360
+    (roughgrating.cpp:504-505; the Python fork's plt.py:65-66 drops the
+    offset — we implement the documented C++ intent)."""
+    return u * (spec.CIE_MAX - 150.0 - spec.CIE_MIN) + spec.CIE_MIN
+
+
+def _gather_grating(p):
+    """Per-lane Grating from gathered material params (uv supplied by caller)."""
+    return p
+
+
+def _make_grating(p, uv):
+    n = p["grt_height"].shape[0]
+    return gr.Grating.create(
+        grating_angle=jnp.zeros((n,), jnp.float32),
+        inv_period=p["grt_inv_period"],
+        q=p["grt_height"],
+        lobes=p["grt_lobes"],
+        gtype=p["grt_type"],
+        multiplier=p["grt_multiplier"],
+        uv=uv,
+    )
+
+
+# ---------------------------------------------------------------------------
+# roughgrating wave path
+# ---------------------------------------------------------------------------
+
+class RoughGratingW:
+    """Wave path of the flagship PLT material (roughgrating.cpp)."""
+
+    # classic path behaves as a rough conductor (roughgrating.cpp:322-412)
+    classic = bsdfs.RoughConductor
+
+    @staticmethod
+    def wbsdf_sample(p, si, u1, u2, lobe_u2, ctx, cfg, sampling_wl):
+        """roughgrating.cpp:449-595: sample microfacet normal, then a
+        diffraction lobe around it; weight = F * G1 * lobe_intensity."""
+        n = si.wi.shape[0]
+        cos_i = fr.cos_theta(si.wi)
+        active = cos_i > 0
+
+        au = p["alpha"][..., 0]
+        av = p["alpha"][..., 1]
+        wi_up = jnp.where((cos_i < 0)[..., None], -si.wi, si.wi)
+        mvec, mpdf = mf.sample_vndf_ggx(wi_up, u2, au, av)
+        reflection_dir = fr.reflect_n(si.wi, mvec)
+
+        # hero wavelength for lobe selection (nm -> um)
+        wl_nm = sampling_wl[..., 0]
+        wl_um = wl_nm * 1e-3
+
+        g = _make_grating(p, si.uv)
+        # local frame aligned with the microfacet normal
+        ms, mt = mu.coordinate_system(mvec)
+        wi_m = jnp.stack(
+            [fr.dot(si.wi, ms), fr.dot(si.wi, mt), fr.dot(si.wi, mvec)], axis=-1
+        )
+        half = gr.MAX_LOBES // 2
+        lobe, pdf_xy = gr.sample_lobe(g, lobe_u2, wi_m, wl_um, half)
+        intensity = gr.lobe_intensity_xy(g, lobe, wi_m, wl_um, half)
+        wo_m, diff_ok = gr.diffract(wi_m, lobe, wl_um) if False else gr.diffract(
+            g, wi_m, lobe, wl_um
+        )
+        wo = ms * wo_m[..., 0:1] + mt * wo_m[..., 1:2] + mvec * wo_m[..., 2:3]
+
+        grating_pdf = pdf_xy[..., 0] * pdf_xy[..., 1]
+        pdf = mpdf * grating_pdf / jnp.maximum(
+            4.0 * jnp.abs(fr.dot(reflection_dir, mvec)), 1e-12
+        )
+
+        ok = active & (mpdf > 0) & (fr.cos_theta(wo) > 0) & diff_ok
+
+        # G1 of the *specular* reflection dir (sample_visible weighting)
+        w_scalar = mf.smith_g1(reflection_dir, mvec, au, av, mf.GGX)
+        Fv = bsdfs.RoughConductor._fresnel_value(
+            p, si, reflection_dir, mvec, ctx, cfg, sampling_wl
+        )
+        weight = bsdfs.mul_value(
+            Fv,
+            jnp.broadcast_to((w_scalar * intensity)[..., None], (n, cfg.n_channels)),
+            cfg,
+        )
+        weight = bsdfs.where_value(ok, weight, bsdfs.zeros_value(n, cfg), cfg)
+
+        bs = BSDFSample(
+            wo=wo,
+            pdf=pdf,
+            eta=jnp.ones((n,), jnp.float32),
+            sampled_type=jnp.full((n,), BSDFFlags.GlossyReflection, jnp.uint32),
+            sampled_component=jnp.zeros((n,), jnp.int32),
+        )
+        sd = PLTSamplePhaseData(
+            bs=bs,
+            lobe=lobe,
+            internal_frame=reflection_dir,
+            coherence=Coherence.isotropic(
+                jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.float32)
+            ),
+            sampling_wavelengths=sampling_wl,
+        )
+        return sd, weight, ok
+
+    @staticmethod
+    def wbsdf_eval(p, si, wo, sd, ctx, cfg):
+        """Exhaustive lobe sum with angular-coherence Gaussian falloff
+        (roughgrating.cpp:676-970), vectorized over lanes x lobes^2 x C."""
+        n = si.wi.shape[0]
+        C = cfg.n_channels
+        cos_i = fr.cos_theta(si.wi)
+        cos_o = fr.cos_theta(wo)
+        active = (cos_i > 0) & (cos_o > 0)
+
+        g = _make_grating(p, si.uv)
+        wl_nm = sd.sampling_wavelengths  # [N, C]
+        wl_um = wl_nm * 1e-3
+        k = 2.0 * m.Pi / jnp.maximum(wl_um, 1e-6)  # [N, C], 1/um
+
+        half = gr.MAX_LOBES // 2
+        side = jnp.arange(-half, half + 1, dtype=jnp.int32)
+        LL = side.shape[0]
+        lx, ly = jnp.meshgrid(side, side, indexing="ij")
+        lobe_grid = jnp.stack([lx.ravel(), ly.ravel()], axis=-1)  # [L2, 2]
+        L2 = lobe_grid.shape[0]
+        # live lobes per lane: |l| <= lobes//2
+        lane_half = (p["grt_lobes"] // 2)[:, None]
+        live = (jnp.abs(lobe_grid[None, :, 0]) <= lane_half) & (
+            jnp.abs(lobe_grid[None, :, 1]) <= lane_half
+        )  # [N, L2]
+
+        # order intensities per (lane, C): one Bessel sweep
+        base = gr.order_intensities(g, si.wi, wl_um, half)  # [N, C, half+1]
+        mult = g.multiplier[:, None]
+        ix = jnp.take_along_axis(
+            base[:, None, :, :].repeat(L2, axis=1),
+            jnp.abs(lobe_grid[None, :, None, 0:1]).repeat(C, axis=2),
+            axis=-1,
+        )[..., 0]  # [N, L2, C]
+        iy2 = jnp.take_along_axis(
+            base[:, None, :, :].repeat(L2, axis=1),
+            jnp.abs(lobe_grid[None, :, None, 1:2]).repeat(C, axis=2),
+            axis=-1,
+        )[..., 0]
+        is1d = g.is_1d()[:, None, None]
+        iy = jnp.where(is1d, ix, iy2)
+        lobe_int = mult[..., None] * ix * iy  # [N, L2, C]
+
+        # lobe center directions: diffract per (lane, lobe, C)
+        lobe_b = lobe_grid[None, :, None, :].repeat(n, 0)  # broadcast lanes
+        lobe_b = jnp.broadcast_to(lobe_grid[None, :, None, :], (n, L2, C, 2))
+        wl_b = jnp.broadcast_to(wl_um[:, None, :], (n, L2, C))
+        center_dir, lobe_ok = gr.diffract(g, si.wi, lobe_b, wl_b)  # [N, L2, C, 3]
+
+        # acceptance cone: |angle(center, wo)| < a = 2 sqrt(au av)
+        a_cone = 2.0 * jnp.sqrt(p["alpha"][..., 0] * p["alpha"][..., 1])
+        ang = m.unit_angle(
+            center_dir, jnp.broadcast_to(wo[:, None, None, :], center_dir.shape)
+        )  # [N, L2, C]
+        in_cone = jnp.abs(ang) < a_cone[:, None, None]
+
+        # angular coherence Gaussian between the specular dir and wo
+        # (roughgrating.cpp:879-893): coh = material coherence param
+        refl = fr.reflect(si.wi)
+        angle_off = jnp.abs(m.unit_angle(refl, wo))  # [N]
+        coh = Coherence.isotropic(p["grt_coherence"], jnp.ones((n,), jnp.float32))
+        inv_det = coh.inv_coherence_det(k)  # [N, C]
+        inv_det = jnp.where(jnp.isnan(inv_det), 0.0, inv_det)
+        ang_coh = jnp.exp(-0.5 * angle_off[:, None] ** 2 * inv_det)  # [N, C]
+        ang_coh = jnp.where(jnp.isnan(ang_coh), 0.0, ang_coh)
+
+        is_zero = (lobe_grid[:, 0] == 0) & (lobe_grid[:, 1] == 0)  # [L2]
+        coh_term = jnp.where(is_zero[None, :, None], 1.0, ang_coh[:, None, :])
+
+        contrib = jnp.where(
+            lobe_ok & in_cone & live[..., None], lobe_int * coh_term, 0.0
+        )
+        result = jnp.sum(contrib, axis=1)  # [N, C]
+
+        # Fresnel at the half vector
+        h = fr.normalize(si.wi + wo)
+        Fv = bsdfs.RoughConductor._fresnel_value(
+            p, si, wo, h, ctx, cfg, sd.sampling_wavelengths
+        )
+        val = bsdfs.mul_value(Fv, result, cfg)
+        return bsdfs.where_value(active, val, bsdfs.zeros_value(n, cfg), cfg)
+
+    @staticmethod
+    def wbsdf_pdf(p, si, wo, sd, ctx, cfg):
+        """Far-field grating alpha as the wave-pdf (roughgrating.cpp:1009-1034)."""
+        g = _make_grating(p, si.uv)
+        wl_um = sd.sampling_wavelengths[..., 0] * 1e-3
+        k = 2.0 * m.Pi / jnp.maximum(wl_um, 1e-6)
+        return g.alpha(si.wi, k)
+
+
+# ---------------------------------------------------------------------------
+# dispatch
+# ---------------------------------------------------------------------------
+
+def wbsdf_sample(mat: MaterialTable, midx, si, u1, u2, lobe_u2, ctx, cfg,
+                 sampling_wl):
+    """Dispatching wave-BSDF sample. Non-grating types default to the classic
+    sample (reference bsdf.cpp:22-57)."""
+    n = si.wi.shape[0]
+    p = mat.gather(midx)
+    si_eff, flip = bsdfs._effective_si(p, si)
+
+    # classic defaults for every lane
+    bs_c, val_c, ok_c = bsdfs.sample(mat, midx, si, u1, u2, ctx, cfg, sampling_wl)
+    sd = PLTSamplePhaseData(
+        bs=bs_c,
+        lobe=jnp.zeros((n, 2), jnp.int32),
+        internal_frame=jnp.zeros((n, 3), jnp.float32),
+        coherence=Coherence.isotropic(
+            jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.float32)
+        ),
+        sampling_wavelengths=sampling_wl,
+    )
+    val, ok = val_c, ok_c
+
+    if BSDF_ROUGH_GRATING in mat.present_types:
+        mask = p["mtype"] == BSDF_ROUGH_GRATING
+        sd_g, val_g, ok_g = RoughGratingW.wbsdf_sample(
+            p, si_eff, u1, u2, lobe_u2, ctx, cfg, sampling_wl
+        )
+        wo_g = jnp.where(flip[..., None], bsdfs._flip_z(sd_g.bs.wo), sd_g.bs.wo)
+        bs = BSDFSample(
+            wo=jnp.where(mask[..., None], wo_g, sd.bs.wo),
+            pdf=jnp.where(mask, sd_g.bs.pdf, sd.bs.pdf),
+            eta=jnp.where(mask, sd_g.bs.eta, sd.bs.eta),
+            sampled_type=jnp.where(mask, sd_g.bs.sampled_type, sd.bs.sampled_type),
+            sampled_component=jnp.where(
+                mask, sd_g.bs.sampled_component, sd.bs.sampled_component
+            ),
+        )
+        sd = dataclasses.replace(
+            sd,
+            bs=bs,
+            lobe=jnp.where(mask[..., None], sd_g.lobe, sd.lobe),
+            internal_frame=jnp.where(
+                mask[..., None], sd_g.internal_frame, sd.internal_frame
+            ),
+        )
+        val = bsdfs.where_value(mask, val_g, val, cfg)
+        ok = jnp.where(mask, ok_g, ok)
+
+    return sd, val, ok
+
+
+def wbsdf_eval(mat: MaterialTable, midx, si, wo, sd, ctx, cfg):
+    """Wave eval: grating lobe sum; classic eval otherwise (bsdf.cpp:59-71)."""
+    p = mat.gather(midx)
+    si_eff, flip = bsdfs._effective_si(p, si)
+    wo_eff = jnp.where(flip[..., None], bsdfs._flip_z(wo), wo)
+
+    val = bsdfs.eval_(mat, midx, si, wo, ctx, cfg, sd.sampling_wavelengths)
+    if BSDF_ROUGH_GRATING in mat.present_types:
+        mask = p["mtype"] == BSDF_ROUGH_GRATING
+        val_g = RoughGratingW.wbsdf_eval(p, si_eff, wo_eff, sd, ctx, cfg)
+        val = bsdfs.where_value(mask, val_g, val, cfg)
+    return val
+
+
+def wbsdf_pdf(mat: MaterialTable, midx, si, wo, sd, ctx, cfg):
+    p = mat.gather(midx)
+    si_eff, flip = bsdfs._effective_si(p, si)
+    wo_eff = jnp.where(flip[..., None], bsdfs._flip_z(wo), wo)
+
+    pd = bsdfs.pdf(mat, midx, si, wo, ctx, cfg)
+    if BSDF_ROUGH_GRATING in mat.present_types:
+        mask = p["mtype"] == BSDF_ROUGH_GRATING
+        pd_g = RoughGratingW.wbsdf_pdf(p, si_eff, wo_eff, sd, ctx, cfg)
+        pd = jnp.where(mask, pd_g, pd)
+    return pd
+
+
+def wbsdf_weight(mat: MaterialTable, midx, si, wo, sd, ctx, cfg):
+    """Replay weight (reference defaults bsdf.cpp:84-96 + per-type overrides).
+
+    diffuse -> albedo; conductor -> specular Fresnel value; default (incl.
+    roughgrating) -> classic eval/pdf ratio.
+    """
+    n = si.wi.shape[0]
+    p = mat.gather(midx)
+    si_eff, flip = bsdfs._effective_si(p, si)
+    wo_eff = jnp.where(flip[..., None], bsdfs._flip_z(wo), wo)
+    wl = sd.sampling_wavelengths
+
+    # default: classic eval / pdf
+    e_val = bsdfs.eval_(mat, midx, si, wo, ctx, cfg, wl)
+    pd = bsdfs.pdf(mat, midx, si, wo, ctx, cfg)
+    w = bsdfs.mul_value(
+        e_val,
+        jnp.broadcast_to(
+            jnp.where(pd > 0, 1.0 / jnp.maximum(pd, 1e-20), 0.0)[..., None],
+            (n, cfg.n_channels),
+        ),
+        cfg,
+    )
+
+    for t in mat.present_types:
+        mask = p["mtype"] == t
+        if t == BSDF_DIFFUSE:
+            albedo = bsdfs.eval_color(p, "base_color", cfg, wl)
+            w_t = bsdfs.depolarized(albedo, cfg)
+            cos_i = fr.cos_theta(si_eff.wi)
+            w_t = bsdfs.where_value(
+                cos_i > 0, w_t, bsdfs.zeros_value(n, cfg), cfg
+            )
+            w = bsdfs.where_value(mask, w_t, w, cfg)
+        elif t == BSDF_CONDUCTOR:
+            _, w_t, ok_t = bsdfs.Conductor.sample(
+                p, si_eff, jnp.zeros((n,)), jnp.zeros((n, 2)), ctx, cfg, wl
+            )
+            w = bsdfs.where_value(mask, w_t, w, cfg)
+        elif t == BSDF_DIELECTRIC:
+            # reference dielectric wbsdf_weight: Mueller reflect/transmit with
+            # detached lobe pdf (dielectric.cpp:527-560). Reflect/transmit
+            # selection replayed from the recorded wo hemisphere.
+            eta = p["eta_re"][..., 0]
+            cos_i = fr.cos_theta(si_eff.wi)
+            cos_o = fr.cos_theta(wo_eff)
+            is_reflect = cos_i * cos_o > 0
+            F, cos_t, eta_it, eta_ti = fres.fresnel_dielectric(cos_i, eta)
+            refl_c = bsdfs.eval_color(p, "base_color", cfg, wl)
+            tran_c = bsdfs.eval_color(p, "transmittance", cfg, wl)
+            factor = jnp.where(
+                is_reflect, 1.0,
+                eta_ti * eta_ti if ctx.mode == TransportMode.Radiance else 1.0,
+            )
+            w_scalar = jnp.where(is_reflect[..., None], refl_c, tran_c) * (
+                factor
+            )[..., None]
+            w_t = bsdfs.depolarized(w_scalar, cfg)
+            w = bsdfs.where_value(mask, w_t, w, cfg)
+
+    return w
