@@ -1,0 +1,333 @@
+"""PLT integrator: two-phase sample-solve wave transport.
+
+Functional twin of the fork's centerpiece (scripts/rendering/integrators/
+plt.py:13-531), restructured for XLA:
+
+Phase 1 (`sample_phase`, reference plt.py:50-171): backward path from the
+sensor under lax.scan; each bounce records a BounceData slice — the bounce
+buffer is the stacked scan output [D, N, ...] instead of dr.alloc_local.
+
+Phase 2 (`solve_phase`, reference plt.py:174-218): for every prefix length i,
+add (a) the emissive-hit replay with MIS vs the last non-delta pdf
+(plt.py:315-405) and (b) an NEE replay with wbsdf MIS (plt.py:221-300).
+
+TPU-native restructuring of the O(depth^2) replay: the reference's
+`replay_path` weight product prod_{j<i} wbsdf_weight(bounce_j)
+(plt.py:408-472) does not depend on the prefix index i (coherence opl is
+propagated but the replay weights are coherence-independent, exactly as in
+the reference where wbsdf_weight never reads sd.coherence), so all prefix
+products are ONE exclusive cumulative product along the depth axis — O(D)
+instead of O(D^2) wbsdf evaluations.
+
+Deviations from the reference (documented intent over replicated quirks):
+  * sampling wavelengths: lam = u*(CIE_MAX-150-CIE_MIN)+CIE_MIN — the C++
+    intent (roughgrating.cpp:504-505); the fork's Python drops the +CIE_MIN
+    offset (plt.py:65, a bug).
+  * Russian-roulette compensation: the prefix weight includes the recorded
+    1/p_rr survival correction (the reference stores rr_thp in BounceData
+    but its replay never applies it — plt.py:464 variant A).
+  * NEE shadow rays are traced (scene.sample_emitter_direction(test
+    visibility), as sample_emitter_direction does in C++).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..config import RenderConfig
+from ..core import frame as fr
+from ..core import math as mth
+from ..core.rng import Sampler, bounce_dim, DIM_WAVELENGTH
+from ..librender.bsdf import BSDFContext, BSDFFlags
+from ..librender.records import Ray, DirectionSample
+from ..plt import wbsdf as wb
+from ..plt.coherence import Coherence
+from ..scene import emitters as em_mod
+from .common import mis_weight
+from .path import _to_channels
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BounceData:
+    """Per-bounce record (reference include/mitsuba/plt/bouncebuffer.h:21-95),
+    stacked [D, N, ...] by the sample-phase scan."""
+
+    valid: Any          # [N] hit a surface
+    t: Any              # [N] hit distance (coherence propagation)
+    p: Any              # [N, 3]
+    n: Any              # [N, 3] geometric normal
+    sh_s: Any           # [N, 3] shading frame
+    sh_t: Any
+    sh_n: Any
+    uv: Any             # [N, 2]
+    wi: Any             # [N, 3] local incident dir
+    mat_idx: Any        # [N]
+    emitter_idx: Any    # [N]
+    wo: Any             # [N, 3] local sampled outgoing dir
+    bsdf_flags: Any     # [N] u32 sampled lobe flags
+    rr_rcp: Any         # [N] reciprocal RR survival probability (1 if none)
+    bsdf_weight: Any    # [N, C] wbsdf_sample weight (debug replay variant B)
+    is_emitter: Any     # [N]
+    last_nd_pdf: Any    # [N] last non-delta pdf before this bounce
+    lobe: Any           # [N, 2] sampled diffraction lobe
+    active: Any         # [N] lane recorded a real bounce
+
+    def si(self):
+        """Reconstruct the SurfaceInteraction view of this bounce."""
+        from ..librender.records import SurfaceInteraction
+
+        return SurfaceInteraction(
+            valid=self.valid, t=self.t, p=self.p, n=self.n,
+            sh_s=self.sh_s, sh_t=self.sh_t, sh_n=self.sh_n, uv=self.uv,
+            wi=self.wi, prim_idx=jnp.zeros_like(self.mat_idx),
+            mat_idx=self.mat_idx, emitter_idx=self.emitter_idx,
+            shape_idx=jnp.zeros_like(self.mat_idx),
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class PLTIntegrator:
+    max_depth: int = 8
+    rr_depth: int = 4
+    emissive_sourcing_area: float = 1e-4
+    distant_sourcing_area: float = 1e-7
+    max_angular_spread: float = 1e-7
+
+    # ------------------------------------------------------------------
+    def sample_phase(self, scene, sampler: Sampler, ray: Ray, cfg: RenderConfig):
+        """Backward walk recording the bounce buffer (plt.py:50-171)."""
+        n = ray.o.shape[0]
+        C = cfg.n_channels
+        ctx = BSDFContext()
+
+        # sampling wavelengths in [CIE_MIN, CIE_MAX-150]
+        u_wl = jnp.stack(
+            [sampler.next_1d(DIM_WAVELENGTH + i) for i in range(C)], axis=-1
+        )
+        wavelengths = wb.sample_plt_wavelengths(u_wl, C)
+
+        def body(carry, b):
+            ray_o, ray_d, active, last_nd_pdf, prev_delta = carry
+            ray_b = Ray.create(ray_o, ray_d)
+            si = scene.ray_intersect(ray_b)
+            hit = si.valid & active
+
+            is_emitter = hit & (si.emitter_idx >= 0)
+            active_next = hit & (b + 1 < self.max_depth)
+
+            u1 = sampler.next_1d(bounce_dim(b, 0))
+            u2 = sampler.next_2d(bounce_dim(b, 1))
+            lobe_u2 = sampler.next_2d(bounce_dim(b, 3))
+            sd, weight, ok = wb.wbsdf_sample(
+                scene.materials, jnp.maximum(si.mat_idx, 0), si,
+                u1, u2, lobe_u2, ctx, cfg, wavelengths,
+            )
+            bs = sd.bs
+
+            # Russian roulette (plt.py:133-143)
+            w_max = jnp.max(weight if not cfg.polarized else weight[..., 0, 0, :],
+                            axis=-1)
+            rr_prob = jnp.minimum(jnp.maximum(w_max, 0.05), 0.95)
+            rr_active = (b + 1) >= self.rr_depth
+            u_rr = sampler.next_1d(bounce_dim(b, 6))
+            rr_continue = ~rr_active | (u_rr < rr_prob)
+            rr_rcp = jnp.where(rr_active, 1.0 / jnp.maximum(rr_prob, 1e-6), 1.0)
+
+            active_next = active_next & ok & (bs.pdf > 0) & rr_continue
+
+            wo_world = si.to_world(bs.wo)
+            new_o = si.p + si.n * jnp.where(
+                fr.dot(wo_world, si.n) >= 0, mth.RayEpsilon, -mth.RayEpsilon
+            )[..., None]
+
+            is_delta = (bs.sampled_type & jnp.uint32(BSDFFlags.Delta)) != 0
+
+            bounce = BounceData(
+                valid=si.valid, t=si.t, p=si.p, n=si.n,
+                sh_s=si.sh_s, sh_t=si.sh_t, sh_n=si.sh_n, uv=si.uv,
+                wi=si.wi, mat_idx=si.mat_idx, emitter_idx=si.emitter_idx,
+                wo=bs.wo, bsdf_flags=bs.sampled_type, rr_rcp=rr_rcp,
+                bsdf_weight=(weight if not cfg.polarized
+                             else weight[..., 0, 0, :]),
+                is_emitter=is_emitter, last_nd_pdf=last_nd_pdf,
+                lobe=sd.lobe, active=hit,
+            )
+
+            nd_pdf_next = jnp.where(is_delta, last_nd_pdf, bs.pdf)
+            carry = (
+                new_o, wo_world, active_next,
+                jnp.where(active_next, nd_pdf_next, last_nd_pdf),
+                jnp.where(active_next, is_delta, prev_delta),
+            )
+            return carry, bounce
+
+        carry0 = (
+            ray.o, ray.d, jnp.ones((n,), bool), jnp.ones((n,), jnp.float32),
+            jnp.ones((n,), bool),
+        )
+        _, bounces = jax.lax.scan(
+            body, carry0, jnp.arange(self.max_depth, dtype=jnp.uint32)
+        )
+        return bounces, wavelengths
+
+    # ------------------------------------------------------------------
+    def solve_phase(self, scene, sampler: Sampler, bounces: BounceData,
+                    wavelengths, cfg: RenderConfig):
+        """Forward solve with cumulative-product prefix weights."""
+        D = self.max_depth
+        n = bounces.valid.shape[1]
+        C = cfg.n_channels
+        ctx = BSDFContext()
+        em = scene.emitters
+        geo = scene.geo
+
+        # --- replay weights per bounce: W_j [D, N, C] --------------------
+        def weight_at(bounce_j):
+            si = bounce_j.si()
+            sd = wb.PLTSamplePhaseData(
+                bs=None, lobe=bounce_j.lobe,
+                internal_frame=jnp.zeros((n, 3), jnp.float32),
+                coherence=Coherence.isotropic(
+                    jnp.full((n,), 1e-18, jnp.float32),
+                    jnp.zeros((n,), jnp.float32),
+                ),
+                sampling_wavelengths=wavelengths,
+            )
+            w = wb.wbsdf_weight(
+                scene.materials, jnp.maximum(si.mat_idx, 0), si,
+                bounce_j.wo, sd, ctx, cfg,
+            )
+            if cfg.polarized:
+                w = w[..., 0, 0, :]
+            w = w * bounce_j.rr_rcp[..., None]
+            return jnp.where(bounce_j.active[..., None], w, 1.0)
+
+        W = jax.vmap(weight_at)(bounces)  # [D, N, C]
+        # exclusive cumulative product: alpha[i] = prod_{j<i} W_j
+        cum = jnp.cumprod(W, axis=0)
+        alpha = jnp.concatenate(
+            [jnp.ones((1, n, C), jnp.float32), cum[:-1]], axis=0
+        )  # [D, N, C]
+
+        L = jnp.zeros((n, C), jnp.float32)
+        for i in range(D):
+            b_i = jax.tree.map(lambda x: x[i], bounces)
+            L = L + self._emissive_term(scene, bounces, b_i, i, alpha[i], cfg)
+            L = L + self._nee_term(
+                scene, sampler, b_i, i, alpha[i], wavelengths, cfg
+            )
+        return L
+
+    # ------------------------------------------------------------------
+    def _emissive_term(self, scene, bounces, b_i, i, alpha_i, cfg):
+        """Emissive-hit replay (plt.py:315-405)."""
+        em = scene.emitters
+        geo = scene.geo
+        n = b_i.valid.shape[0]
+
+        active = b_i.active & b_i.is_emitter
+        # previous vertex (the sensor for i = 0)
+        if i > 0:
+            prev = jax.tree.map(lambda x: x[i - 1], bounces)
+            prev_p = prev.p
+            prev_delta = (prev.bsdf_flags & jnp.uint32(BSDFFlags.Delta)) != 0
+        else:
+            # wi points back toward the camera; only the direction matters
+            prev_p = b_i.p + b_i.si().to_world(b_i.wi)
+            prev_delta = jnp.ones((n,), bool)
+
+        d = fr.normalize(b_i.p - prev_p)
+        ds = DirectionSample(
+            p=b_i.p, n=b_i.n, uv=b_i.uv, d=d,
+            dist=jnp.linalg.norm(b_i.p - prev_p, axis=-1),
+            pdf=jnp.zeros((n,)), delta=jnp.zeros((n,), bool),
+            emitter_idx=b_i.emitter_idx,
+        )
+        em_pdf = em_mod.pdf_emitter_direction(em, geo, prev_p, ds)
+        em_pdf = jnp.where(prev_delta, 0.0, em_pdf)
+        mis_bsdf = mis_weight(b_i.last_nd_pdf, em_pdf)
+
+        facing = fr.cos_theta(b_i.wi) > 0
+        e_val = em_mod.eval_emitter(
+            em, b_i.emitter_idx, ds.d, ds.dist, active & facing
+        )
+        e_val = _to_channels(e_val, cfg)
+        contrib = e_val * alpha_i * mis_bsdf[..., None]
+        return jnp.where((active & facing)[..., None], contrib, 0.0)
+
+    # ------------------------------------------------------------------
+    def _nee_term(self, scene, sampler, b_i, i, alpha_i, wavelengths, cfg):
+        """NEE replay at bounce i (plt.py:221-300)."""
+        em = scene.emitters
+        geo = scene.geo
+        n = b_i.valid.shape[0]
+        ctx = BSDFContext()
+        if em.count == 0:
+            return jnp.zeros((n, cfg.n_channels), jnp.float32)
+
+        smooth = (b_i.bsdf_flags & jnp.uint32(BSDFFlags.Smooth)) != 0
+        active_em = b_i.active & smooth
+
+        u1 = sampler.next_1d(bounce_dim(i, 8))
+        u2 = sampler.next_2d(bounce_dim(i, 9))
+        ds = em_mod.sample_emitter_direction(em, geo, b_i.p, u1, u2, active_em)
+
+        # shadow ray
+        occ_ray = Ray(
+            o=b_i.p + b_i.n * jnp.where(
+                fr.dot(ds.d, b_i.n) >= 0, mth.RayEpsilon, -mth.RayEpsilon
+            )[..., None],
+            d=ds.d,
+            maxt=ds.dist * (1.0 - mth.ShadowEpsilon),
+        )
+        occluded = scene.ray_test(occ_ray)
+        vis = active_em & ~occluded & (ds.pdf > 0)
+
+        si = b_i.si()
+        wo_local = si.to_local(ds.d)
+        sd = wb.PLTSamplePhaseData(
+            bs=None, lobe=b_i.lobe,
+            internal_frame=jnp.zeros((n, 3), jnp.float32),
+            coherence=Coherence.isotropic(
+                jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.float32)
+            ),
+            sampling_wavelengths=wavelengths,
+        )
+        bsdf_val = wb.wbsdf_eval(
+            scene.materials, jnp.maximum(si.mat_idx, 0), si, wo_local, sd,
+            ctx, cfg,
+        )
+        if cfg.polarized:
+            bsdf_val = bsdf_val[..., 0, 0, :]
+        bsdf_pdf = wb.wbsdf_pdf(
+            scene.materials, jnp.maximum(si.mat_idx, 0), si, wo_local, sd,
+            ctx, cfg,
+        )
+        if bsdf_pdf.ndim > 1:
+            bsdf_pdf = bsdf_pdf[..., 0]
+        mis_em = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, bsdf_pdf))
+
+        e_val = em_mod.eval_emitter(em, ds.emitter_idx, ds.d, ds.dist, vis)
+        e_val = _to_channels(e_val, cfg)
+        em_weight = e_val / jnp.maximum(ds.pdf, 1e-20)[..., None]
+        contrib = em_weight * bsdf_val * alpha_i * mis_em[..., None]
+        return jnp.where(vis[..., None], contrib, 0.0)
+
+    # ------------------------------------------------------------------
+    def sample(self, scene, sampler: Sampler, ray: Ray, wavelengths, cfg: RenderConfig):
+        """ADIntegrator-compatible entry (plt.py:493-529). The `wavelengths`
+        argument from the wavefront builder is ignored — PLT samples its own
+        (plt.py:65-70)."""
+        bounces, wl = self.sample_phase(scene, sampler, ray, cfg)
+        L = self.solve_phase(scene, sampler, bounces, wl, cfg)
+        n = ray.o.shape[0]
+        if cfg.spectral:
+            # hero-wavelength conversion happens in the render loop; report
+            # the PLT sampling wavelengths by returning them via closure-free
+            # contract: caller uses uniform-pdf weights
+            pass
+        return L, jnp.ones((n,), bool)

@@ -49,11 +49,20 @@ class Coherence:
 
     def inv_coherence_matrix(self, k=None):
         """Inverse coherence matrix, optionally wavenumber-scaled
-        (plt.h:68-80). k has units 1/um; rmm in mm."""
+        (plt.h:68-80). k has units 1/um; rmm in mm. k may carry trailing
+        batch dims beyond opl's (e.g. a wavelength axis [N, C])."""
         scale = 1.0 / jnp.maximum(self.rmm(), 1e-30)
+        dmat = self.dmat
         if k is not None:
-            scale = scale * (jnp.asarray(k) / TwoPi)
-        return scale[..., None, None] * self.dmat
+            k = jnp.asarray(k)
+            extra = k.ndim - scale.ndim
+            if extra > 0:
+                scale = scale.reshape(scale.shape + (1,) * extra)
+                dmat = dmat.reshape(
+                    dmat.shape[:-2] + (1,) * extra + dmat.shape[-2:]
+                )
+            scale = scale * (k / TwoPi)
+        return scale[..., None, None] * dmat
 
     def inv_coherence_det(self, k=None):
         """det of the inverse coherence matrix (plt.h:88-100)."""

@@ -240,23 +240,34 @@ class RoughGratingW:
         )  # [N, L2, C]
         in_cone = jnp.abs(ang) < a_cone[:, None, None]
 
-        # angular coherence Gaussian between the specular dir and wo
-        # (roughgrating.cpp:879-893): coh = material coherence param
-        refl = fr.reflect(si.wi)
-        angle_off = jnp.abs(m.unit_angle(refl, wo))  # [N]
+        # Angular-coherence Gaussian falloff around each lobe center
+        # (roughgrating.cpp:879-893). NOTE: the reference code measures the
+        # offset from the *specular* direction, which drives every
+        # non-specular lobe to exp(-huge) ~= 0; its own comment ("angular
+        # coherence between the center direction and the reflected dir")
+        # describes the intent we implement: offset from the LOBE CENTER, so
+        # coherence sets the angular sharpness of each diffraction order.
         coh = Coherence.isotropic(p["grt_coherence"], jnp.ones((n,), jnp.float32))
         inv_det = coh.inv_coherence_det(k)  # [N, C]
         inv_det = jnp.where(jnp.isnan(inv_det), 0.0, inv_det)
-        ang_coh = jnp.exp(-0.5 * angle_off[:, None] ** 2 * inv_det)  # [N, C]
+        ang_coh = jnp.exp(-0.5 * ang * ang * inv_det[:, None, :])  # [N, L2, C]
         ang_coh = jnp.where(jnp.isnan(ang_coh), 0.0, ang_coh)
 
         is_zero = (lobe_grid[:, 0] == 0) & (lobe_grid[:, 1] == 0)  # [L2]
-        coh_term = jnp.where(is_zero[None, :, None], 1.0, ang_coh[:, None, :])
+        coh_term = jnp.where(is_zero[None, :, None], 1.0, ang_coh)
 
         contrib = jnp.where(
             lobe_ok & in_cone & live[..., None], lobe_int * coh_term, 0.0
         )
-        result = jnp.sum(contrib, axis=1)  # [N, C]
+        per_wl = jnp.sum(contrib, axis=1)  # [N, C] intensity at each sampled wl
+
+        if cfg.spectral:
+            result = per_wl
+        else:
+            # RGB mode: each sampled wavelength contributes its sRGB color
+            # (roughgrating.cpp:747-764 "colour = xyz_to_srgb(cie1931_xyz(wl))")
+            colour = spec.xyz_to_srgb(spec.cie1931_xyz(wl_nm))  # [N, C, 3]
+            result = jnp.einsum("nc,nck->nk", per_wl, jnp.maximum(colour, 0.0))
 
         # Fresnel at the half vector
         h = fr.normalize(si.wi + wo)

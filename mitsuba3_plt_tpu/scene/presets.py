@@ -123,21 +123,26 @@ def cornell_box(width: int = 256, height: int = 256, *, light_scale: float = 1.0
 
 
 def grating_scene(width: int = 256, height: int = 256, *,
-                  inv_period=(0.6, 0.0), lobes: int = 5, height_nm: float = 0.25,
-                  alpha: float = 0.02, radial: bool = False, grt_type: int = 0,
-                  coherence: float = 1.0):
+                  inv_period=(0.6, 0.0), lobes: int = 7, height_um: float = 0.04,
+                  alpha: float = 0.04, radial: bool = False, grt_type: int = 0,
+                  coherence: float = 6e5, multiplier: float = 10.0,
+                  light_angle_deg: float = -15.0):
     """A rough diffraction-grating slab on a dark floor, directional light.
 
-    The minimal wave-optics showcase: specular + rainbow diffraction lobes.
+    The minimal wave-optics showcase (grating parameters follow the
+    reference's scenes/gratings/gratings.xml: sinusoidal, height 0.04 um,
+    inv_period 0.6/um, 7 lobes, alpha 0.04, multiplier 10, coherence 6e5).
+    The camera sits near the specular direction in the plane of incidence so
+    the diffraction orders sweep across the view.
     """
     bsdfs = [
         LoadedBSDF(BSDF_DIFFUSE, base_color=(0.1, 0.1, 0.1)),
         LoadedBSDF(
             BSDF_ROUGH_GRATING, eta_re=(0.2, 0.92, 1.1),
             eta_im=(3.9, 2.45, 2.14), alpha=(alpha, alpha),
-            grt_inv_period=tuple(inv_period), grt_height=height_nm,
-            grt_lobes=lobes, grt_type=grt_type + (2 if radial else 0),
-            grt_multiplier=1.0, grt_coherence=coherence,
+            grt_inv_period=tuple(inv_period), grt_height=height_um,
+            grt_lobes=lobes, grt_type=grt_type + (16 if radial else 0),
+            grt_multiplier=multiplier, grt_coherence=coherence,
         ),
     ]
     meshes, mats, ems = [], [], []
@@ -154,13 +159,17 @@ def grating_scene(width: int = 256, height: int = 256, *,
     mats += [0, 1]
     ems += [-1, -1]
 
-    d = np.array([np.sin(np.deg2rad(-15.0)), -np.cos(np.deg2rad(-15.0)), 0.0])
+    th = np.deg2rad(light_angle_deg)
+    d = np.array([np.sin(th), -np.cos(th), 0.0])  # light propagation dir
     emitters = [
         {"type": "directional", "direction": tuple(d), "radiance": (4.0, 4.0, 4.0)},
         {"type": "constant", "radiance": (0.01, 0.01, 0.01)},
     ]
+    # camera on the specular side, in the plane of incidence (x-y)
+    spec = np.array([-np.sin(th), np.cos(th), 0.0])
+    cam_pos = np.array([0.0, -0.5, 0.0]) + 2.2 * spec + np.array([0, 0, 0.35])
     sensor = Sensor.perspective(
-        tf.look_at([0, 1.3, 2.2], [0, -0.4, 0], [0, 1, 0]), 45.0, width, height,
+        tf.look_at(cam_pos, [0, -0.5, 0], [0, 1, 0]), 45.0, width, height,
     )
     return assemble_scene(
         meshes, mats, ems, bsdfs, emitters, sensor,
