@@ -42,7 +42,8 @@ def load_dict(d):
 
 
 def render(scene, integrator=None, spp=16, seed=0, cfg=None, **kw):
-    """Convenience render: scene (+meta) -> [H, W, 3] image array."""
+    """Convenience render: scene (+meta) -> [H, W, C] image array (C = 3, or
+    the integrator's AOV channel count, e.g. 15 for stokes)."""
     from .integrators import make_integrator
     from .integrators.common import render as _render
 
@@ -53,4 +54,5 @@ def render(scene, integrator=None, spp=16, seed=0, cfg=None, **kw):
     if integrator is None:
         integrator = make_integrator({"type": "path"})
     cfg = cfg or config()
+    kw.setdefault("n_out_channels", getattr(integrator, "n_out_channels", None))
     return _render(scene, integrator.sample, seed=seed, spp=spp, cfg=cfg, **kw)

@@ -7,6 +7,7 @@ output).
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from . import math as m
@@ -29,8 +30,19 @@ def squared_norm(a):
 
 
 def normalize(a, eps=0.0):
-    n = jnp.linalg.norm(a, axis=-1, keepdims=True)
-    return a / jnp.maximum(n, 1e-20 if eps == 0.0 else eps)
+    """Safe normalize: returns 0 for (near-)zero vectors and — unlike
+    a / linalg.norm(a) — has a NaN-free reverse-mode derivative there
+    (norm's vjp is x/||x|| = 0/0 at the origin)."""
+    n2 = jnp.sum(a * a, axis=-1, keepdims=True)
+    lo = (eps * eps) if eps else 1e-24
+    return a * jax.lax.rsqrt(jnp.maximum(n2, lo))
+
+
+def norm(a, axis=-1, keepdims=False):
+    """NaN-free-gradient Euclidean norm (0 -> 0 with zero gradient)."""
+    n2 = jnp.sum(a * a, axis=axis, keepdims=keepdims)
+    pos = n2 > 0
+    return jnp.sqrt(jnp.where(pos, n2, 1.0)) * pos.astype(a.dtype)
 
 
 def coordinate_system(n):

@@ -31,7 +31,12 @@ def sqr(x):
 
 
 def safe_sqrt(x):
-    return jnp.sqrt(jnp.maximum(x, 0.0))
+    """sqrt clamped at 0 with a NaN-free gradient (plain sqrt's vjp is
+    0.5/sqrt(x) = inf at 0, which turns a zero cotangent into NaN)."""
+    pos = x > 0
+    return jnp.sqrt(jnp.where(pos, x, 1.0)) * pos.astype(
+        jnp.result_type(x, jnp.float32)
+    )
 
 
 def safe_rsqrt(x):

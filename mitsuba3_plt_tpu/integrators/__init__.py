@@ -21,4 +21,15 @@ def make_integrator(cfg: dict):
             max_depth=int(cfg.get("max_depth", 6)),
             rr_depth=int(cfg.get("rr_depth", 5)),
         )
+    if t in ("stokes", "stokes_fw"):
+        from .stokes import StokesIntegrator, PolarizedPathIntegrator
+
+        nested = cfg.get("nested")
+        inner = None
+        if nested is not None and nested.get("type", "path") in ("path", "mispath"):
+            inner = PolarizedPathIntegrator(
+                max_depth=int(nested.get("max_depth", 6)),
+                rr_depth=int(nested.get("rr_depth", 5)),
+            )
+        return StokesIntegrator(inner=inner, forward_basis=(t == "stokes_fw"))
     raise ValueError(f"unknown integrator type {t!r}")

@@ -61,10 +61,12 @@ class PathIntegrator:
                 hit_emitter = hit & (si.emitter_idx >= 0) & (
                     fr.cos_theta(si.wi) > 0
                 )
+                # d/dist from the ray itself: equal to the p-difference form
+                # for hits, and finite (gradient-safe) on miss lanes
                 ds_hit = DirectionSample(
                     p=si.p, n=si.n, uv=si.uv,
-                    d=fr.normalize(si.p - prev_p),
-                    dist=jnp.linalg.norm(si.p - prev_p, axis=-1),
+                    d=ray_d,
+                    dist=jnp.where(si.valid, si.t, 1.0),
                     pdf=jnp.zeros((n,)), delta=jnp.zeros((n,), bool),
                     emitter_idx=si.emitter_idx,
                 )

@@ -243,7 +243,7 @@ class PLTIntegrator:
         d = fr.normalize(b_i.p - prev_p)
         ds = DirectionSample(
             p=b_i.p, n=b_i.n, uv=b_i.uv, d=d,
-            dist=jnp.linalg.norm(b_i.p - prev_p, axis=-1),
+            dist=fr.norm(b_i.p - prev_p),
             pdf=jnp.zeros((n,)), delta=jnp.zeros((n,), bool),
             emitter_idx=b_i.emitter_idx,
         )

@@ -1,0 +1,250 @@
+"""Polarized transport: Mueller path tracer + Stokes AOV wrappers.
+
+Functional twins of the reference's polarized variants + `stokes` /
+`stokes_fw` integrator plugins (src/integrators/stokes.cpp,
+src/integrators/stokes_fw.cpp:88-140): the path tracer carries a Mueller
+throughput [N, 4, 4, C] (the polarized `Spectrum` of the reference) chained
+camera-side-first, so the final Stokes radiance is T @ S_emitter. The
+wrapper emits 15 channels: RGB intensity + S0..S3 (each RGB), matching the
+fork's stokes_to_bitmaps layout (scripts/utils/polarization.py:6-26).
+
+`stokes_fw` additionally rotates the final Stokes basis to the sensor's
+horizontal axis (stokes_fw.cpp:100-110) so S1/S2 are reported in a fixed
+camera frame.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..config import RenderConfig
+from ..core import frame as fr
+from ..core import math as mth
+from ..core.rng import Sampler, bounce_dim
+from ..librender import bsdfs
+from ..librender import mueller as mu
+from ..librender.bsdf import BSDFContext, BSDFFlags
+from ..librender.records import Ray, DirectionSample
+from ..scene import emitters as em_mod
+from .common import mis_weight
+from .path import _to_channels
+
+
+def _mm_chain(T, M):
+    """Per-channel Mueller chain: T @ M, shapes [N, 4, 4, C]."""
+    return jnp.einsum("nijc,njkc->nikc", T, M)
+
+
+def _apply(T, s):
+    """T [N,4,4,C] @ s [N,4,C] -> [N,4,C]."""
+    return jnp.einsum("nijc,njc->nic", T, s)
+
+
+def _unpol_stokes(value):
+    """Unpolarized radiance [N, C] -> Stokes [N, 4, C]."""
+    z = jnp.zeros_like(value)
+    return jnp.stack([value, z, z, z], axis=1)
+
+
+@dataclasses.dataclass(frozen=True)
+class PolarizedPathIntegrator:
+    """NEE+MIS path tracer with full Mueller-matrix throughput.
+
+    Returns Stokes radiance [N, 4, C] whose implicit basis is
+    stokes_basis(-ray.d) (the arriving beam toward the sensor).
+    """
+
+    max_depth: int = 6
+    rr_depth: int = 5
+
+    def sample_stokes(self, scene, sampler: Sampler, ray: Ray, wavelengths,
+                      cfg: RenderConfig):
+        assert cfg.polarized, "PolarizedPathIntegrator needs a polarized config"
+        n = ray.o.shape[0]
+        C = cfg.n_channels
+        em = scene.emitters
+        geo = scene.geo
+        has_emitters = em.count > 0
+        ctx = BSDFContext()
+
+        L = jnp.zeros((n, 4, C), jnp.float32)
+        T = jnp.broadcast_to(
+            jnp.eye(4, dtype=jnp.float32)[None, :, :, None], (n, 4, 4, C)
+        )
+        active = jnp.ones((n,), bool)
+        prev_pdf = jnp.ones((n,), jnp.float32)
+        prev_delta = jnp.ones((n,), bool)
+        prev_p = ray.o
+
+        def world_mueller(si, M_local, wo_local):
+            """Local BSDF Mueller -> world implicit bases (Radiance mode:
+            light arrives along -wo, leaves along +wi)."""
+            return bsdfs.to_world_mueller(si, M_local, -wo_local, si.wi)
+
+        def body(carry, b):
+            ray_o, ray_d, L, T, active, prev_pdf, prev_delta, prev_p = carry
+            ray_b = Ray.create(ray_o, ray_d)
+            si = scene.ray_intersect(ray_b)
+            hit = si.valid & active
+
+            # ---- emitter hit with MIS ---------------------------------
+            if has_emitters:
+                hit_emitter = hit & (si.emitter_idx >= 0) & (
+                    fr.cos_theta(si.wi) > 0
+                )
+                d = ray_d
+                ds_hit = DirectionSample(
+                    p=si.p, n=si.n, uv=si.uv, d=d,
+                    dist=jnp.where(si.valid, si.t, 1.0),
+                    pdf=jnp.zeros((n,)), delta=jnp.zeros((n,), bool),
+                    emitter_idx=si.emitter_idx,
+                )
+                em_pdf = em_mod.pdf_emitter_direction(em, geo, prev_p, ds_hit)
+                em_pdf = jnp.where(prev_delta, 0.0, em_pdf)
+                mis_bsdf = mis_weight(prev_pdf, em_pdf)
+                e_val = _to_channels(
+                    em_mod.eval_emitter(em, si.emitter_idx, d, ds_hit.dist,
+                                        hit_emitter), cfg)
+                S = _unpol_stokes(e_val)
+                w = jnp.where(hit_emitter, mis_bsdf, 0.0)
+                L = L + _apply(T, S) * w[:, None, None]
+
+            active_next = hit & (b + 1 < self.max_depth)
+
+            # ---- NEE ---------------------------------------------------
+            if has_emitters:
+                u_nee1 = sampler.next_1d(bounce_dim(b, 5))
+                u_nee2 = sampler.next_2d(bounce_dim(b, 3))
+                mat_flags = scene.materials.flags[jnp.maximum(si.mat_idx, 0)]
+                smooth_lane = (mat_flags & BSDFFlags.Smooth) != 0
+                nee_active = active_next & smooth_lane
+                ds = em_mod.sample_emitter_direction(
+                    em, geo, si.p, u_nee1, u_nee2, nee_active
+                )
+                occ_ray = Ray(
+                    o=si.p + si.n * jnp.where(
+                        fr.dot(ds.d, si.n) >= 0, mth.RayEpsilon,
+                        -mth.RayEpsilon,
+                    )[..., None],
+                    d=ds.d,
+                    maxt=ds.dist * (1.0 - mth.ShadowEpsilon),
+                )
+                occluded = scene.ray_test(occ_ray)
+                vis = nee_active & ~occluded & (ds.pdf > 0)
+
+                wo_local = si.to_local(ds.d)
+                M_local = bsdfs.eval_(
+                    scene.materials, jnp.maximum(si.mat_idx, 0), si, wo_local,
+                    ctx, cfg, wavelengths,
+                )
+                bsdf_pdf = bsdfs.pdf(
+                    scene.materials, jnp.maximum(si.mat_idx, 0), si, wo_local,
+                    ctx, cfg,
+                )
+                M_world = world_mueller(si, M_local, wo_local)
+                mis_em = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, bsdf_pdf))
+                e_val = _to_channels(
+                    em_mod.eval_emitter(em, ds.emitter_idx, ds.d, ds.dist, vis),
+                    cfg)
+                S = _unpol_stokes(e_val)
+                contrib = _apply(_mm_chain(T, M_world), S) * (
+                    mis_em / jnp.maximum(ds.pdf, 1e-20)
+                )[:, None, None]
+                L = L + jnp.where(vis[:, None, None], contrib, 0.0)
+
+            # ---- BSDF sampling ----------------------------------------
+            u1 = sampler.next_1d(bounce_dim(b, 0))
+            u2 = sampler.next_2d(bounce_dim(b, 1))
+            bs, weight, ok = bsdfs.sample(
+                scene.materials, jnp.maximum(si.mat_idx, 0), si, u1, u2,
+                ctx, cfg, wavelengths,
+            )
+            W_world = world_mueller(si, weight, bs.wo)
+            T_next = _mm_chain(T, W_world)
+            wo_world = si.to_world(bs.wo)
+            new_o = si.p + si.n * jnp.where(
+                fr.dot(wo_world, si.n) >= 0, mth.RayEpsilon, -mth.RayEpsilon
+            )[..., None]
+
+            thr = jnp.abs(T_next[:, 0, 0, :]).max(axis=-1)
+            active_next = active_next & ok & (bs.pdf > 0) & (thr > 0)
+
+            # ---- Russian roulette --------------------------------------
+            rr_prob = jnp.minimum(thr, 0.95)
+            rr_active = b + 1 >= self.rr_depth
+            u_rr = sampler.next_1d(bounce_dim(b, 6))
+            rr_continue = ~rr_active | (u_rr < rr_prob)
+            rr_scale = jnp.where(
+                rr_active, 1.0 / jnp.maximum(rr_prob, 1e-6), 1.0
+            )
+            T_next = T_next * rr_scale[:, None, None, None]
+            active_next = active_next & rr_continue
+
+            is_delta = (bs.sampled_type & jnp.uint32(BSDFFlags.Delta)) != 0
+            sel = active_next[:, None, None, None]
+            carry = (
+                new_o, wo_world, L,
+                jnp.where(sel, T_next, T),
+                active_next,
+                jnp.where(active_next, bs.pdf, prev_pdf),
+                jnp.where(active_next, is_delta, prev_delta),
+                jnp.where(active_next[..., None], si.p, prev_p),
+            )
+            return carry, None
+
+        carry = (ray.o, ray.d, L, T, active, prev_pdf, prev_delta, prev_p)
+        carry, _ = jax.lax.scan(
+            body, carry, jnp.arange(self.max_depth, dtype=jnp.uint32)
+        )
+        return carry[2]
+
+
+@dataclasses.dataclass(frozen=True)
+class StokesIntegrator:
+    """`stokes` / `stokes_fw` AOV wrapper: renders with a polarized inner
+    integrator and emits 15 channels [rgb, S0.rgb, S1.rgb, S2.rgb, S3.rgb].
+
+    forward_basis=True reproduces `stokes_fw` (rotate the final Stokes basis
+    to the sensor x-axis, stokes_fw.cpp:100-110); False keeps the implicit
+    basis of the arriving direction (`stokes`, stokes.cpp).
+    """
+
+    inner: Any = None
+    forward_basis: bool = True
+    n_out_channels: int = 15
+
+    def __post_init__(self):
+        if self.inner is None:
+            object.__setattr__(self, "inner", PolarizedPathIntegrator())
+
+    def sample(self, scene, sampler: Sampler, ray: Ray, wavelengths,
+               cfg: RenderConfig):
+        pol_cfg = dataclasses.replace(cfg, polarized=True)
+        S = self.inner.sample_stokes(scene, sampler, ray, wavelengths, pol_cfg)
+
+        if self.forward_basis:
+            # rotate basis: current = stokes_basis(-ray.d); target = the
+            # sensor's horizontal axis projected perpendicular to -d
+            forward = -ray.d
+            cur = mu.stokes_basis(forward)
+            x_axis = scene.sensor.to_world[:3, 0]
+            tgt = x_axis[None, :] - forward * fr.dot(
+                x_axis[None, :], forward
+            )[..., None]
+            tgt_len = fr.norm(tgt, keepdims=True)
+            degenerate = tgt_len[..., 0] < 1e-6
+            tgt = jnp.where(
+                degenerate[..., None], cur, tgt / jnp.maximum(tgt_len, 1e-12)
+            )
+            R = mu.rotate_stokes_basis(forward, cur, tgt)  # [N, 4, 4]
+            S = jnp.einsum("nij,njc->nic", R, S)
+
+        rgb = S[:, 0, :]
+        n = ray.o.shape[0]
+        out = jnp.concatenate(
+            [rgb, S.reshape(n, 4 * S.shape[-1])], axis=-1
+        )
+        return out, jnp.ones((n,), bool)

@@ -93,7 +93,9 @@ class Scene:
         valid = prim >= 0
         prim_c = jnp.maximum(prim, 0)
 
-        p = ray.o + ray.d * t[..., None]
+        # keep p finite on miss lanes (t = inf would poison gradients of any
+        # downstream expression even under where-masks)
+        p = ray.o + ray.d * jnp.where(valid, t, 1.0)[..., None]
         # ONE packed gather for all shading attributes
         attr = geo.tri_attr[prim_c]  # [N, 32]
         ng = attr[..., 0:3]

@@ -1,0 +1,70 @@
+"""Polarized transport tests: Mueller path tracer consistency + physics.
+
+Parity surface: src/integrators/stokes.cpp, stokes_fw.cpp, the polarized
+variant semantics of mueller.h."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mitsuba3_plt_tpu.config import RGB
+from mitsuba3_plt_tpu.integrators.common import render
+from mitsuba3_plt_tpu.integrators.path import PathIntegrator
+from mitsuba3_plt_tpu.integrators.stokes import StokesIntegrator
+from mitsuba3_plt_tpu.librender import mueller as mu
+from mitsuba3_plt_tpu.scene.presets import cornell_box
+
+
+def test_s0_matches_unpolarized_path():
+    scene, _ = cornell_box(16, 16)
+    img_s = np.asarray(
+        render(scene, StokesIntegrator().sample, seed=0, spp=16, cfg=RGB,
+               n_out_channels=15)
+    )
+    img_p = np.asarray(
+        render(scene, PathIntegrator(max_depth=6, rr_depth=5).sample,
+               seed=0, spp=16, cfg=RGB)
+    )
+    s0 = img_s[..., 3:6]
+    np.testing.assert_allclose(s0, img_p, rtol=1e-3, atol=1e-4)
+
+
+def test_diffuse_scene_unpolarized():
+    scene, _ = cornell_box(16, 16)
+    img = np.asarray(
+        render(scene, StokesIntegrator().sample, seed=0, spp=16, cfg=RGB,
+               n_out_channels=15)
+    )
+    s0 = img[..., 3:6]
+    s123 = img[..., 6:15]
+    assert np.abs(s123).max() < 1e-3 * max(s0.max(), 1.0)
+
+
+def test_dielectric_polarizes():
+    scene, _ = cornell_box(24, 24, box_material="dielectric")
+    img = np.asarray(
+        render(scene, StokesIntegrator().sample, seed=0, spp=24, cfg=RGB,
+               n_out_channels=15)
+    )
+    s0 = img[..., 3:6]
+    dop = np.sqrt(img[..., 6:9] ** 2 + img[..., 9:12] ** 2) / np.maximum(
+        s0, 1e-6
+    )
+    assert float(dop.max()) > 0.1  # Brewster-region reflections
+    # physical bound: DOP <= 1 wherever there is signal
+    assert float(dop[s0 > 1e-3].max()) <= 1.0 + 1e-3
+
+
+def test_conductor_mueller_vs_analytic():
+    # n = 0.2 + 3.9i at 45 deg (free-space side)
+    ct = jnp.asarray([np.cos(np.deg2rad(45.0))])
+    M = np.asarray(
+        mu.specular_reflection_conductor(ct, jnp.asarray([0.2]), jnp.asarray([3.9]))
+    )[0]
+    n_c = 0.2 + 3.9j
+    th = np.deg2rad(45)
+    cos_t = np.sqrt(1 - (np.sin(th) / n_c) ** 2)
+    r_s = (np.cos(th) - n_c * cos_t) / (np.cos(th) + n_c * cos_t)
+    r_p = (n_c * np.cos(th) - cos_t) / (n_c * np.cos(th) + cos_t)
+    Rs, Rp = abs(r_s) ** 2, abs(r_p) ** 2
+    assert abs(M[0, 0] - 0.5 * (Rs + Rp)) < 1e-4
+    assert abs(abs(M[0, 1]) - 0.5 * (Rs - Rp)) < 1e-4
