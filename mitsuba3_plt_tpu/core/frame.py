@@ -162,3 +162,12 @@ def refract(wi, cos_theta_t, eta_ti):
     return jnp.stack(
         [scale * wi[..., 0], scale * wi[..., 1], cos_theta_t], axis=-1
     )
+
+
+def refract_n(wi, n, cos_theta_t, eta_ti):
+    """Refraction about an arbitrary normal n (Mitsuba vector.h refract):
+    wo = n * (dot(wi, n) * eta_ti + cos_theta_t) - wi * eta_ti."""
+    return (
+        n * (dot(wi, n) * eta_ti + cos_theta_t)[..., None]
+        - wi * eta_ti[..., None]
+    )

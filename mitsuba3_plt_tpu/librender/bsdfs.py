@@ -37,7 +37,12 @@ from .bsdf import (
     BSDF_ROUGH_CONDUCTOR,
     BSDF_DIELECTRIC,
     BSDF_THIN_DIELECTRIC,
+    BSDF_ROUGH_DIELECTRIC,
     BSDF_PLASTIC,
+    BSDF_ROUGH_PLASTIC,
+    BSDF_MASK,
+    BSDF_POLARIZER,
+    BSDF_RETARDER,
     BSDF_ROUGH_GRATING,
 )
 
@@ -441,12 +446,490 @@ class Null:
         return jnp.zeros(si.wi.shape[0], jnp.float32)
 
 
+# ---------------------------------------------------------------------------
+# rough dielectric  (reference: src/bsdfs/roughdielectric.cpp)
+# ---------------------------------------------------------------------------
+
+class RoughDielectric:
+    @staticmethod
+    def sample(p, si, u1, u2, ctx, cfg, wavelengths):
+        n = si.wi.shape[0]
+        eta = p["eta_re"][..., 0]
+        cos_i = fr.cos_theta(si.wi)
+        au = p["alpha"][..., 0]
+        av = p["alpha"][..., 1]
+
+        # microfacet normal stays in the UPPER hemisphere; the signed cosine
+        # dot(wi, m) orients the Fresnel terms (reference roughdielectric.cpp)
+        flip = cos_i < 0
+        wi_up = jnp.where(flip[..., None], -si.wi, si.wi)
+        mvec, mpdf = mf.sample_vndf_ggx(wi_up, u2, au, av)
+
+        ct_m = fr.dot(si.wi, mvec)
+        F, cos_t, eta_it, eta_ti = fres.fresnel_dielectric(ct_m, eta)
+        sel_reflect = u1 <= F
+
+        wo_r = fr.reflect_n(si.wi, mvec)
+        wo_t = fr.refract_n(si.wi, mvec, cos_t, eta_ti)
+        wo = jnp.where(sel_reflect[..., None], wo_r, wo_t)
+        cos_o = fr.cos_theta(wo)
+
+        # jacobians of the half-vector mappings
+        dwh_dwo_r = 1.0 / jnp.maximum(4.0 * jnp.abs(fr.dot(wo_r, mvec)), 1e-12)
+        denom_t = fr.dot(si.wi, mvec) + eta_it * fr.dot(wo_t, mvec)
+        dwh_dwo_t = (
+            eta_it * eta_it * jnp.abs(fr.dot(wo_t, mvec))
+            / jnp.maximum(denom_t * denom_t, 1e-12)
+        )
+        pdf = mpdf * jnp.where(sel_reflect, F * dwh_dwo_r, (1 - F) * dwh_dwo_t)
+
+        # VNDF weight: G2/G1 (+ radiance compression for transmission)
+        G = mf.g_smith(si.wi, wo, mvec, au, av, mf.GGX)
+        G1 = mf.smith_g1(si.wi, mvec, au, av, mf.GGX)
+        w_scalar = G / jnp.maximum(G1, 1e-12)
+        factor = jnp.where(
+            sel_reflect, 1.0,
+            eta_ti * eta_ti if ctx.mode == TransportMode.Radiance else 1.0,
+        )
+        refl_c = eval_color(p, "base_color", cfg, wavelengths)
+        tran_c = eval_color(p, "transmittance", cfg, wavelengths)
+        color = jnp.where(sel_reflect[..., None], refl_c, tran_c)
+        value = depolarized(
+            color * (w_scalar * factor)[..., None], cfg
+        )
+
+        ok = (mpdf > 0) & jnp.where(
+            sel_reflect, cos_i * cos_o > 0, cos_i * cos_o < 0
+        )
+        bs = BSDFSample(
+            wo=wo,
+            pdf=pdf,
+            eta=jnp.where(sel_reflect, 1.0, eta_it),
+            sampled_type=jnp.where(
+                sel_reflect,
+                jnp.uint32(BSDFFlags.GlossyReflection),
+                jnp.uint32(BSDFFlags.GlossyTransmission),
+            ),
+            sampled_component=jnp.where(sel_reflect, 0, 1).astype(jnp.int32),
+        )
+        return bs, where_value(ok, value, zeros_value(n, cfg), cfg), ok
+
+    @staticmethod
+    def eval(p, si, wo, ctx, cfg, wavelengths):
+        n = si.wi.shape[0]
+        eta = p["eta_re"][..., 0]
+        cos_i = fr.cos_theta(si.wi)
+        cos_o = fr.cos_theta(wo)
+        au = p["alpha"][..., 0]
+        av = p["alpha"][..., 1]
+        reflect = cos_i * cos_o > 0
+
+        eta_l = jnp.where(cos_i > 0, eta, 1.0 / eta)
+        h_r = fr.normalize(si.wi + wo)
+        h_t = fr.normalize(si.wi + wo * eta_l[..., None])
+        h = jnp.where(reflect[..., None], h_r, h_t)
+        h = h * m.sign(fr.cos_theta(h))[..., None]
+
+        # micro/macro sidedness (reference roughdielectric.cpp): both
+        # directions must lie on the same side of the microsurface as of the
+        # macrosurface, else no microfacet maps wi -> wo
+        side_ok = (fr.dot(si.wi, h) * cos_i > 0) & (fr.dot(wo, h) * cos_o > 0)
+
+        F, _, eta_it, eta_ti = fres.fresnel_dielectric(fr.dot(si.wi, h), eta)
+        D = mf.ndf_eval(h, au, av, mf.GGX)
+        G = mf.g_smith(si.wi, wo, h, au, av, mf.GGX)
+
+        val_r = F * D * G / jnp.maximum(4.0 * jnp.abs(cos_i), 1e-12)
+        denom = fr.dot(si.wi, h) + eta_it * fr.dot(wo, h)
+        val_t = (
+            (1 - F) * D * G * eta_it * eta_it
+            * jnp.abs(fr.dot(si.wi, h) * fr.dot(wo, h))
+            / jnp.maximum(jnp.abs(cos_i) * denom * denom, 1e-12)
+        )
+        if ctx.mode == TransportMode.Radiance:
+            val_t = val_t * eta_ti * eta_ti
+        refl_c = eval_color(p, "base_color", cfg, wavelengths)
+        tran_c = eval_color(p, "transmittance", cfg, wavelengths)
+        scalar = jnp.where(reflect, val_r, val_t)
+        color = jnp.where(reflect[..., None], refl_c, tran_c)
+        val = depolarized(color * scalar[..., None], cfg)
+        ok = (D > 0) & (jnp.abs(cos_i) > 1e-6) & side_ok
+        return where_value(ok, val, zeros_value(n, cfg), cfg)
+
+    @staticmethod
+    def pdf(p, si, wo, ctx, cfg):
+        eta = p["eta_re"][..., 0]
+        cos_i = fr.cos_theta(si.wi)
+        cos_o = fr.cos_theta(wo)
+        au = p["alpha"][..., 0]
+        av = p["alpha"][..., 1]
+        reflect = cos_i * cos_o > 0
+        eta_l = jnp.where(cos_i > 0, eta, 1.0 / eta)
+        h_r = fr.normalize(si.wi + wo)
+        h_t = fr.normalize(si.wi + wo * eta_l[..., None])
+        h = jnp.where(reflect[..., None], h_r, h_t)
+        h = h * m.sign(fr.cos_theta(h))[..., None]
+
+        side_ok = (fr.dot(si.wi, h) * cos_i > 0) & (fr.dot(wo, h) * cos_o > 0)
+
+        F, _, eta_it, _ = fres.fresnel_dielectric(fr.dot(si.wi, h), eta)
+        flip = cos_i < 0
+        wi_up = jnp.where(flip[..., None], -si.wi, si.wi)
+        mpdf = mf.pdf_vndf(wi_up, h, au, av, mf.GGX)
+        dwh_r = 1.0 / jnp.maximum(4.0 * jnp.abs(fr.dot(wo, h)), 1e-12)
+        denom = fr.dot(si.wi, h) + eta_it * fr.dot(wo, h)
+        dwh_t = (
+            eta_it * eta_it * jnp.abs(fr.dot(wo, h))
+            / jnp.maximum(denom * denom, 1e-12)
+        )
+        pdf = mpdf * jnp.where(reflect, F * dwh_r, (1 - F) * dwh_t)
+        return jnp.where(side_ok, pdf, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# thin dielectric  (reference: src/bsdfs/thindielectric.cpp)
+# ---------------------------------------------------------------------------
+
+class ThinDielectric:
+    @staticmethod
+    def sample(p, si, u1, u2, ctx, cfg, wavelengths):
+        n = si.wi.shape[0]
+        eta = p["eta_re"][..., 0]
+        cos_i = fr.cos_theta(si.wi)
+        F, _, _, _ = fres.fresnel_dielectric(jnp.abs(cos_i), eta)
+        # account for internal bounces: R' = R + TRT + ... = 2R/(1+R)
+        R = jnp.clip(2.0 * F / (1.0 + jnp.maximum(F, 1e-9)), 0.0, 1.0)
+        sel_reflect = u1 <= R
+        wo = jnp.where(sel_reflect[..., None], fr.reflect(si.wi), -si.wi)
+        refl_c = eval_color(p, "base_color", cfg, wavelengths)
+        tran_c = eval_color(p, "transmittance", cfg, wavelengths)
+        value = depolarized(
+            jnp.where(sel_reflect[..., None], refl_c, tran_c), cfg
+        )
+        bs = BSDFSample(
+            wo=wo,
+            pdf=jnp.where(sel_reflect, R, 1.0 - R),
+            eta=jnp.ones((n,), jnp.float32),
+            sampled_type=jnp.where(
+                sel_reflect,
+                jnp.uint32(BSDFFlags.DeltaReflection),
+                jnp.uint32(BSDFFlags.Null),
+            ),
+            sampled_component=jnp.where(sel_reflect, 0, 1).astype(jnp.int32),
+        )
+        return bs, value, jnp.ones((n,), bool)
+
+    @staticmethod
+    def eval(p, si, wo, ctx, cfg, wavelengths):
+        return zeros_value(si.wi.shape[0], cfg)
+
+    @staticmethod
+    def pdf(p, si, wo, ctx, cfg):
+        return jnp.zeros(si.wi.shape[0], jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# plastic (smooth)  (reference: src/bsdfs/plastic.cpp)
+# ---------------------------------------------------------------------------
+
+class Plastic:
+    @staticmethod
+    def _weights(p, cos_i):
+        eta = p["eta_re"][..., 0]
+        F_i, _, _, _ = fres.fresnel_dielectric(cos_i, eta)
+        # internal diffuse reflectance for the nonlinear interreflection term
+        fdr_int = fres.fresnel_diffuse_reflectance(1.0 / eta)
+        return eta, F_i, fdr_int
+
+    @staticmethod
+    def sample(p, si, u1, u2, ctx, cfg, wavelengths):
+        n = si.wi.shape[0]
+        cos_i = fr.cos_theta(si.wi)
+        active = cos_i > 0
+        eta, F_i, fdr_int = Plastic._weights(p, cos_i)
+        spec_w = F_i
+        prob_spec = spec_w  # sampling weight split per reference defaults
+        sel_spec = u1 < prob_spec
+
+        wo_spec = fr.reflect(si.wi)
+        wo_diff = warp.square_to_cosine_hemisphere(u2)
+        wo = jnp.where(sel_spec[..., None], wo_spec, wo_diff)
+        cos_o = fr.cos_theta(wo)
+        F_o, _, _, _ = fres.fresnel_dielectric(cos_o, eta)
+
+        diff = eval_color(p, "base_color", cfg, wavelengths)
+        inv_eta2 = 1.0 / (eta * eta)
+        diff_val = (
+            diff / jnp.maximum(1.0 - diff * fdr_int[..., None], 1e-6)
+            * (inv_eta2 * (1.0 - F_i) * (1.0 - F_o))[..., None]
+        )
+        pdf_diff = warp.square_to_cosine_hemisphere_pdf(wo) * (1.0 - prob_spec)
+        # specular lane: weight = F / prob = 1 (color via spec reflectance=1)
+        w_spec = jnp.ones((n, cfg.n_channels), jnp.float32)
+        # diffuse lane: f*cos/pdf = diff_val / (1 - prob_spec)
+        w_diff = diff_val / jnp.maximum((1.0 - prob_spec)[..., None], 1e-6)
+        value = jnp.where(sel_spec[..., None], w_spec, w_diff)
+        value = depolarized(value, cfg)
+
+        bs = BSDFSample(
+            wo=wo,
+            pdf=jnp.where(sel_spec, prob_spec, pdf_diff),
+            eta=jnp.ones((n,), jnp.float32),
+            sampled_type=jnp.where(
+                sel_spec,
+                jnp.uint32(BSDFFlags.DeltaReflection),
+                jnp.uint32(BSDFFlags.DiffuseReflection),
+            ),
+            sampled_component=jnp.where(sel_spec, 0, 1).astype(jnp.int32),
+        )
+        ok = active & (cos_o > 0)
+        return bs, where_value(ok, value, zeros_value(n, cfg), cfg), ok
+
+    @staticmethod
+    def eval(p, si, wo, ctx, cfg, wavelengths):
+        n = si.wi.shape[0]
+        cos_i = fr.cos_theta(si.wi)
+        cos_o = fr.cos_theta(wo)
+        active = (cos_i > 0) & (cos_o > 0)
+        eta, F_i, fdr_int = Plastic._weights(p, cos_i)
+        F_o, _, _, _ = fres.fresnel_dielectric(cos_o, eta)
+        diff = eval_color(p, "base_color", cfg, wavelengths)
+        inv_eta2 = 1.0 / (eta * eta)
+        val = (
+            diff / jnp.maximum(1.0 - diff * fdr_int[..., None], 1e-6)
+            * (m.InvPi * cos_o * inv_eta2 * (1.0 - F_i) * (1.0 - F_o))[..., None]
+        )
+        return where_value(active, depolarized(val, cfg),
+                           zeros_value(n, cfg), cfg)
+
+    @staticmethod
+    def pdf(p, si, wo, ctx, cfg):
+        cos_i = fr.cos_theta(si.wi)
+        cos_o = fr.cos_theta(wo)
+        eta = p["eta_re"][..., 0]
+        F_i, _, _, _ = fres.fresnel_dielectric(cos_i, eta)
+        pdf = warp.square_to_cosine_hemisphere_pdf(wo) * (1.0 - F_i)
+        return jnp.where((cos_i > 0) & (cos_o > 0), pdf, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# rough plastic  (reference: src/bsdfs/roughplastic.cpp) — GGX coat + diffuse
+# ---------------------------------------------------------------------------
+
+class RoughPlastic:
+    @staticmethod
+    def sample(p, si, u1, u2, ctx, cfg, wavelengths):
+        n = si.wi.shape[0]
+        cos_i = fr.cos_theta(si.wi)
+        active = cos_i > 0
+        eta = p["eta_re"][..., 0]
+        au = p["alpha"][..., 0]
+        av = p["alpha"][..., 1]
+        F_i, _, _, _ = fres.fresnel_dielectric(cos_i, eta)
+        prob_spec = F_i
+
+        sel_spec = u1 < prob_spec
+        mvec, mpdf = mf.sample_vndf_ggx(
+            jnp.where((cos_i < 0)[..., None], -si.wi, si.wi), u2, au, av
+        )
+        wo_spec = fr.reflect_n(si.wi, mvec)
+        wo_diff = warp.square_to_cosine_hemisphere(u2)
+        wo = jnp.where(sel_spec[..., None], wo_spec, wo_diff)
+        cos_o = fr.cos_theta(wo)
+        ok = active & (cos_o > 0)
+
+        val = RoughPlastic.eval(p, si, wo, ctx, cfg, wavelengths)
+        pdf = RoughPlastic.pdf(p, si, wo, ctx, cfg)
+        weight = mul_value(
+            val,
+            jnp.broadcast_to(
+                jnp.where(pdf > 0, 1.0 / jnp.maximum(pdf, 1e-20), 0.0)[..., None],
+                (n, cfg.n_channels),
+            ),
+            cfg,
+        )
+        bs = BSDFSample(
+            wo=wo,
+            pdf=pdf,
+            eta=jnp.ones((n,), jnp.float32),
+            sampled_type=jnp.where(
+                sel_spec,
+                jnp.uint32(BSDFFlags.GlossyReflection),
+                jnp.uint32(BSDFFlags.DiffuseReflection),
+            ),
+            sampled_component=jnp.where(sel_spec, 0, 1).astype(jnp.int32),
+        )
+        ok = ok & (pdf > 0)
+        return bs, where_value(ok, weight, zeros_value(n, cfg), cfg), ok
+
+    @staticmethod
+    def eval(p, si, wo, ctx, cfg, wavelengths):
+        n = si.wi.shape[0]
+        cos_i = fr.cos_theta(si.wi)
+        cos_o = fr.cos_theta(wo)
+        active = (cos_i > 0) & (cos_o > 0)
+        eta = p["eta_re"][..., 0]
+        au = p["alpha"][..., 0]
+        av = p["alpha"][..., 1]
+        h = fr.normalize(si.wi + wo)
+        F, _, _, _ = fres.fresnel_dielectric(fr.dot(si.wi, h), eta)
+        D = mf.ndf_eval(h, au, av, mf.GGX)
+        G = mf.g_smith(si.wi, wo, h, au, av, mf.GGX)
+        spec = F * D * G / jnp.maximum(4.0 * cos_i, 1e-12)
+
+        F_i, _, _, _ = fres.fresnel_dielectric(cos_i, eta)
+        F_o, _, _, _ = fres.fresnel_dielectric(cos_o, eta)
+        fdr_int = fres.fresnel_diffuse_reflectance(1.0 / eta)
+        diff = eval_color(p, "base_color", cfg, wavelengths)
+        inv_eta2 = 1.0 / (eta * eta)
+        diff_val = (
+            diff / jnp.maximum(1.0 - diff * fdr_int[..., None], 1e-6)
+            * (m.InvPi * cos_o * inv_eta2 * (1.0 - F_i) * (1.0 - F_o))[..., None]
+        )
+        val = depolarized(spec[..., None] * jnp.ones((n, cfg.n_channels)) + diff_val, cfg)
+        return where_value(active, val, zeros_value(n, cfg), cfg)
+
+    @staticmethod
+    def pdf(p, si, wo, ctx, cfg):
+        cos_i = fr.cos_theta(si.wi)
+        cos_o = fr.cos_theta(wo)
+        active = (cos_i > 0) & (cos_o > 0)
+        eta = p["eta_re"][..., 0]
+        au = p["alpha"][..., 0]
+        av = p["alpha"][..., 1]
+        F_i, _, _, _ = fres.fresnel_dielectric(cos_i, eta)
+        h = fr.normalize(si.wi + wo)
+        mpdf = mf.pdf_vndf(si.wi, h, au, av, mf.GGX)
+        pdf_spec = mpdf / jnp.maximum(4.0 * jnp.abs(fr.dot(wo, h)), 1e-12)
+        pdf_diff = warp.square_to_cosine_hemisphere_pdf(wo)
+        pdf = F_i * pdf_spec + (1.0 - F_i) * pdf_diff
+        return jnp.where(active, pdf, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# mask (opacity blend with null transmission) — reference src/bsdfs/mask.cpp
+# nested BSDF rides in `nested_idx`; opacity in `weight`.
+# ---------------------------------------------------------------------------
+
+class MaskBSDF:
+    @staticmethod
+    def sample(p, si, u1, u2, ctx, cfg, wavelengths):
+        n = si.wi.shape[0]
+        opacity = p["weight"]
+        sel_pass = u1 >= opacity
+        # nested diffuse fallback (full nested dispatch happens at the
+        # dispatcher level via nested parameter remapping)
+        u1n = jnp.where(sel_pass, 0.0, u1 / jnp.maximum(opacity, 1e-6))
+        bs_n, val_n, ok_n = Diffuse.sample(p, si, u1n, u2, ctx, cfg, wavelengths)
+        wo = jnp.where(sel_pass[..., None], -si.wi, bs_n.wo)
+        one = jnp.ones((n, cfg.n_channels), jnp.float32)
+        value = where_value(sel_pass, depolarized(one, cfg), val_n, cfg)
+        bs = BSDFSample(
+            wo=wo,
+            pdf=jnp.where(sel_pass, 1.0 - opacity, bs_n.pdf * opacity),
+            eta=jnp.ones((n,), jnp.float32),
+            sampled_type=jnp.where(
+                sel_pass, jnp.uint32(BSDFFlags.Null), bs_n.sampled_type
+            ),
+            sampled_component=jnp.where(sel_pass, 0, bs_n.sampled_component),
+        )
+        ok = jnp.where(sel_pass, jnp.ones((n,), bool), ok_n)
+        return bs, value, ok
+
+    @staticmethod
+    def eval(p, si, wo, ctx, cfg, wavelengths):
+        opacity = p["weight"]
+        val = Diffuse.eval(p, si, wo, ctx, cfg, wavelengths)
+        return mul_value(
+            val, jnp.broadcast_to(opacity[..., None], (si.wi.shape[0], cfg.n_channels)), cfg
+        )
+
+    @staticmethod
+    def pdf(p, si, wo, ctx, cfg):
+        return Diffuse.pdf(p, si, wo, ctx, cfg) * p["weight"]
+
+
+# ---------------------------------------------------------------------------
+# ideal polarizer / retarder — reference src/bsdfs/{polarizer,retarder}.cpp
+# (transmissive polarization elements; `weight` = element angle in degrees)
+# ---------------------------------------------------------------------------
+
+class Polarizer:
+    @staticmethod
+    def sample(p, si, u1, u2, ctx, cfg, wavelengths):
+        n = si.wi.shape[0]
+        wo = -si.wi
+        theta = jnp.deg2rad(p["weight"])
+        refl = eval_color(p, "base_color", cfg, wavelengths)  # transmittance
+        if cfg.polarized:
+            M = mu.rotated_element(theta, mu.linear_polarizer(jnp.ones_like(theta)))
+            M = jnp.broadcast_to(M[..., None], (n, 4, 4, cfg.n_channels))
+            value = mul_value(M, refl, cfg)
+        else:
+            value = 0.5 * refl
+        bs = BSDFSample(
+            wo=wo,
+            pdf=jnp.ones((n,), jnp.float32),
+            eta=jnp.ones((n,), jnp.float32),
+            sampled_type=jnp.full((n,), BSDFFlags.Null, jnp.uint32),
+            sampled_component=jnp.zeros((n,), jnp.int32),
+        )
+        return bs, value, jnp.ones((n,), bool)
+
+    @staticmethod
+    def eval(p, si, wo, ctx, cfg, wavelengths):
+        return zeros_value(si.wi.shape[0], cfg)
+
+    @staticmethod
+    def pdf(p, si, wo, ctx, cfg):
+        return jnp.zeros(si.wi.shape[0], jnp.float32)
+
+
+class Retarder:
+    @staticmethod
+    def sample(p, si, u1, u2, ctx, cfg, wavelengths):
+        n = si.wi.shape[0]
+        wo = -si.wi
+        theta = jnp.deg2rad(p["weight"])
+        delta = jnp.deg2rad(p["grt_height"])  # phase delay reuses a slot
+        refl = eval_color(p, "base_color", cfg, wavelengths)
+        if cfg.polarized:
+            M = mu.rotated_element(theta, mu.linear_retarder(delta))
+            M = jnp.broadcast_to(M[..., None], (n, 4, 4, cfg.n_channels))
+            value = mul_value(M, refl, cfg)
+        else:
+            value = refl
+        bs = BSDFSample(
+            wo=wo,
+            pdf=jnp.ones((n,), jnp.float32),
+            eta=jnp.ones((n,), jnp.float32),
+            sampled_type=jnp.full((n,), BSDFFlags.Null, jnp.uint32),
+            sampled_component=jnp.zeros((n,), jnp.int32),
+        )
+        return bs, value, jnp.ones((n,), bool)
+
+    @staticmethod
+    def eval(p, si, wo, ctx, cfg, wavelengths):
+        return zeros_value(si.wi.shape[0], cfg)
+
+    @staticmethod
+    def pdf(p, si, wo, ctx, cfg):
+        return jnp.zeros(si.wi.shape[0], jnp.float32)
+
+
 IMPLS = {
     BSDF_NULL: Null,
     BSDF_DIFFUSE: Diffuse,
     BSDF_CONDUCTOR: Conductor,
     BSDF_ROUGH_CONDUCTOR: RoughConductor,
     BSDF_DIELECTRIC: Dielectric,
+    BSDF_ROUGH_DIELECTRIC: RoughDielectric,
+    BSDF_THIN_DIELECTRIC: ThinDielectric,
+    BSDF_PLASTIC: Plastic,
+    BSDF_ROUGH_PLASTIC: RoughPlastic,
+    BSDF_MASK: MaskBSDF,
+    BSDF_POLARIZER: Polarizer,
+    BSDF_RETARDER: Retarder,
 }
 
 

@@ -124,6 +124,27 @@ def fresnel_conductor(cos_theta_i, eta_re, eta_im):
 
 # --- polarized Fresnel (complex amplitudes) ----------------------------------
 
+def fresnel_diffuse_reflectance(eta):
+    """Average dielectric Fresnel reflectance for a diffusely-lit surface
+    (Egan & Hilgeman fit, same polynomial the reference uses in
+    include/mitsuba/render/fresnel.h fresnel_diffuse_reflectance)."""
+    eta = jnp.asarray(eta, jnp.float32)
+    inv_eta = 1.0 / eta
+    inv2 = inv_eta * inv_eta
+    inv3 = inv2 * inv_eta
+    inv4 = inv3 * inv_eta
+    inv5 = inv4 * inv_eta
+    above = (
+        0.919317 - 3.4793 * inv_eta + 6.75335 * inv2
+        - 7.80989 * inv3 + 4.98554 * inv4 - 1.36881 * inv5
+    )
+    below = (
+        -9.23372 + 22.2272 * eta - 20.9292 * eta * eta
+        + 10.2291 * eta ** 3 - 2.54396 * eta ** 4 + 0.254913 * eta ** 5
+    )
+    return jnp.where(eta >= 1.0, above, below)
+
+
 def fresnel_polarized_dielectric(cos_theta_i, eta):
     """Real-eta polarized Fresnel. Returns (a_s, a_p, cos_theta_t, eta_it, eta_ti)
     with a_s/a_p complex pairs (the imaginary part carries the TIR phase)."""
