@@ -90,6 +90,84 @@ class Sampler:
     fork_traced = fork
 
 
+# ---------------------------------------------------------------------------
+# Stratified / correlated multi-jittered pixel sampling (the role of the
+# reference's stratified/multijitter/orthogonal sampler plugins,
+# src/samplers/). Only the camera dimensions benefit from stratification in a
+# wavefront renderer; bounce dims stay independent (pure counter hashes).
+# Algorithm: Kensler, "Correlated Multi-Jittered Sampling" (Pixar TM 13-01).
+# ---------------------------------------------------------------------------
+
+def _cmj_permute(i, l, p):
+    """Kensler's cycle-walking pseudorandom permutation of [0, l)."""
+    i = jnp.asarray(i, U32)
+    l = jnp.asarray(l, U32)
+    p = jnp.asarray(p, U32)
+    w = l - U32(1)
+    w = w | (w >> U32(1))
+    w = w | (w >> U32(2))
+    w = w | (w >> U32(4))
+    w = w | (w >> U32(8))
+    w = w | (w >> U32(16))
+
+    def body(state):
+        i, _ = state
+        i = i ^ p
+        i = i * U32(0xE170893D)
+        i = i ^ (p >> U32(16))
+        i = i ^ ((i & w) >> U32(4))
+        i = i ^ (p >> U32(8))
+        i = i * U32(0x0929EB3F)
+        i = i ^ (p >> U32(23))
+        i = i ^ ((i & w) >> U32(1))
+        i = i * (U32(1) | (p >> U32(27)))
+        i = i * U32(0x6935FA69)
+        i = i ^ ((i & w) >> U32(11))
+        i = i * U32(0x74DCCA9A)
+        i = i ^ ((i & w) >> U32(2))
+        i = i * U32(0x9E501CC3)
+        i = i ^ ((i & w) >> U32(2))
+        i = i * U32(0xC860A3DF)
+        i = i & w
+        i = i ^ (i >> U32(5))
+        return i, i >= l
+
+    # fixed 4 rounds of cycle-walking cover all practical l
+    i, again = body((i, jnp.ones_like(i, bool)))
+    for _ in range(3):
+        i2, again2 = body((i, again))
+        i = jnp.where(again, i2, i)
+        again = again & again2
+    return (i + p) % l
+
+
+def _cmj_randfloat(i, p):
+    bits = _pcg_hash(hash_combine(jnp.asarray(i, U32), jnp.asarray(p, U32)))
+    return (bits >> U32(8)).astype(jnp.float32) * jnp.float32(1.0 / 16777216.0)
+
+
+def cmj_sample_2d(s, spp: int, pattern):
+    """Correlated multi-jittered 2D sample s of spp for pattern id `pattern`
+    (a u32 array broadcastable with s). spp is static."""
+    import math
+
+    m = max(int(math.sqrt(spp)), 1)
+    n = (spp + m - 1) // m
+    s = _cmj_permute(s, spp, pattern * U32(0x51633E2D))
+    sx = _cmj_permute(s % m, m, pattern * U32(0x68BC21EB))
+    sy = _cmj_permute(s // m, n, pattern * U32(0x02E5BE93))
+    jx = _cmj_randfloat(s, pattern * U32(0x967A889B))
+    jy = _cmj_randfloat(s, pattern * U32(0x368CC8B7))
+    x = (sx.astype(jnp.float32) + (sy.astype(jnp.float32) + jx) / n) / m
+    y = (s.astype(jnp.float32) + jy) / spp
+    return jnp.stack([x, y], axis=-1)
+
+
+SAMPLER_INDEPENDENT = "independent"
+SAMPLER_STRATIFIED = "stratified"
+SAMPLER_MULTIJITTER = "multijitter"
+
+
 # Fixed dimension-allocation map for the path/PLT integrators. Each bounce gets
 # a static stride of dimensions so sample/replay phases agree by construction.
 DIMS_PER_BOUNCE = 12

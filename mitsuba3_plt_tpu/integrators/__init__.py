@@ -14,6 +14,15 @@ def make_integrator(cfg: dict):
         from .aov import DepthIntegrator
 
         return DepthIntegrator()
+    if t == "aov":
+        from .aov import AOVIntegrator
+
+        return AOVIntegrator()
+    if t == "moment":
+        from .aov import MomentIntegrator
+
+        inner = make_integrator(cfg.get("nested", {"type": "path"}))
+        return MomentIntegrator(inner=inner)
     if t in ("plt",):
         from .plt import PLTIntegrator
 

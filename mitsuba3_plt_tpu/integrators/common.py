@@ -22,18 +22,27 @@ from ..librender.records import Ray
 
 
 def sample_rays(scene, sampler: Sampler, width, height, spp_pass, cfg: RenderConfig,
-                lane_offset=0):
+                lane_offset=0, sampler_type: str = "independent"):
     """Build the camera wavefront: one lane per (pixel, sample).
 
+    sampler_type: "independent" (counter hash) or "stratified"/"multijitter"
+    (correlated multi-jittered pixel positions, src/samplers/ role).
     Returns (ray, pos_uv [N,2], wavelengths [N,C] or None, wl_weight or None).
     """
+    from ..core.rng import cmj_sample_2d, hash_combine
+
     n = width * height * spp_pass
     lane = jnp.arange(n, dtype=jnp.uint32)
     pix = (lane // spp_pass).astype(jnp.uint32)
     px = (pix % width).astype(jnp.float32)
     py = (pix // width).astype(jnp.float32)
 
-    jitter = sampler.next_2d(DIM_CAMERA)
+    if sampler_type in ("stratified", "multijitter") and spp_pass > 1:
+        s_idx = (lane % spp_pass).astype(jnp.uint32)
+        pattern = hash_combine(sampler.seed, pix)
+        jitter = cmj_sample_2d(s_idx, spp_pass, pattern)
+    else:
+        jitter = sampler.next_2d(DIM_CAMERA)
     uv = jnp.stack(
         [(px + jitter[..., 0]) / width, (py + jitter[..., 1]) / height], axis=-1
     )
@@ -65,6 +74,7 @@ def render(
     spp_per_pass: int | None = None,
     rfilter: int = FILTER_BOX,
     n_out_channels: int | None = None,
+    sampler_type: str = "independent",
 ):
     """Render orchestration: loops spp passes on host, jits the per-pass
     megakernel, accumulates an ImageBlock, develops to [H, W, C].
@@ -84,7 +94,8 @@ def render(
         sampler = Sampler.create(seed, width * height * spp_per_pass)
         sampler = sampler.fork(pass_idx)
         ray, uv, wavelengths, wl_weight = sample_rays(
-            scene, sampler, width, height, spp_per_pass, cfg
+            scene, sampler, width, height, spp_per_pass, cfg,
+            sampler_type=sampler_type,
         )
         values, valid = integrator_sample(scene, sampler, ray, wavelengths, cfg)
         if cfg.spectral:

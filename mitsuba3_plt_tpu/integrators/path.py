@@ -73,18 +73,22 @@ class PathIntegrator:
                 em_pdf = em_mod.pdf_emitter_direction(em, geo, prev_p, ds_hit)
                 em_pdf = jnp.where(prev_delta, 0.0, em_pdf)
                 mis_bsdf = mis_weight(prev_pdf, em_pdf)
-                e_val = em_mod.eval_emitter(
-                    em, si.emitter_idx, ds_hit.d, ds_hit.dist, hit_emitter
+                e_val = em_mod.emitter_value(
+                    em, si.emitter_idx, ds_hit.d, ds_hit.dist, hit_emitter,
+                    cfg, wavelengths,
                 )
-                e_val = _to_channels(e_val, cfg)
+                if not cfg.spectral:
+                    e_val = _to_channels(e_val, cfg)
                 L = L + beta * e_val * jnp.where(hit_emitter, mis_bsdf, 0.0)[..., None]
 
                 # escaped -> environment
                 escaped = active & ~si.valid
                 if scene.env_emitter >= 0:
                     env_val = _to_channels(em_mod.eval_env(em, ray_d), cfg)
-                    # MIS vs constant-emitter direction pdf
-                    env_pdf = jnp.where(prev_delta, 0.0, mth.InvFourPi / em.count)
+                    # MIS vs the environment emitter's NEE pdf
+                    env_pdf = jnp.where(
+                        prev_delta, 0.0, em_mod.escape_pdf(em, ray_d)
+                    )
                     mis_env = mis_weight(prev_pdf, env_pdf)
                     L = L + beta * env_val * jnp.where(escaped, mis_env, 0.0)[..., None]
 
@@ -116,8 +120,11 @@ class PathIntegrator:
                     ctx, cfg, wavelengths,
                 )
                 mis_em = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, bsdf_pdf))
-                e_val = em_mod.eval_emitter(em, ds.emitter_idx, ds.d, ds.dist, vis)
-                e_val = _to_channels(e_val, cfg)
+                e_val = em_mod.emitter_value(
+                    em, ds.emitter_idx, ds.d, ds.dist, vis, cfg, wavelengths
+                )
+                if not cfg.spectral:
+                    e_val = _to_channels(e_val, cfg)
                 contrib = beta * bsdf_val * e_val * (
                     mis_em / jnp.maximum(ds.pdf, 1e-20)
                 )[..., None]

@@ -98,17 +98,23 @@ class PLTIntegrator:
     max_angular_spread: float = 1e-7
 
     # ------------------------------------------------------------------
-    def sample_phase(self, scene, sampler: Sampler, ray: Ray, cfg: RenderConfig):
-        """Backward walk recording the bounce buffer (plt.py:50-171)."""
+    def sample_phase(self, scene, sampler: Sampler, ray: Ray, cfg: RenderConfig,
+                     wavelengths=None):
+        """Backward walk recording the bounce buffer (plt.py:50-171).
+
+        wavelengths: optional externally-sampled hero wavelengths [N, C]
+        (spectral mode); otherwise PLT samples its own in
+        [CIE_MIN, CIE_MAX-150] (reference plt.py:65-70)."""
         n = ray.o.shape[0]
         C = cfg.n_channels
         ctx = BSDFContext()
 
-        # sampling wavelengths in [CIE_MIN, CIE_MAX-150]
-        u_wl = jnp.stack(
-            [sampler.next_1d(DIM_WAVELENGTH + i) for i in range(C)], axis=-1
-        )
-        wavelengths = wb.sample_plt_wavelengths(u_wl, C)
+        if wavelengths is None:
+            u_wl = jnp.stack(
+                [sampler.next_1d(DIM_WAVELENGTH + i) for i in range(C)],
+                axis=-1,
+            )
+            wavelengths = wb.sample_plt_wavelengths(u_wl, C)
 
         def body(carry, b):
             ray_o, ray_d, active, last_nd_pdf, prev_delta = carry
@@ -216,14 +222,16 @@ class PLTIntegrator:
         L = jnp.zeros((n, C), jnp.float32)
         for i in range(D):
             b_i = jax.tree.map(lambda x: x[i], bounces)
-            L = L + self._emissive_term(scene, bounces, b_i, i, alpha[i], cfg)
+            L = L + self._emissive_term(
+                scene, bounces, b_i, i, alpha[i], wavelengths, cfg
+            )
             L = L + self._nee_term(
                 scene, sampler, b_i, i, alpha[i], wavelengths, cfg
             )
         return L
 
     # ------------------------------------------------------------------
-    def _emissive_term(self, scene, bounces, b_i, i, alpha_i, cfg):
+    def _emissive_term(self, scene, bounces, b_i, i, alpha_i, wavelengths, cfg):
         """Emissive-hit replay (plt.py:315-405)."""
         em = scene.emitters
         geo = scene.geo
@@ -252,10 +260,12 @@ class PLTIntegrator:
         mis_bsdf = mis_weight(b_i.last_nd_pdf, em_pdf)
 
         facing = fr.cos_theta(b_i.wi) > 0
-        e_val = em_mod.eval_emitter(
-            em, b_i.emitter_idx, ds.d, ds.dist, active & facing
+        e_val = em_mod.emitter_value(
+            em, b_i.emitter_idx, ds.d, ds.dist, active & facing, cfg,
+            wavelengths,
         )
-        e_val = _to_channels(e_val, cfg)
+        if not cfg.spectral:
+            e_val = _to_channels(e_val, cfg)
         contrib = e_val * alpha_i * mis_bsdf[..., None]
         return jnp.where((active & facing)[..., None], contrib, 0.0)
 
@@ -311,23 +321,25 @@ class PLTIntegrator:
             bsdf_pdf = bsdf_pdf[..., 0]
         mis_em = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, bsdf_pdf))
 
-        e_val = em_mod.eval_emitter(em, ds.emitter_idx, ds.d, ds.dist, vis)
-        e_val = _to_channels(e_val, cfg)
+        e_val = em_mod.emitter_value(
+            em, ds.emitter_idx, ds.d, ds.dist, vis, cfg, wavelengths
+        )
+        if not cfg.spectral:
+            e_val = _to_channels(e_val, cfg)
         em_weight = e_val / jnp.maximum(ds.pdf, 1e-20)[..., None]
         contrib = em_weight * bsdf_val * alpha_i * mis_em[..., None]
         return jnp.where(vis[..., None], contrib, 0.0)
 
     # ------------------------------------------------------------------
     def sample(self, scene, sampler: Sampler, ray: Ray, wavelengths, cfg: RenderConfig):
-        """ADIntegrator-compatible entry (plt.py:493-529). The `wavelengths`
-        argument from the wavefront builder is ignored — PLT samples its own
-        (plt.py:65-70)."""
-        bounces, wl = self.sample_phase(scene, sampler, ray, cfg)
+        """ADIntegrator-compatible entry (plt.py:493-529). In spectral mode
+        the camera-sampled hero wavelengths are used (so the standard
+        spectral->XYZ conversion applies); in RGB mode PLT samples its own
+        per-channel wavelengths (plt.py:65-70)."""
+        bounces, wl = self.sample_phase(
+            scene, sampler, ray, cfg,
+            wavelengths=wavelengths if cfg.spectral else None,
+        )
         L = self.solve_phase(scene, sampler, bounces, wl, cfg)
         n = ray.o.shape[0]
-        if cfg.spectral:
-            # hero-wavelength conversion happens in the render loop; report
-            # the PLT sampling wavelengths by returning them via closure-free
-            # contract: caller uses uniform-pdf weights
-            pass
         return L, jnp.ones((n,), bool)

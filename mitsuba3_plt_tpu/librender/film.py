@@ -18,6 +18,61 @@ import jax.numpy as jnp
 
 FILTER_BOX = 0
 FILTER_GAUSSIAN = 1
+FILTER_TENT = 2
+FILTER_MITCHELL = 3
+FILTER_CATMULLROM = 4
+FILTER_LANCZOS = 5
+
+FILTER_RADIUS = {
+    FILTER_BOX: 1,
+    FILTER_GAUSSIAN: 2,
+    FILTER_TENT: 1,
+    FILTER_MITCHELL: 2,
+    FILTER_CATMULLROM: 2,
+    FILTER_LANCZOS: 3,
+}
+
+FILTER_NAMES = {
+    "box": FILTER_BOX, "gaussian": FILTER_GAUSSIAN, "tent": FILTER_TENT,
+    "mitchell": FILTER_MITCHELL, "catmullrom": FILTER_CATMULLROM,
+    "lanczos": FILTER_LANCZOS,
+}
+
+
+def _mitchell_1d(x, B, C):
+    x = jnp.abs(x)
+    x2 = x * x
+    x3 = x2 * x
+    inner = (
+        (12 - 9 * B - 6 * C) * x3 + (-18 + 12 * B + 6 * C) * x2 + (6 - 2 * B)
+    ) * (1.0 / 6.0)
+    outer = (
+        (-B - 6 * C) * x3 + (6 * B + 30 * C) * x2 + (-12 * B - 48 * C) * x
+        + (8 * B + 24 * C)
+    ) * (1.0 / 6.0)
+    return jnp.where(x < 1.0, inner, jnp.where(x < 2.0, outer, 0.0))
+
+
+def filter_eval(rfilter: int, x):
+    """1D reconstruction filter value at offset x (pixels)."""
+    if rfilter == FILTER_GAUSSIAN:
+        sigma2 = 1.0  # radius/2 with radius 2
+        v = jnp.exp(-0.5 * x * x / sigma2) - jnp.exp(-2.0 / sigma2)
+        return jnp.maximum(v, 0.0)
+    if rfilter == FILTER_TENT:
+        return jnp.maximum(1.0 - jnp.abs(x), 0.0)
+    if rfilter == FILTER_MITCHELL:
+        return _mitchell_1d(x, 1.0 / 3.0, 1.0 / 3.0)
+    if rfilter == FILTER_CATMULLROM:
+        return _mitchell_1d(x, 0.0, 0.5)
+    if rfilter == FILTER_LANCZOS:
+        ax = jnp.abs(x)
+        pix = jnp.pi * jnp.where(ax > 1e-6, x, 1.0)
+        sinc = jnp.where(ax > 1e-6, jnp.sin(pix) / pix, 1.0)
+        pix3 = pix / 3.0
+        sinc3 = jnp.where(ax > 1e-6, jnp.sin(pix3) / pix3, 1.0)
+        return jnp.where(ax < 3.0, sinc * sinc3, 0.0)
+    return jnp.where(jnp.abs(x) <= 0.5, 1.0, 0.0)  # box
 
 
 @jax.tree_util.register_dataclass
@@ -64,24 +119,22 @@ class ImageBlock:
             data = self.data.at[flat].add(payload, mode="drop")
             return dataclasses.replace(self, data=data)
 
-        # gaussian: 4x4 neighborhood, sigma = radius/2 with radius 2
-        radius = 2
-        sigma2 = (radius / 2.0) ** 2
+        # separable splat over a (2*radius)^2 neighborhood; weight channel
+        # normalizes (reference rfilters: src/rfilters/{tent,gaussian,
+        # mitchell,catmullrom,lanczos}.cpp)
+        radius = FILTER_RADIUS[self.rfilter]
         base_x = jnp.floor(px).astype(jnp.int32)
         base_y = jnp.floor(py).astype(jnp.int32)
         data = self.data
-        # accumulate un-normalized gaussian taps; weight channel normalizes
         for dy in range(-radius + 1, radius + 1):
             for dx in range(-radius + 1, radius + 1):
                 ix = base_x + dx
                 iy = base_y + dy
                 fx = ix.astype(jnp.float32) - px
                 fy = iy.astype(jnp.float32) - py
-                r2 = fx * fx + fy * fy
-                wgt = jnp.exp(-0.5 * r2 / sigma2) - jnp.exp(
-                    -0.5 * (radius * radius) / sigma2
+                wgt = filter_eval(self.rfilter, fx) * filter_eval(
+                    self.rfilter, fy
                 )
-                wgt = jnp.maximum(wgt, 0.0)
                 inb = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
                 wgt = jnp.where(inb & active, wgt, 0.0)
                 flat = jnp.clip(iy, 0, h - 1) * w + jnp.clip(ix, 0, w - 1)

@@ -19,6 +19,7 @@ from ..core import frame as fr
 SENSOR_PERSPECTIVE = 0
 SENSOR_ORTHOGRAPHIC = 1
 SENSOR_THINLENS = 2
+SENSOR_BATCH = 3
 
 
 @jax.tree_util.register_dataclass
@@ -34,6 +35,8 @@ class Sensor:
     focus_distance: Any
     ortho_scale: Any      # [2] orthographic half-extents
     ppo: Any              # [2] principal point offset
+    srf: Any = None               # [S, K] per-sub-sensor spectral response
+    srf_wavelengths: Any = None   # [K] nm grid for srf
 
     resolution: tuple = dataclasses.field(default=(256, 256), metadata=dict(static=True))
     stype_static: int = dataclasses.field(default=0, metadata=dict(static=True))
@@ -88,6 +91,55 @@ class Sensor:
             stype_static=SENSOR_THINLENS,
         )
 
+    @staticmethod
+    def batch_orthographic(to_worlds, sub_width, height, scale_x=1.0,
+                           scale_y=None, srf=None, srf_wavelengths=None):
+        """Batch of orthographic sub-sensors laid side-by-side in one film
+        (reference src/sensors/batch.cpp + per-sensor `srf` property,
+        src/render/sensor.cpp:56-118). to_worlds: [S, 4, 4]; film width =
+        S * sub_width. srf: optional [S, K] spectral response curves on the
+        grid `srf_wavelengths` [K] (nm)."""
+        tws = np.asarray(to_worlds, np.float32)
+        S = tws.shape[0]
+        if scale_y is None:
+            scale_y = scale_x * height / sub_width
+        s = Sensor.orthographic(
+            np.eye(4, dtype=np.float32), S * sub_width, height,
+            scale_x=scale_x, scale_y=scale_y,
+        )
+        return dataclasses.replace(
+            s,
+            to_world=jnp.asarray(tws),
+            stype=jnp.asarray(SENSOR_BATCH, jnp.int32),
+            stype_static=SENSOR_BATCH,
+            srf=None if srf is None else jnp.asarray(srf, jnp.float32),
+            srf_wavelengths=(
+                None if srf_wavelengths is None
+                else jnp.asarray(srf_wavelengths, jnp.float32)
+            ),
+            ortho_scale=jnp.asarray([scale_x, scale_y], jnp.float32),
+        )
+
+    @property
+    def n_sub_sensors(self):
+        return self.to_world.shape[0] if self.to_world.ndim == 3 else 1
+
+    def eval_srf(self, sensor_idx, wavelengths):
+        """Per-lane SRF weight: sensor_idx [N], wavelengths [N, C] nm ->
+        [N, C]. 1 when no srf is attached."""
+        if self.srf is None:
+            return jnp.ones_like(wavelengths)
+        grid = self.srf_wavelengths  # [K]
+        K = grid.shape[0]
+        t = (wavelengths - grid[0]) / (grid[-1] - grid[0]) * (K - 1)
+        i = jnp.clip(jnp.floor(t).astype(jnp.int32), 0, K - 2)
+        f = t - i
+        curve = self.srf[sensor_idx]  # [N, K]
+        v0 = jnp.take_along_axis(curve, i, axis=-1)
+        v1 = jnp.take_along_axis(curve, i + 1, axis=-1)
+        inside = (wavelengths >= grid[0]) & (wavelengths <= grid[-1])
+        return jnp.where(inside, v0 * (1 - f) + v1 * f, 0.0)
+
     def sample_ray(self, film_uv, aperture_uv=None):
         """film_uv [N,2] in [0,1]^2 -> (o [N,3], d [N,3]) world-space.
 
@@ -97,6 +149,21 @@ class Sensor:
         """
         u = film_uv[..., 0]
         v = film_uv[..., 1]
+
+        if self.stype_static == SENSOR_BATCH:
+            S = self.to_world.shape[0]
+            s_idx = jnp.clip((u * S).astype(jnp.int32), 0, S - 1)
+            u_local = u * S - s_idx.astype(jnp.float32)
+            Rb = self.to_world[s_idx, :3, :3]   # [N, 3, 3]
+            tb = self.to_world[s_idx, :3, 3]
+            x = (1.0 - 2.0 * u_local) * self.ortho_scale[0]
+            y = (1.0 - 2.0 * v) * self.ortho_scale[1]
+            o_cam = jnp.stack([x, y, jnp.zeros_like(x)], axis=-1)
+            d_cam = jnp.asarray([0.0, 0.0, 1.0], jnp.float32)
+            o = jnp.einsum("nij,nj->ni", Rb, o_cam) + tb
+            d = Rb[..., :, 2]
+            return o, fr.normalize(d)
+
         R = self.to_world[:3, :3]
         t = self.to_world[:3, 3]
 

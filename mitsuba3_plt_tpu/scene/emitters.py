@@ -43,6 +43,16 @@ class EmitterTable:
     # bounding sphere of the scene (constant/directional sampling)
     scene_center: Any  # [3]
     scene_radius: Any  # scalar
+    # --- environment map (at most one; reference src/emitters/envmap.cpp:
+    # lat-long image with luminance-proportional 2D importance sampling) ---
+    env_image: Any = None    # [He, We, 3] or None
+    env_row_cdf: Any = None  # [He] marginal cdf over rows (sin-weighted)
+    env_col_cdf: Any = None  # [He, We] conditional cdf per row
+    env_scale: Any = None    # scalar
+    # per-emitter spectral radiance curve on the CIE grid (reference spectra
+    # plugins src/spectra/{uniform,regular,irregular,d65,blackbody}.cpp);
+    # None -> RGB `radiance` is authoritative
+    spectra: Any = None      # [E, 95] or None
 
     present_types: tuple = dataclasses.field(default=(), metadata=dict(static=True))
 
@@ -82,6 +92,8 @@ def sample_emitter_direction(
             cand = _sample_directional(em, ref_p, e_idx)
         elif t == EMITTER_SPOT:
             cand = _sample_point(em, ref_p, e_idx)  # spot shares point geometry
+        elif t == EMITTER_ENVMAP:
+            cand = _sample_envmap(em, ref_p, e_idx, sample2)
         else:
             continue
         ds = _select_ds(mask, cand, ds)
@@ -109,6 +121,8 @@ def pdf_emitter_direction(em: EmitterTable, geo, ref_p, ds: DirectionSample):
             )
         elif t == EMITTER_CONSTANT:
             p = jnp.full_like(pdf, m.InvFourPi)
+        elif t == EMITTER_ENVMAP:
+            p = envmap_pdf(em, ds.d)
         else:
             continue
         pdf = jnp.where(mask, p, pdf)
@@ -141,12 +155,16 @@ def eval_emitter(em: EmitterTable, e_idx, d, dist, active):
             (cos_angle - cutoff) / jnp.maximum(beam - cutoff, 1e-6), 0.0, 1.0
         )
         val = jnp.where(is_spot[..., None], val * falloff[..., None], val)
+    # envmap: radiance from the image along the sampled direction
+    if EMITTER_ENVMAP in em.present_types:
+        is_env = etype == EMITTER_ENVMAP
+        val = jnp.where(is_env[..., None], eval_envmap(em, d), val)
     ok = active & (e_idx >= 0)
     return jnp.where(ok[..., None], val, 0.0)
 
 
 def eval_env(em: EmitterTable, d):
-    """Radiance for escaped rays (constant emitter / future envmap)."""
+    """Radiance for escaped rays (constant and/or environment-map emitter)."""
     out = jnp.zeros((*d.shape[:-1], 3), jnp.float32)
     for i_t in em.present_types:
         if i_t == EMITTER_CONSTANT:
@@ -156,7 +174,177 @@ def eval_env(em: EmitterTable, d):
                 jnp.where(is_const[:, None], em.radiance, 0.0), axis=0
             )
             out = out + rad
+        elif i_t == EMITTER_ENVMAP:
+            out = out + eval_envmap(em, d)
     return out
+
+
+def build_env_tables(image: np.ndarray):
+    """Host-side: luminance x sin(theta) 2D sampling tables for a lat-long
+    environment image (reference src/emitters/envmap.cpp DiscreteDistribution2D)."""
+    img = np.asarray(image, np.float32)
+    he, we = img.shape[:2]
+    lum = img[..., 0] * 0.2126 + img[..., 1] * 0.7152 + img[..., 2] * 0.0722
+    theta = (np.arange(he) + 0.5) / he * np.pi
+    w = lum * np.sin(theta)[:, None] + 1e-12
+    row_w = w.sum(axis=1)
+    row_cdf = np.cumsum(row_w) / row_w.sum()
+    col_cdf = np.cumsum(w, axis=1) / w.sum(axis=1, keepdims=True)
+    return (
+        jnp.asarray(img), jnp.asarray(row_cdf.astype(np.float32)),
+        jnp.asarray(col_cdf.astype(np.float32)),
+    )
+
+
+def _env_dir_to_uv(d):
+    """World direction -> lat-long uv in [0,1]^2 (Mitsuba convention:
+    u = (1 + atan2(x, -z)/pi)/2, v = theta/pi)."""
+    u = 0.5 * (1.0 + jnp.arctan2(d[..., 0], -d[..., 2]) * m.InvPi)
+    v = jnp.arccos(jnp.clip(d[..., 1], -1.0, 1.0)) * m.InvPi
+    return u, v
+
+
+def _env_uv_to_dir(u, v):
+    phi = (2.0 * u - 1.0) * m.Pi
+    theta = v * m.Pi
+    st = jnp.sin(theta)
+    return jnp.stack(
+        [st * jnp.sin(phi), jnp.cos(theta), -st * jnp.cos(phi)], axis=-1
+    )
+
+
+def eval_envmap(em: EmitterTable, d):
+    """Bilinear lat-long lookup of radiance arriving from direction d."""
+    img = em.env_image
+    he, we = img.shape[:2]
+    u, v = _env_dir_to_uv(d)
+    x = u * we - 0.5
+    y = v * he - 0.5
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, he - 1)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0m = jnp.mod(x0, we)
+    x1m = jnp.mod(x0 + 1, we)
+    y1 = jnp.clip(y0 + 1, 0, he - 1)
+    c00 = img[y0, x0m]
+    c01 = img[y0, x1m]
+    c10 = img[y1, x0m]
+    c11 = img[y1, x1m]
+    out = (
+        c00 * (1 - fx) * (1 - fy) + c01 * fx * (1 - fy)
+        + c10 * (1 - fx) * fy + c11 * fx * fy
+    )
+    return out * em.env_scale
+
+
+def envmap_pdf(em: EmitterTable, d):
+    """Solid-angle pdf of _sample_envmap producing direction d."""
+    img = em.env_image
+    he, we = img.shape[:2]
+    u, v = _env_dir_to_uv(d)
+    xi = jnp.clip((u * we).astype(jnp.int32), 0, we - 1)
+    yi = jnp.clip((v * he).astype(jnp.int32), 0, he - 1)
+    lum = (
+        img[..., 0] * 0.2126 + img[..., 1] * 0.7152 + img[..., 2] * 0.0722
+    )
+    theta_rows = (jnp.arange(he) + 0.5) / he * m.Pi
+    w = lum * jnp.sin(theta_rows)[:, None] + 1e-12
+    total = jnp.sum(w)
+    pix_p = w[yi, xi] / total  # probability of the texel
+    sin_t = jnp.maximum(jnp.sin(v * m.Pi), 1e-6)
+    # d_omega per texel = (pi/he)(2pi/we) sin(theta)
+    return pix_p * he * we / (2.0 * m.Pi * m.Pi * sin_t)
+
+
+def _sample_envmap(em: EmitterTable, ref_p, e_idx, sample2):
+    n = ref_p.shape[0]
+    img = em.env_image
+    he, we = img.shape[:2]
+    u1 = sample2[..., 0]
+    u2 = sample2[..., 1]
+    row = jnp.clip(
+        jnp.searchsorted(em.env_row_cdf, u1, side="right"), 0, he - 1
+    ).astype(jnp.int32)
+    # continuous offset within the row via cdf re-scaling
+    prev_r = jnp.where(row > 0, em.env_row_cdf[jnp.maximum(row - 1, 0)], 0.0)
+    fr_row = (u1 - prev_r) / jnp.maximum(em.env_row_cdf[row] - prev_r, 1e-12)
+    col_cdf_row = em.env_col_cdf[row]  # [N, We]
+    col = jnp.clip(
+        jax.vmap(lambda c, u: jnp.searchsorted(c, u, side="right"))(
+            col_cdf_row, u2
+        ),
+        0, we - 1,
+    ).astype(jnp.int32)
+    prev_c = jnp.where(
+        col > 0, jnp.take_along_axis(col_cdf_row, jnp.maximum(col - 1, 0)[..., None], -1)[..., 0], 0.0
+    )
+    cur_c = jnp.take_along_axis(col_cdf_row, col[..., None], -1)[..., 0]
+    fr_col = (u2 - prev_c) / jnp.maximum(cur_c - prev_c, 1e-12)
+
+    v = (row.astype(jnp.float32) + fr_row) / he
+    u = (col.astype(jnp.float32) + fr_col) / we
+    d = _env_uv_to_dir(u, v)
+    pdf = envmap_pdf(em, d)
+    dist = jnp.broadcast_to(2.0 * em.scene_radius, (n,))
+    return DirectionSample(
+        p=ref_p + d * dist[..., None],
+        n=-d,
+        uv=jnp.stack([u, v], axis=-1),
+        d=d,
+        dist=dist,
+        pdf=pdf,
+        delta=jnp.zeros((n,), bool),
+        emitter_idx=e_idx,
+    )
+
+
+def emitter_value(em: EmitterTable, e_idx, d, dist, active, cfg, wavelengths):
+    """Radiance in the active config representation [N, C]: RGB directly, or
+    the per-emitter spectral curve sampled at `wavelengths`, both including
+    the geometric factors (1/r^2, spot falloff) of eval_emitter."""
+    rgb = eval_emitter(em, e_idx, d, dist, active)
+    if not cfg.spectral or wavelengths is None:
+        return rgb
+    from ..core import spectrum as spec
+
+    e_idx_c = jnp.maximum(e_idx, 0)
+    base_lum = spec.luminance_rgb(em.radiance[e_idx_c])
+    factor = spec.luminance_rgb(rgb) / jnp.maximum(base_lum, 1e-20)
+    return eval_emitter_spectral(em, e_idx, wavelengths, active) * factor[..., None]
+
+
+def eval_emitter_spectral(em: EmitterTable, e_idx, wavelengths, active):
+    """Spectral radiance [N, C] at `wavelengths` nm from the per-emitter
+    curve (falls back to flat luminance of the RGB radiance)."""
+    from ..core import spectrum as spec
+
+    e_idx_c = jnp.maximum(e_idx, 0)
+    if em.spectra is None:
+        lum = spec.luminance_rgb(em.radiance[e_idx_c])
+        out = jnp.broadcast_to(lum[..., None], wavelengths.shape)
+    else:
+        curve = em.spectra[e_idx_c]  # [N, K]
+        K = curve.shape[-1]
+        t = (wavelengths - spec.CIE_MIN) / (spec.CIE_MAX - spec.CIE_MIN) * (K - 1)
+        i = jnp.clip(jnp.floor(t).astype(jnp.int32), 0, K - 2)
+        f = t - i
+        v0 = jnp.take_along_axis(curve, i, axis=-1)
+        v1 = jnp.take_along_axis(curve, i + 1, axis=-1)
+        out = v0 * (1 - f) + v1 * f
+    return jnp.where((active & (e_idx >= 0))[..., None], out, 0.0)
+
+
+def escape_pdf(em: EmitterTable, d):
+    """NEE pdf of the environment emitter (constant or envmap) producing
+    direction d — the MIS counterpart for escaped rays."""
+    p = jnp.zeros(d.shape[:-1], jnp.float32)
+    for t in em.present_types:
+        if t == EMITTER_CONSTANT:
+            p = p + m.InvFourPi
+        elif t == EMITTER_ENVMAP:
+            p = p + envmap_pdf(em, d)
+    return p / jnp.maximum(em.count, 1)
 
 
 def env_emitter_index(em: EmitterTable):

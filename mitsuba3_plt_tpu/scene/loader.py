@@ -25,7 +25,7 @@ from ..librender.bsdf import (
 from ..librender.sensor import Sensor
 from .emitters import (
     EmitterTable, EMITTER_AREA, EMITTER_POINT, EMITTER_CONSTANT,
-    EMITTER_DIRECTIONAL, EMITTER_SPOT,
+    EMITTER_DIRECTIONAL, EMITTER_SPOT, EMITTER_ENVMAP, build_env_tables,
 )
 from .scene import Scene, build_geometry, scene_bounds
 from . import shape as shp
@@ -524,8 +524,25 @@ def build_emitter_table(emitters, meshes, geo):
     TYPE_MAP = {
         "area": EMITTER_AREA, "point": EMITTER_POINT,
         "constant": EMITTER_CONSTANT, "directional": EMITTER_DIRECTIONAL,
-        "spot": EMITTER_SPOT,
+        "spot": EMITTER_SPOT, "envmap": EMITTER_ENVMAP,
+        "directionalspot": EMITTER_DIRECTIONAL,
     }
+
+    # environment map image (at most one): numpy array under "image", or a
+    # bitmap file under "filename" (PNG/JPG via PIL; EXR support arrives with
+    # the native IO module)
+    env_img = None
+    env_scale = 1.0
+    for e in emitters:
+        if e["type"] == "envmap":
+            if "image" in e:
+                env_img = np.asarray(e["image"], np.float32)
+            elif "filename" in e:
+                from PIL import Image
+
+                im = Image.open(e["filename"]).convert("RGB")
+                env_img = np.asarray(im, np.float32) / 255.0
+            env_scale = float(e.get("scale", 1.0))
 
     etype = np.zeros(e_count, np.int32)
     radiance = np.ones((e_count, 3), np.float32)
@@ -591,7 +608,7 @@ def build_emitter_table(emitters, meshes, geo):
     center, rradius = scene_bounds(geo)
     env_idx = -1
     for i, e in enumerate(emitters):
-        if e["type"] == "constant":
+        if e["type"] in ("constant", "envmap"):
             env_idx = i
 
     table = EmitterTable(
@@ -608,4 +625,51 @@ def build_emitter_table(emitters, meshes, geo):
         scene_radius=jnp.asarray(rradius, jnp.float32),
         present_types=tuple(sorted(present)),
     )
+    import dataclasses as _dc
+
+    if env_img is not None:
+        img, row_cdf, col_cdf = build_env_tables(env_img)
+        table = _dc.replace(
+            table, env_image=img, env_row_cdf=row_cdf, env_col_cdf=col_cdf,
+            env_scale=jnp.asarray(env_scale, jnp.float32),
+        )
+
+    # per-emitter spectral curves ("spectrum" prop: d65 / blackbody /
+    # uniform / regular / irregular / raw [95] array on the CIE grid)
+    if any("spectrum" in e for e in emitters):
+        from ..core import spectrum as spec
+
+        grid = np.asarray(spec.CIE_WAVELENGTHS)
+        curves = np.zeros((e_count, len(grid)), np.float32)
+        for i in range(e_count):
+            curves[i] = (
+                0.2126 * radiance[i][0] + 0.7152 * radiance[i][1]
+                + 0.0722 * radiance[i][2]
+            )
+        for i, e in enumerate(emitters):
+            s = e.get("spectrum")
+            if s is None:
+                continue
+            if isinstance(s, dict):
+                st = s.get("type", "uniform")
+                if st == "d65":
+                    c = np.asarray(spec.cie_d65(jnp.asarray(grid)))
+                    c = c * float(s.get("scale", 1.0))
+                elif st == "blackbody":
+                    c = np.asarray(
+                        spec.blackbody(jnp.asarray(grid),
+                                       float(s.get("temperature", 5000.0)))
+                    )
+                    c = c * float(s.get("scale", 1.0))
+                elif st in ("regular", "irregular"):
+                    wls = np.asarray(s["wavelengths"], np.float64)
+                    vals = np.asarray(s["values"], np.float64)
+                    c = np.interp(grid, wls, vals, left=0.0, right=0.0)
+                else:  # uniform
+                    c = np.full(len(grid), float(s.get("value", 1.0)))
+            else:
+                c = np.asarray(s, np.float32)
+            curves[i] = c
+        table = _dc.replace(table, spectra=jnp.asarray(curves))
+
     return table, env_idx
