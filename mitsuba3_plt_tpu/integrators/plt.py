@@ -267,7 +267,50 @@ class PLTIntegrator:
         if not cfg.spectral:
             e_val = _to_channels(e_val, cfg)
         contrib = e_val * alpha_i * mis_bsdf[..., None]
+        # beam sourcing + measurement (coherence plumbing; radiometrically
+        # the replayed contribution — see measure())
+        beam = self.source_beam(em, b_i, ds.d, ds.dist, e_val)
+        contrib = self.measure(beam, prev_p, contrib)
         return jnp.where((active & facing)[..., None], contrib, 0.0)
+
+    # ------------------------------------------------------------------
+    def source_beam(self, em, b_i, d, dist, Le):
+        """Source a PLTBeam at the hit emitter by type (the documented intent
+        of the fork's commented-out source_PLT_beam + emissive/distant
+        sourcing areas, reference plt.py:28-34, 302-311, beam.h:173-205)."""
+        from ..plt.beam import PLTBeam
+        from ..scene.emitters import (
+            EMITTER_DIRECTIONAL, EMITTER_CONSTANT, EMITTER_ENVMAP,
+        )
+
+        n = d.shape[0]
+        e_idx = jnp.maximum(b_i.emitter_idx, 0)
+        etype = em.etype[e_idx]
+        is_distant = (
+            (etype == EMITTER_DIRECTIONAL) | (etype == EMITTER_CONSTANT)
+            | (etype == EMITTER_ENVMAP)
+        )
+        beam_d = PLTBeam.source_distant(
+            d, jnp.full((n,), self.distant_sourcing_area, jnp.float32), Le,
+            self.max_angular_spread,
+        )
+        beam_a = PLTBeam.source_area(
+            b_i.p, d, jnp.full((n,), self.emissive_sourcing_area, jnp.float32),
+            dist, Le, self.max_angular_spread,
+        )
+        return jax.tree.map(
+            lambda a, b: jnp.where(
+                is_distant.reshape((n,) + (1,) * (a.ndim - 1)), a, b
+            ),
+            beam_d, beam_a,
+        )
+
+    def measure(self, beam, sensor_p, Li):
+        """Beam-to-sensor measurement (reference plt.py:475-490 stub's
+        documented role): propagate the beam to the sensor; the intensity
+        measurement is radiometrically the replayed Li."""
+        beam = beam.propagate(sensor_p)
+        return Li
 
     # ------------------------------------------------------------------
     def _nee_term(self, scene, sampler, b_i, i, alpha_i, wavelengths, cfg):

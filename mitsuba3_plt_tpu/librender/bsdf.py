@@ -137,6 +137,12 @@ class MaterialTable:
     # --- nested-bsdf indirection (mask/blend/normalmap wrap another entry) ---
     nested_idx: Any      # [M] int32, -1 when unused
     weight: Any          # [M] blend weight / opacity
+    # --- textured base_color (reference src/textures/{bitmap,checkerboard}) ---
+    tex_mode: Any = None      # [M] int32: 0 const, 1 bitmap, 2 checkerboard
+    tex_idx: Any = None       # [M] int32 index into tex_stack (-1 none)
+    tex_uv_scale: Any = None  # [M, 2] uv tiling
+    tex_color1: Any = None    # [M, 3] checkerboard second color
+    tex_stack: Any = None     # [T, R, R, 3] bitmap stack (common resolution)
 
     present_types: Tuple[int, ...] = dataclasses.field(
         default=(), metadata=dict(static=True)
@@ -180,9 +186,11 @@ class MaterialTable:
         widths = []
         dtypes = []
         for f in dataclasses.fields(self):
-            if f.metadata.get("static"):
+            if f.metadata.get("static") or f.name == "tex_stack":
                 continue
             arr = getattr(self, f.name)
+            if arr is None:
+                continue
             a2 = arr[:, None] if arr.ndim == 1 else arr
             parts.append(a2.astype(jnp.float32))
             names.append(f.name)

@@ -50,17 +50,53 @@ from .bsdf import (
 # --- helpers ---------------------------------------------------------------
 
 def eval_color(p, key: str, cfg: RenderConfig, wavelengths):
-    """Color parameter as [N, C]: RGB directly, or spectral upsampling."""
+    """Color parameter as [N, C]: RGB (optionally textured), or spectral
+    upsampling. Texture lookups (bitmap stack / procedural checkerboard)
+    apply to base_color when the dispatcher stashed '_uv'/'_tex_stack'
+    (reference src/textures/{bitmap,checkerboard}.cpp)."""
+    rgb = p[key]
+    if key == "base_color" and p.get("tex_mode") is not None and "_uv" in p:
+        uv = p["_uv"] * p["tex_uv_scale"]
+        mode = p["tex_mode"]
+        # checkerboard
+        cell = (jnp.floor(uv[..., 0]) + jnp.floor(uv[..., 1])).astype(jnp.int32)
+        checker = jnp.where((cell % 2 == 0)[..., None], rgb, p["tex_color1"])
+        rgb = jnp.where((mode == 2)[..., None], checker, rgb)
+        # bitmap stack (bilinear, repeat wrap)
+        tex_stack = p.get("_tex_stack")
+        if tex_stack is not None:
+            T, R = tex_stack.shape[0], tex_stack.shape[1]
+            ti = jnp.clip(p["tex_idx"], 0, T - 1)
+            x = jnp.mod(uv[..., 0], 1.0) * R - 0.5
+            y = jnp.mod(uv[..., 1], 1.0) * R - 0.5
+            x0 = jnp.floor(x).astype(jnp.int32)
+            y0 = jnp.floor(y).astype(jnp.int32)
+            fx = (x - x0)[..., None]
+            fy = (y - y0)[..., None]
+            x0m, x1m = jnp.mod(x0, R), jnp.mod(x0 + 1, R)
+            y0m, y1m = jnp.mod(y0, R), jnp.mod(y0 + 1, R)
+            c = (
+                tex_stack[ti, y0m, x0m] * (1 - fx) * (1 - fy)
+                + tex_stack[ti, y0m, x1m] * fx * (1 - fy)
+                + tex_stack[ti, y1m, x0m] * (1 - fx) * fy
+                + tex_stack[ti, y1m, x1m] * fx * fy
+            )
+            rgb = jnp.where((mode == 1)[..., None], c, rgb)
     if cfg.spectral:
         coeff = p.get(key + "_coeff")
+        flat = jnp.broadcast_to(
+            spec.luminance_rgb(rgb)[..., None],
+            (*rgb.shape[:-1], cfg.n_channels),
+        )
         if coeff is None:
-            # fall back to luminance-preserving flat spectrum
-            return jnp.broadcast_to(
-                spec.luminance_rgb(p[key])[..., None],
-                (*p[key].shape[:-1], cfg.n_channels),
-            )
-        return spec.sigmoid_poly_eval(coeff[..., None, :], wavelengths)
-    return p[key]
+            return flat
+        up = spec.sigmoid_poly_eval(coeff[..., None, :], wavelengths)
+        if key == "base_color" and p.get("tex_mode") is not None:
+            # textured lanes fall back to flat-luminance spectra (per-texel
+            # spectral upsampling arrives with the rgb2spec table module)
+            return jnp.where((p["tex_mode"] == 0)[..., None], up, flat)
+        return up
+    return rgb
 
 
 def spectral_or_rgb(v_rgb, cfg):
@@ -959,6 +995,8 @@ def sample(mat: MaterialTable, midx, si, u1, u2, ctx, cfg, wavelengths=None):
     n = si.wi.shape[0]
     p = mat.gather(midx)
     si_eff, flip = _effective_si(p, si)
+    p["_uv"] = si_eff.uv
+    p["_tex_stack"] = mat.tex_stack
 
     bs_acc = BSDFSample.zeros(n)
     val_acc = zeros_value(n, cfg)
@@ -999,6 +1037,8 @@ def eval_(mat: MaterialTable, midx, si, wo, ctx, cfg, wavelengths=None):
     p = mat.gather(midx)
     si_eff, flip = _effective_si(p, si)
     wo_eff = jnp.where(flip[..., None], _flip_z(wo), wo)
+    p["_uv"] = si_eff.uv
+    p["_tex_stack"] = mat.tex_stack
 
     val_acc = zeros_value(n, cfg)
     for t in mat.present_types:
@@ -1014,6 +1054,8 @@ def eval_(mat: MaterialTable, midx, si, wo, ctx, cfg, wavelengths=None):
 def pdf(mat: MaterialTable, midx, si, wo, ctx, cfg):
     p = mat.gather(midx)
     si_eff, flip = _effective_si(p, si)
+    p["_uv"] = si_eff.uv
+    p["_tex_stack"] = mat.tex_stack
     wo_eff = jnp.where(flip[..., None], _flip_z(wo), wo)
 
     pdf_acc = jnp.zeros(si.wi.shape[0], jnp.float32)

@@ -297,6 +297,8 @@ def wbsdf_sample(mat: MaterialTable, midx, si, u1, u2, lobe_u2, ctx, cfg,
     n = si.wi.shape[0]
     p = mat.gather(midx)
     si_eff, flip = bsdfs._effective_si(p, si)
+    p["_uv"] = si_eff.uv
+    p["_tex_stack"] = mat.tex_stack
 
     # classic defaults for every lane
     bs_c, val_c, ok_c = bsdfs.sample(mat, midx, si, u1, u2, ctx, cfg, sampling_wl)
@@ -344,6 +346,8 @@ def wbsdf_eval(mat: MaterialTable, midx, si, wo, sd, ctx, cfg):
     """Wave eval: grating lobe sum; classic eval otherwise (bsdf.cpp:59-71)."""
     p = mat.gather(midx)
     si_eff, flip = bsdfs._effective_si(p, si)
+    p["_uv"] = si_eff.uv
+    p["_tex_stack"] = mat.tex_stack
     wo_eff = jnp.where(flip[..., None], bsdfs._flip_z(wo), wo)
 
     val = bsdfs.eval_(mat, midx, si, wo, ctx, cfg, sd.sampling_wavelengths)
@@ -357,6 +361,8 @@ def wbsdf_eval(mat: MaterialTable, midx, si, wo, sd, ctx, cfg):
 def wbsdf_pdf(mat: MaterialTable, midx, si, wo, sd, ctx, cfg):
     p = mat.gather(midx)
     si_eff, flip = bsdfs._effective_si(p, si)
+    p["_uv"] = si_eff.uv
+    p["_tex_stack"] = mat.tex_stack
     wo_eff = jnp.where(flip[..., None], bsdfs._flip_z(wo), wo)
 
     pd = bsdfs.pdf(mat, midx, si, wo, ctx, cfg)
@@ -376,6 +382,8 @@ def wbsdf_weight(mat: MaterialTable, midx, si, wo, sd, ctx, cfg):
     n = si.wi.shape[0]
     p = mat.gather(midx)
     si_eff, flip = bsdfs._effective_si(p, si)
+    p["_uv"] = si_eff.uv
+    p["_tex_stack"] = mat.tex_stack
     wo_eff = jnp.where(flip[..., None], bsdfs._flip_z(wo), wo)
     wl = sd.sampling_wavelengths
 

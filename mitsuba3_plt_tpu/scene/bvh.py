@@ -45,6 +45,19 @@ def build_bvh(vertices: np.ndarray, faces: np.ndarray) -> BVH:
     v = np.asarray(vertices)
     nf = len(f)
     p0, p1, p2 = v[f[:, 0]], v[f[:, 1]], v[f[:, 2]]
+
+    # native C++ SAH builder (native/bvh_builder.cpp) when available; the
+    # numpy path below is the reference implementation / fallback
+    from .native import build_bvh_native
+
+    out = build_bvh_native(p0, p1, p2) if nf > 0 else None
+    if out is not None:
+        lo, hi, first, count, miss, prim = out
+        return BVH(
+            node_lo=jnp.asarray(lo), node_hi=jnp.asarray(hi),
+            node_first=jnp.asarray(first), node_count=jnp.asarray(count),
+            node_miss=jnp.asarray(miss), prim_idx=jnp.asarray(prim),
+        )
     tri_lo = np.minimum(np.minimum(p0, p1), p2)
     tri_hi = np.maximum(np.maximum(p0, p1), p2)
     cent = (tri_lo + tri_hi) * 0.5

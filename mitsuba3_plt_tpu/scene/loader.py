@@ -513,8 +513,55 @@ def build_material_table(bsdf_list: List[LoadedBSDF]) -> MaterialTable:
             cache[key] = fit_srgb_to_spectrum(np.clip(np.asarray(c), 0.0, 1.0))
         coeffs[i] = cache[key]
 
+    # --- textures: bitmap stack + procedural checkerboard -------------------
+    TEX_RES = 256
+    tex_mode = np.zeros(m_count, np.int32)
+    tex_idx = np.full(m_count, -1, np.int32)
+    tex_uv_scale = np.ones((m_count, 2), np.float32)
+    tex_color1 = np.full((m_count, 3), 0.2, np.float32)
+    bitmaps = []
+    for i, lb in enumerate(bsdf_list):
+        p = lb.params
+        if "texture" in p:  # np array [H, W, 3] or filename
+            t = p["texture"]
+            if isinstance(t, str):
+                from PIL import Image
+
+                t = np.asarray(Image.open(t).convert("RGB"), np.float32) / 255.0
+            t = np.asarray(t, np.float32)
+            if t.shape[0] != TEX_RES or t.shape[1] != TEX_RES:
+                from PIL import Image
+
+                im = Image.fromarray(
+                    (np.clip(t, 0, 1) * 255).astype(np.uint8)
+                ).resize((TEX_RES, TEX_RES), Image.BILINEAR)
+                t = np.asarray(im, np.float32) / 255.0
+            tex_idx[i] = len(bitmaps)
+            bitmaps.append(t)
+            tex_mode[i] = 1
+        elif p.get("checkerboard"):
+            tex_mode[i] = 2
+            if "color1" in p:
+                tex_color1[i] = np.asarray(p["color1"], np.float32)
+        if "uv_scale" in p:
+            tex_uv_scale[i] = np.broadcast_to(
+                np.asarray(p["uv_scale"], np.float32), (2,)
+            )
+
+    tex_kw = {}
+    if tex_mode.any():
+        tex_kw = dict(
+            tex_mode=jnp.asarray(tex_mode),
+            tex_idx=jnp.asarray(tex_idx),
+            tex_uv_scale=jnp.asarray(tex_uv_scale),
+            tex_color1=jnp.asarray(tex_color1),
+            tex_stack=(
+                jnp.asarray(np.stack(bitmaps)) if bitmaps else None
+            ),
+        )
+
     return dc.replace(
-        tab, base_color_coeff=jnp.asarray(coeffs), **upd,
+        tab, base_color_coeff=jnp.asarray(coeffs), **upd, **tex_kw,
         present_types=tuple(present),
     )
 
