@@ -60,6 +60,33 @@ class EmitterTable:
     def count(self):
         return self.etype.shape[0]
 
+    def gather(self, e_idx):
+        """Per-lane emitter params via ONE packed row fetch (same in-loop
+        gather economics as MaterialTable.gather): etype, radiance, position,
+        direction, cutoff_cos, beam_cos, area."""
+        packed = jnp.concatenate(
+            [
+                self.etype[:, None].astype(jnp.float32),
+                self.radiance,
+                self.position,
+                self.direction,
+                self.cutoff_cos[:, None],
+                self.beam_cos[:, None],
+                self.area[:, None],
+            ],
+            axis=-1,
+        )
+        rows = packed[e_idx]
+        return {
+            "etype": rows[..., 0].astype(jnp.int32),
+            "radiance": rows[..., 1:4],
+            "position": rows[..., 4:7],
+            "direction": rows[..., 7:10],
+            "cutoff_cos": rows[..., 10],
+            "beam_cos": rows[..., 11],
+            "area": rows[..., 12],
+        }
+
 
 def sample_emitter_direction(
     em: EmitterTable, geo, ref_p, sample1, sample2, active=True
@@ -77,21 +104,22 @@ def sample_emitter_direction(
     e_idx = jnp.clip(scaled.astype(jnp.int32), 0, e_count - 1)
     # (sample1 is consumed; sample2 drives the position sample)
 
-    etype = em.etype[e_idx]
+    ep = em.gather(e_idx)  # ONE packed row fetch for all scalar fields
+    etype = ep["etype"]
     ds = _zeros_ds(n)
 
     for t in em.present_types:
         mask = etype == t
         if t == EMITTER_AREA:
-            cand = _sample_area(em, geo, ref_p, e_idx, sample2)
+            cand = _sample_area(em, geo, ref_p, e_idx, sample2, ep)
         elif t == EMITTER_POINT:
-            cand = _sample_point(em, ref_p, e_idx)
+            cand = _sample_point(em, ref_p, e_idx, ep)
         elif t == EMITTER_CONSTANT:
             cand = _sample_constant(em, ref_p, e_idx, sample2)
         elif t == EMITTER_DIRECTIONAL:
-            cand = _sample_directional(em, ref_p, e_idx)
+            cand = _sample_directional(em, ref_p, e_idx, ep)
         elif t == EMITTER_SPOT:
-            cand = _sample_point(em, ref_p, e_idx)  # spot shares point geometry
+            cand = _sample_point(em, ref_p, e_idx, ep)  # spot shares point geometry
         elif t == EMITTER_ENVMAP:
             cand = _sample_envmap(em, ref_p, e_idx, sample2)
         else:
@@ -108,7 +136,8 @@ def pdf_emitter_direction(em: EmitterTable, geo, ref_p, ds: DirectionSample):
     """Solid-angle density of sample_emitter_direction producing ds (for MIS).
     Only non-delta emitters return nonzero."""
     e_idx = jnp.maximum(ds.emitter_idx, 0)
-    etype = em.etype[e_idx]
+    ep = em.gather(e_idx)
+    etype = ep["etype"]
     pdf = jnp.zeros(ref_p.shape[0], jnp.float32)
     for t in em.present_types:
         mask = etype == t
@@ -116,7 +145,7 @@ def pdf_emitter_direction(em: EmitterTable, geo, ref_p, ds: DirectionSample):
             cos_l = -fr.dot(ds.d, ds.n)
             p = jnp.where(
                 cos_l > 0,
-                ds.dist * ds.dist / (jnp.maximum(cos_l, 1e-9) * jnp.maximum(em.area[e_idx], 1e-12)),
+                ds.dist * ds.dist / (jnp.maximum(cos_l, 1e-9) * jnp.maximum(ep["area"], 1e-12)),
                 0.0,
             )
         elif t == EMITTER_CONSTANT:
@@ -136,8 +165,9 @@ def eval_emitter(em: EmitterTable, e_idx, d, dist, active):
     is 1 with delta flag).
     """
     e_idx_c = jnp.maximum(e_idx, 0)
-    etype = em.etype[e_idx_c]
-    rad = em.radiance[e_idx_c]
+    ep = em.gather(e_idx_c)
+    etype = ep["etype"]
+    rad = ep["radiance"]
     val = rad
     # point: intensity / r^2
     is_point = (etype == EMITTER_POINT) | (etype == EMITTER_SPOT)
@@ -147,10 +177,10 @@ def eval_emitter(em: EmitterTable, e_idx, d, dist, active):
     # spot falloff
     is_spot = etype == EMITTER_SPOT
     if True:
-        cd = fr.dot(d, em.direction[e_idx_c])  # d points toward emitter; spot dir outward
+        cd = fr.dot(d, ep["direction"])  # d points toward emitter; spot dir outward
         cos_angle = -cd
-        cutoff = em.cutoff_cos[e_idx_c]
-        beam = em.beam_cos[e_idx_c]
+        cutoff = ep["cutoff_cos"]
+        beam = ep["beam_cos"]
         falloff = jnp.clip(
             (cos_angle - cutoff) / jnp.maximum(beam - cutoff, 1e-6), 0.0, 1.0
         )
@@ -380,7 +410,9 @@ def _select_ds(mask, a: DirectionSample, b: DirectionSample) -> DirectionSample:
     )
 
 
-def _sample_area(em, geo, ref_p, e_idx, sample2):
+def _sample_area(em, geo, ref_p, e_idx, sample2, ep=None):
+    if ep is None:
+        ep = em.gather(e_idx)
     n = ref_p.shape[0]
     # triangle pick by per-emitter area CDF (binary search over padded rows)
     cdf_rows = em.tri_cdf[e_idx]  # [N, T]
@@ -398,9 +430,11 @@ def _sample_area(em, geo, ref_p, e_idx, sample2):
         jnp.stack([u_re, sample2[..., 1]], axis=-1)
     )
 
-    p0 = geo.tri_p0[tri_c]
-    p1 = geo.tri_p1[tri_c]
-    p2 = geo.tri_p2[tri_c]
+    # single packed fetch (p0, e1, e2) instead of three vertex gathers
+    rows = geo.tri_isect[tri_c]
+    p0 = rows[..., 0:3]
+    p1 = p0 + rows[..., 3:6]
+    p2 = p0 + rows[..., 6:9]
     pos = (
         p0 * (1.0 - bary[..., 0:1] - bary[..., 1:2])
         + p1 * bary[..., 0:1]
@@ -413,7 +447,7 @@ def _sample_area(em, geo, ref_p, e_idx, sample2):
     dist = jnp.sqrt(jnp.maximum(dist2, 1e-20))
     d = to_l / dist[..., None]
     cos_l = -fr.dot(d, ng)
-    area = jnp.maximum(em.area[e_idx], 1e-12)
+    area = jnp.maximum(ep["area"], 1e-12)
     pdf = jnp.where(cos_l > 1e-6, dist2 / (jnp.maximum(cos_l, 1e-9) * area), 0.0)
     return DirectionSample(
         p=pos, n=ng, uv=bary, d=d, dist=dist, pdf=pdf,
@@ -421,9 +455,11 @@ def _sample_area(em, geo, ref_p, e_idx, sample2):
     )
 
 
-def _sample_point(em, ref_p, e_idx):
+def _sample_point(em, ref_p, e_idx, ep=None):
+    if ep is None:
+        ep = em.gather(e_idx)
     n = ref_p.shape[0]
-    pos = em.position[e_idx]
+    pos = ep["position"]
     to_l = pos - ref_p
     dist = jnp.sqrt(jnp.maximum(fr.squared_norm(to_l), 1e-20))
     d = to_l / dist[..., None]
@@ -446,9 +482,11 @@ def _sample_constant(em, ref_p, e_idx, sample2):
     )
 
 
-def _sample_directional(em, ref_p, e_idx):
+def _sample_directional(em, ref_p, e_idx, ep=None):
+    if ep is None:
+        ep = em.gather(e_idx)
     n = ref_p.shape[0]
-    d = -em.direction[e_idx]  # direction property points *from* the emitter
+    d = -ep["direction"]  # direction property points *from* the emitter
     dist = 2.0 * em.scene_radius * jnp.ones((n,)) + 1.0
     return DirectionSample(
         p=ref_p + d * dist[..., None], n=-d,
