@@ -30,6 +30,13 @@ def make_integrator(cfg: dict):
             max_depth=int(cfg.get("max_depth", 6)),
             rr_depth=int(cfg.get("rr_depth", 5)),
         )
+    if t in ("volpath", "volpathmis"):
+        from .volpath import VolPathIntegrator
+
+        return VolPathIntegrator(
+            max_depth=int(cfg.get("max_depth", 8)),
+            rr_depth=int(cfg.get("rr_depth", 5)),
+        )
     if t in ("stokes", "stokes_fw"):
         from .stokes import StokesIntegrator, PolarizedPathIntegrator
 

@@ -1,0 +1,214 @@
+"""Volumetric path tracer: global homogeneous medium + surfaces.
+
+Functional twin of the reference `volpath`/`volpathmis` plugins
+(src/integrators/volpath.cpp) restricted to the round-1 medium scope
+(scene-filling homogeneous medium, scene/media.py): per bounce, sample a
+free-flight distance against the hit distance; medium events scatter with
+the phase function and do NEE with analytic transmittance; surface events
+follow the classic path-tracer logic with transmittance-attenuated
+throughput.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ..config import RenderConfig
+from ..core import frame as fr
+from ..core import math as mth
+from ..core.rng import Sampler, bounce_dim
+from ..librender import bsdfs
+from ..librender.bsdf import BSDFContext, BSDFFlags
+from ..librender.records import Ray
+from ..scene import emitters as em_mod
+from ..scene import media as med
+from .common import mis_weight
+from .path import _to_channels
+
+
+@dataclasses.dataclass(frozen=True)
+class VolPathIntegrator:
+    max_depth: int = 8
+    rr_depth: int = 5
+
+    def sample(self, scene, sampler: Sampler, ray: Ray, wavelengths,
+               cfg: RenderConfig):
+        n = ray.o.shape[0]
+        C = cfg.n_channels
+        em = scene.emitters
+        geo = scene.geo
+        medium = scene.medium
+        assert medium is not None, "volpath needs scene.medium"
+        ctx = BSDFContext()
+
+        L = jnp.zeros((n, C), jnp.float32)
+        beta = jnp.ones((n, C), jnp.float32)
+        active = jnp.ones((n,), bool)
+        prev_pdf = jnp.ones((n,), jnp.float32)
+        prev_delta = jnp.ones((n,), bool)
+
+        def nee(point, normal, is_medium, wi_world, si, b):
+            """Shared next-event estimation from a surface or medium vertex."""
+            u1 = sampler.next_1d(bounce_dim(b, 5))
+            u2 = sampler.next_2d(bounce_dim(b, 3))
+            ds = em_mod.sample_emitter_direction(
+                em, geo, point, u1, u2, jnp.ones((n,), bool)
+            )
+            offset = jnp.where(
+                is_medium[..., None],
+                jnp.zeros_like(normal),
+                normal * jnp.where(
+                    fr.dot(ds.d, normal) >= 0, mth.RayEpsilon, -mth.RayEpsilon
+                )[..., None],
+            )
+            occ = scene.ray_test(
+                Ray(o=point + offset, d=ds.d,
+                    maxt=ds.dist * (1.0 - mth.ShadowEpsilon))
+            )
+            vis = ~occ & (ds.pdf > 0)
+            # transmittance to the light (homogeneous analytic)
+            tr = medium.transmittance(ds.dist)[..., :C]
+
+            # scattering kernel value toward the light
+            cos_sc = fr.dot(ds.d, -wi_world)
+            ph = med.phase_eval(medium, cos_sc)
+            sigma_s = (medium.albedo * medium.sigma_t)[None, :C]
+            f_medium = sigma_s * ph[..., None] / jnp.maximum(
+                medium.sigma_t[None, :C], 1e-8
+            )  # albedo * phase (collision-normalized)
+            pdf_medium = ph
+
+            wo_local = si.to_local(ds.d)
+            f_surf, pdf_surf = bsdfs.eval_pdf(
+                scene.materials, jnp.maximum(si.mat_idx, 0), si, wo_local,
+                ctx, cfg, wavelengths,
+            )
+            f = jnp.where(is_medium[..., None], f_medium, f_surf)
+            pdf_b = jnp.where(is_medium, pdf_medium, pdf_surf)
+            mis_em = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, pdf_b))
+            e_val = em_mod.emitter_value(
+                em, ds.emitter_idx, ds.d, ds.dist, vis, cfg, wavelengths
+            )
+            if not cfg.spectral:
+                e_val = _to_channels(e_val, cfg)
+            contrib = f * e_val * tr * (
+                mis_em / jnp.maximum(ds.pdf, 1e-20)
+            )[..., None]
+            return jnp.where(vis[..., None], contrib, 0.0)
+
+        def body(carry, b):
+            ray_o, ray_d, L, beta, active, prev_pdf, prev_delta = carry
+            ray_b = Ray.create(ray_o, ray_d)
+            si = scene.ray_intersect(ray_b)
+            t_surf = jnp.where(si.valid, si.t, 1e8)
+
+            # --- free-flight sampling (hero channel 0) -------------------
+            u_t = sampler.next_1d(bounce_dim(b, 7))
+            t_med = medium.sample_distance(u_t, 0)
+            is_medium = active & (t_med < t_surf)
+            hit_surface = active & si.valid & ~is_medium
+
+            # throughput update for the flight segment (channel-0 MC weight)
+            sigma0 = jnp.maximum(medium.sigma_t[0], 1e-8)
+            tr_med = medium.transmittance(t_med)[..., :3]
+            tr_surf = medium.transmittance(t_surf)[..., :3]
+            w_medium = tr_med * medium.sigma_t[None, :] / (
+                sigma0 * tr_med[..., 0:1]
+            )
+            w_surface = tr_surf / jnp.maximum(tr_surf[..., 0:1], 1e-20)
+            beta = beta * jnp.where(
+                is_medium[..., None], w_medium[..., : beta.shape[-1]],
+                jnp.where(hit_surface[..., None],
+                          w_surface[..., : beta.shape[-1]], 1.0),
+            )
+
+            p_medium = ray_o + ray_d * t_med[..., None]
+            point = jnp.where(is_medium[..., None], p_medium, si.p)
+
+            # --- emitter hit (surface path only) -------------------------
+            hit_emitter = hit_surface & (si.emitter_idx >= 0) & (
+                fr.cos_theta(si.wi) > 0
+            )
+            from ..librender.records import DirectionSample
+
+            ds_hit = DirectionSample(
+                p=si.p, n=si.n, uv=si.uv, d=ray_d,
+                dist=jnp.where(si.valid, si.t, 1.0),
+                pdf=jnp.zeros((n,)), delta=jnp.zeros((n,), bool),
+                emitter_idx=si.emitter_idx,
+            )
+            em_pdf = em_mod.pdf_emitter_direction(em, geo, ray_o, ds_hit)
+            em_pdf = jnp.where(prev_delta, 0.0, em_pdf)
+            mis_b = mis_weight(prev_pdf, em_pdf)
+            e_val = em_mod.emitter_value(
+                em, si.emitter_idx, ray_d, ds_hit.dist, hit_emitter, cfg,
+                wavelengths,
+            )
+            if not cfg.spectral:
+                e_val = _to_channels(e_val, cfg)
+            L = L + beta * e_val * jnp.where(hit_emitter, mis_b, 0.0)[..., None]
+
+            active_next = (is_medium | hit_surface) & (b + 1 < self.max_depth)
+
+            # --- NEE from the vertex ------------------------------------
+            L = L + beta * nee(point, si.n, is_medium, -ray_d, si, b) * \
+                active_next[..., None]
+
+            # --- continuation sampling ----------------------------------
+            u1 = sampler.next_1d(bounce_dim(b, 0))
+            u2 = sampler.next_2d(bounce_dim(b, 1))
+            # medium: phase sample
+            wo_med, pdf_med = med.phase_sample(medium, -ray_d, u2)
+            w_med = jnp.ones((n, C), jnp.float32) * medium.albedo[None, :C]
+            # surface: bsdf sample
+            bs, w_surf, ok_s = bsdfs.sample(
+                scene.materials, jnp.maximum(si.mat_idx, 0), si, u1, u2,
+                ctx, cfg, wavelengths,
+            )
+            wo_world_s = si.to_world(bs.wo)
+            wo = jnp.where(is_medium[..., None], wo_med, wo_world_s)
+            w = jnp.where(is_medium[..., None], w_med, w_surf)
+            pdf_cont = jnp.where(is_medium, pdf_med, bs.pdf)
+            ok = jnp.where(is_medium, pdf_med > 0, ok_s & (bs.pdf > 0))
+
+            new_o = jnp.where(
+                is_medium[..., None],
+                p_medium,
+                si.p + si.n * jnp.where(
+                    fr.dot(wo_world_s, si.n) >= 0, mth.RayEpsilon,
+                    -mth.RayEpsilon,
+                )[..., None],
+            )
+            beta_next = beta * w
+            active_next = active_next & ok & (jnp.max(beta_next, -1) > 0)
+
+            # --- Russian roulette ---------------------------------------
+            bmax = jnp.max(beta_next, axis=-1)
+            rr_prob = jnp.minimum(bmax, 0.95)
+            rr_on = b + 1 >= self.rr_depth
+            u_rr = sampler.next_1d(bounce_dim(b, 6))
+            rr_go = ~rr_on | (u_rr < rr_prob)
+            beta_next = beta_next * jnp.where(
+                rr_on, 1.0 / jnp.maximum(rr_prob, 1e-6), 1.0
+            )[..., None]
+            active_next = active_next & rr_go
+
+            is_delta = ~is_medium & (
+                (bs.sampled_type & jnp.uint32(BSDFFlags.Delta)) != 0
+            )
+            carry = (
+                new_o, wo, L,
+                jnp.where(active_next[..., None], beta_next, beta),
+                active_next,
+                jnp.where(active_next, pdf_cont, prev_pdf),
+                jnp.where(active_next, is_delta, prev_delta),
+            )
+            return carry, None
+
+        carry = (ray.o, ray.d, L, beta, active, prev_pdf, prev_delta)
+        carry, _ = jax.lax.scan(
+            body, carry, jnp.arange(self.max_depth, dtype=jnp.uint32)
+        )
+        return carry[2], jnp.ones((n,), bool)

@@ -65,6 +65,7 @@ class Scene:
     materials: MaterialTable
     emitters: EmitterTable
     sensor: Sensor
+    medium: Any = None  # optional global homogeneous medium (scene/media.py)
     env_emitter: int = dataclasses.field(default=-1, metadata=dict(static=True))
 
     # Below this face count, gather-free brute force (Pallas kernel on TPU)
