@@ -243,6 +243,30 @@ def sinc(x):
     return jnp.where(jnp.abs(x) < 1e-8, 1.0, jnp.sin(x_safe) / x_safe)
 
 
+def small_gather(table, idx, threshold: int = 128):
+    """Row fetch table[idx] for small tables via one-hot matmul on the MXU.
+
+    TPU microbenchmarks (this repo's perf notes): a random row gather inside
+    a lax.scan body costs ~60 ms for 2M lanes x 32 cols, while the one-hot
+    [N, T] @ [T, D] contraction runs in a few ms for T <= ~128. Falls back
+    to a plain gather for larger tables. Exact for 0/1 selectors.
+    """
+    T = table.shape[0]
+    # tiny tables: the MXU pads degenerate contraction dims to full tiles,
+    # making one-hot slower than the gather; wide-ish tables exceed VMEM
+    # economy — use the one-hot path only in the sweet spot
+    if T > threshold or T < 8 or table.ndim != 2 or table.shape[1] < 8:
+        return table[idx]
+    oh = (idx[:, None] == jnp.arange(T, dtype=idx.dtype)[None, :]).astype(
+        table.dtype
+    )
+    return jax.lax.dot_general(
+        oh, table, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=table.dtype,
+    )
+
+
 def find_interval(cdf, x):
     """Binary-search index i such that cdf[i] <= x < cdf[i+1] (batched).
 

@@ -197,7 +197,9 @@ class MaterialTable:
             widths.append(a2.shape[1])
             dtypes.append((arr.dtype, arr.ndim))
         packed = jnp.concatenate(parts, axis=-1)  # [M, D]
-        rows = packed[midx]  # [N, D] — the single gather
+        from ..core.math import small_gather
+
+        rows = small_gather(packed, midx)  # [N, D] — ONE fetch (MXU one-hot)
         out = {}
         off = 0
         for name, w, (dt, nd) in zip(names, widths, dtypes):

@@ -76,7 +76,7 @@ class EmitterTable:
             ],
             axis=-1,
         )
-        rows = packed[e_idx]
+        rows = m.small_gather(packed, e_idx)
         return {
             "etype": rows[..., 0].astype(jnp.int32),
             "radiance": rows[..., 1:4],
@@ -414,12 +414,16 @@ def _sample_area(em, geo, ref_p, e_idx, sample2, ep=None):
     if ep is None:
         ep = em.gather(e_idx)
     n = ref_p.shape[0]
-    # triangle pick by per-emitter area CDF (binary search over padded rows)
-    cdf_rows = em.tri_cdf[e_idx]  # [N, T]
+    # triangle pick by per-emitter area CDF; row fetches via one-hot matmul
+    # (in-scan random gathers are the TPU bottleneck — see core.math.small_gather)
+    cdf_rows = m.small_gather(em.tri_cdf, e_idx)  # [N, T]
+    idx_rows = m.small_gather(em.tri_idx.astype(jnp.float32), e_idx)  # [N, T]
     u = sample2[..., 0]
     slot = jnp.sum((cdf_rows < u[..., None]).astype(jnp.int32), axis=-1)
     slot = jnp.clip(slot, 0, em.tri_cdf.shape[1] - 1)
-    tri = em.tri_idx[e_idx, slot]
+    tri = jnp.take_along_axis(idx_rows, slot[..., None], -1)[..., 0].astype(
+        jnp.int32
+    )
     tri_c = jnp.maximum(tri, 0)
 
     # reuse u within the chosen cdf cell, sample barycentric with (u', v)
@@ -431,7 +435,7 @@ def _sample_area(em, geo, ref_p, e_idx, sample2, ep=None):
     )
 
     # single packed fetch (p0, e1, e2) instead of three vertex gathers
-    rows = geo.tri_isect[tri_c]
+    rows = m.small_gather(geo.tri_isect, tri_c)
     p0 = rows[..., 0:3]
     p1 = p0 + rows[..., 3:6]
     p2 = p0 + rows[..., 6:9]

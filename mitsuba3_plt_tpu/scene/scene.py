@@ -97,8 +97,9 @@ class Scene:
         # keep p finite on miss lanes (t = inf would poison gradients of any
         # downstream expression even under where-masks)
         p = ray.o + ray.d * jnp.where(valid, t, 1.0)[..., None]
-        # ONE packed gather for all shading attributes
-        attr = geo.tri_attr[prim_c]  # [N, 32]
+        # ONE packed fetch for all shading attributes (one-hot MXU matmul
+        # for small scenes — in-scan random gathers are ~10x slower)
+        attr = m.small_gather(geo.tri_attr, prim_c)  # [N, 32]
         ng = attr[..., 0:3]
         n0 = attr[..., 3:6]
         n1 = attr[..., 6:9]
