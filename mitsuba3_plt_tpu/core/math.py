@@ -252,10 +252,15 @@ def small_gather(table, idx, threshold: int = 128):
     to a plain gather for larger tables. Exact for 0/1 selectors.
     """
     T = table.shape[0]
-    # tiny tables: the MXU pads degenerate contraction dims to full tiles,
-    # making one-hot slower than the gather; wide-ish tables exceed VMEM
-    # economy — use the one-hot path only in the sweet spot
-    if T > threshold or T < 8 or table.ndim != 2 or table.shape[1] < 8:
+    if table.ndim != 2:
+        return table[idx]
+    if T <= 8:
+        # tiny table: broadcast compare + masked sum — pure VPU, no gather,
+        # no MXU tile padding (both are pathological at this size)
+        iota = jnp.arange(T, dtype=idx.dtype)
+        sel = (idx[:, None, None] == iota[None, :, None])
+        return jnp.sum(jnp.where(sel, table[None, :, :], 0), axis=1)
+    if T > threshold or table.shape[1] < 8:
         return table[idx]
     oh = (idx[:, None] == jnp.arange(T, dtype=idx.dtype)[None, :]).astype(
         table.dtype
@@ -265,6 +270,14 @@ def small_gather(table, idx, threshold: int = 128):
         precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=table.dtype,
     )
+
+
+def select_along(rows, idx):
+    """rows[n, idx[n]] for small static last dims via compare+masked-sum
+    (take_along_axis is a per-lane gather — tens of ms at 2M lanes in-scan)."""
+    T = rows.shape[-1]
+    iota = jnp.arange(T, dtype=idx.dtype)
+    return jnp.sum(jnp.where(idx[..., None] == iota, rows, 0), axis=-1)
 
 
 def find_interval(cdf, x):

@@ -141,8 +141,8 @@ def lobe_intensity_xy(g: Grating, lobe_xy, wi, wl_um, n_orders: int):
     base = order_intensities(g, wi, wl_um, n_orders)  # [..., n_orders+1]
     lx = jnp.abs(lobe_xy[..., 0])
     ly = jnp.abs(lobe_xy[..., 1])
-    ix = jnp.take_along_axis(base, lx[..., None], axis=-1)[..., 0]
-    iy_2d = jnp.take_along_axis(base, ly[..., None], axis=-1)[..., 0]
+    ix = m.select_along(base, lx)
+    iy_2d = m.select_along(base, ly)
     is1d = g.is_1d()
     is1d = is1d.reshape(is1d.shape + (1,) * (ix.ndim - is1d.ndim))
     iy = jnp.where(is1d, ix, iy_2d)
@@ -194,8 +194,8 @@ def sample_lobe(g: Grating, sample2, wi, wl_um, half: int):
     lx = pick(rn[..., 0])
     ly = pick(rn[..., 1])
     # per-axis pdf: p(l) for l=0, p(l)/2 for mirrored orders
-    px = jnp.take_along_axis(p, lx[..., None], axis=-1)[..., 0]
-    py = jnp.take_along_axis(p, ly[..., None], axis=-1)[..., 0]
+    px = m.select_along(p, lx)
+    py = m.select_along(p, ly)
     px = jnp.where(lx == 0, px, px * 0.5)
     py = jnp.where(ly == 0, py, py * 0.5)
 
@@ -216,8 +216,8 @@ def lobe_pdf(g: Grating, lobe_xy, wi, wl_um, half: int):
     total = jnp.sum(ints, axis=-1)
     lx = jnp.clip(jnp.abs(lobe_xy[..., 0]), 0, half)
     ly = jnp.clip(jnp.abs(lobe_xy[..., 1]), 0, half)
-    ix = jnp.take_along_axis(ints, lx[..., None], axis=-1)[..., 0]
-    iy = jnp.take_along_axis(ints, ly[..., None], axis=-1)[..., 0]
+    ix = m.select_along(ints, lx)
+    iy = m.select_along(ints, ly)
     return (ix / jnp.maximum(total, 1e-30)) * (iy / jnp.maximum(total, 1e-30))
 
 

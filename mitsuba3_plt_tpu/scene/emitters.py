@@ -421,14 +421,12 @@ def _sample_area(em, geo, ref_p, e_idx, sample2, ep=None):
     u = sample2[..., 0]
     slot = jnp.sum((cdf_rows < u[..., None]).astype(jnp.int32), axis=-1)
     slot = jnp.clip(slot, 0, em.tri_cdf.shape[1] - 1)
-    tri = jnp.take_along_axis(idx_rows, slot[..., None], -1)[..., 0].astype(
-        jnp.int32
-    )
+    tri = m.select_along(idx_rows, slot).astype(jnp.int32)
     tri_c = jnp.maximum(tri, 0)
 
     # reuse u within the chosen cdf cell, sample barycentric with (u', v)
-    lo = jnp.where(slot > 0, jnp.take_along_axis(cdf_rows, jnp.maximum(slot - 1, 0)[..., None], -1)[..., 0], 0.0)
-    hi = jnp.take_along_axis(cdf_rows, slot[..., None], -1)[..., 0]
+    lo = jnp.where(slot > 0, m.select_along(cdf_rows, jnp.maximum(slot - 1, 0)), 0.0)
+    hi = m.select_along(cdf_rows, slot)
     u_re = jnp.clip((u - lo) / jnp.maximum(hi - lo, 1e-12), 0.0, 1.0 - 1e-6)
     bary = warp.square_to_uniform_triangle(
         jnp.stack([u_re, sample2[..., 1]], axis=-1)
