@@ -43,6 +43,8 @@ from .bsdf import (
     BSDF_MASK,
     BSDF_POLARIZER,
     BSDF_RETARDER,
+    BSDF_CIRCULAR,
+    BSDF_PPLASTIC,
     BSDF_ROUGH_GRATING,
 )
 
@@ -953,6 +955,131 @@ class Retarder:
         return jnp.zeros(si.wi.shape[0], jnp.float32)
 
 
+class CircularPolarizer:
+    """Ideal circular polarizer (reference src/bsdfs/circular.cpp):
+    transmissive element passing right- (weight >= 0) or left-handed
+    (weight < 0) circular polarization."""
+
+    @staticmethod
+    def sample(p, si, u1, u2, ctx, cfg, wavelengths):
+        n = si.wi.shape[0]
+        wo = -si.wi
+        refl = eval_color(p, "base_color", cfg, wavelengths)
+        if cfg.polarized:
+            right = (p["weight"] >= 0)[..., None, None]
+            M = jnp.where(
+                right,
+                mu.right_circular_polarizer((n,)),
+                mu.left_circular_polarizer((n,)),
+            )
+            M = jnp.broadcast_to(M[..., None], (n, 4, 4, cfg.n_channels))
+            value = mul_value(M, refl, cfg)
+        else:
+            value = 0.5 * refl
+        bs = BSDFSample(
+            wo=wo,
+            pdf=jnp.ones((n,), jnp.float32),
+            eta=jnp.ones((n,), jnp.float32),
+            sampled_type=jnp.full((n,), BSDFFlags.Null, jnp.uint32),
+            sampled_component=jnp.zeros((n,), jnp.int32),
+        )
+        return bs, value, jnp.ones((n,), bool)
+
+    @staticmethod
+    def eval(p, si, wo, ctx, cfg, wavelengths):
+        return zeros_value(si.wi.shape[0], cfg)
+
+    @staticmethod
+    def pdf(p, si, wo, ctx, cfg):
+        return jnp.zeros(si.wi.shape[0], jnp.float32)
+
+
+class PPlastic:
+    """Polarized plastic (reference src/bsdfs/pplastic.cpp): specular
+    dielectric coat with full Mueller Fresnel over a depolarizing diffuse
+    base."""
+
+    @staticmethod
+    def sample(p, si, u1, u2, ctx, cfg, wavelengths):
+        n = si.wi.shape[0]
+        cos_i = fr.cos_theta(si.wi)
+        active = cos_i > 0
+        eta = p["eta_re"][..., 0]
+        F_i, _, _, _ = fres.fresnel_dielectric(cos_i, eta)
+        prob_spec = F_i
+        sel_spec = u1 < prob_spec
+
+        wo_spec = fr.reflect(si.wi)
+        wo_diff = warp.square_to_cosine_hemisphere(u2)
+        wo = jnp.where(sel_spec[..., None], wo_spec, wo_diff)
+        cos_o = fr.cos_theta(wo)
+        F_o, _, _, _ = fres.fresnel_dielectric(cos_o, eta)
+        diff = eval_color(p, "base_color", cfg, wavelengths)
+        diff_val = diff * ((1.0 - F_i) * (1.0 - F_o))[..., None]
+
+        if cfg.polarized:
+            wo_hat = wo if ctx.mode == TransportMode.Radiance else si.wi
+            wi_hat = si.wi if ctx.mode == TransportMode.Radiance else wo
+            ct_hat = fr.cos_theta(wo_hat)
+            MR = mu.specular_reflection_dielectric(ct_hat[..., None], eta[..., None])
+            MR = jnp.broadcast_to(MR, (n, cfg.n_channels, 4, 4))
+            normal = jnp.broadcast_to(
+                jnp.asarray([0.0, 0.0, 1.0], jnp.float32), wo.shape
+            )
+            spec_M = _spec_reflect_mueller(wo_hat, wi_hat, lambda: MR, normal, cfg)
+            spec_M = mul_value(
+                spec_M, jnp.where(F_i > 0, 1.0 / jnp.maximum(F_i, 1e-6), 0.0)[
+                    ..., None
+                ] * jnp.ones((n, cfg.n_channels)), cfg,
+            )
+            diff_M = depolarized(
+                diff_val / jnp.maximum(1.0 - prob_spec, 1e-6)[..., None], cfg
+            )
+            value = where_value(sel_spec, spec_M, diff_M, cfg)
+        else:
+            w_spec = jnp.ones((n, cfg.n_channels), jnp.float32)
+            w_diff = diff_val / jnp.maximum(1.0 - prob_spec, 1e-6)[..., None]
+            value = jnp.where(sel_spec[..., None], w_spec, w_diff)
+
+        pdf_diff = warp.square_to_cosine_hemisphere_pdf(wo) * (1.0 - prob_spec)
+        bs = BSDFSample(
+            wo=wo,
+            pdf=jnp.where(sel_spec, prob_spec, pdf_diff),
+            eta=jnp.ones((n,), jnp.float32),
+            sampled_type=jnp.where(
+                sel_spec,
+                jnp.uint32(BSDFFlags.DeltaReflection),
+                jnp.uint32(BSDFFlags.DiffuseReflection),
+            ),
+            sampled_component=jnp.where(sel_spec, 0, 1).astype(jnp.int32),
+        )
+        ok = active & (cos_o > 0)
+        return bs, where_value(ok, value, zeros_value(n, cfg), cfg), ok
+
+    @staticmethod
+    def eval(p, si, wo, ctx, cfg, wavelengths):
+        n = si.wi.shape[0]
+        cos_i = fr.cos_theta(si.wi)
+        cos_o = fr.cos_theta(wo)
+        active = (cos_i > 0) & (cos_o > 0)
+        eta = p["eta_re"][..., 0]
+        F_i, _, _, _ = fres.fresnel_dielectric(cos_i, eta)
+        F_o, _, _, _ = fres.fresnel_dielectric(cos_o, eta)
+        diff = eval_color(p, "base_color", cfg, wavelengths)
+        val = diff * (m.InvPi * cos_o * (1.0 - F_i) * (1.0 - F_o))[..., None]
+        return where_value(active, depolarized(val, cfg),
+                           zeros_value(n, cfg), cfg)
+
+    @staticmethod
+    def pdf(p, si, wo, ctx, cfg):
+        cos_i = fr.cos_theta(si.wi)
+        cos_o = fr.cos_theta(wo)
+        eta = p["eta_re"][..., 0]
+        F_i, _, _, _ = fres.fresnel_dielectric(cos_i, eta)
+        pdf = warp.square_to_cosine_hemisphere_pdf(wo) * (1.0 - F_i)
+        return jnp.where((cos_i > 0) & (cos_o > 0), pdf, 0.0)
+
+
 IMPLS = {
     BSDF_NULL: Null,
     BSDF_DIFFUSE: Diffuse,
@@ -966,6 +1093,8 @@ IMPLS = {
     BSDF_MASK: MaskBSDF,
     BSDF_POLARIZER: Polarizer,
     BSDF_RETARDER: Retarder,
+    BSDF_CIRCULAR: CircularPolarizer,
+    BSDF_PPLASTIC: PPlastic,
 }
 
 

