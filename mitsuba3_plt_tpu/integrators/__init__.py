@@ -1,14 +1,22 @@
 """Integrator registry (analog of the reference's plugin name lookup)."""
 
 
+def _int(cfg, key, default):
+    try:
+        return int(cfg.get(key, default))
+    except (TypeError, ValueError):  # unresolved "$param" defaults
+        return default
+
+
+
 def make_integrator(cfg: dict):
     t = cfg.get("type", "path")
     if t in ("path", "mispath", "direct"):
         from .path import PathIntegrator
 
         return PathIntegrator(
-            max_depth=int(cfg.get("max_depth", 6 if t != "direct" else 2)),
-            rr_depth=int(cfg.get("rr_depth", 5)),
+            max_depth=_int(cfg, "max_depth", 6 if t != "direct" else 2),
+            rr_depth=_int(cfg, "rr_depth", 5),
         )
     if t == "depth":
         from .aov import DepthIntegrator
@@ -27,15 +35,15 @@ def make_integrator(cfg: dict):
         from .plt import PLTIntegrator
 
         return PLTIntegrator(
-            max_depth=int(cfg.get("max_depth", 6)),
-            rr_depth=int(cfg.get("rr_depth", 5)),
+            max_depth=_int(cfg, "max_depth", 6),
+            rr_depth=_int(cfg, "rr_depth", 5),
         )
     if t in ("volpath", "volpathmis"):
         from .volpath import VolPathIntegrator
 
         return VolPathIntegrator(
-            max_depth=int(cfg.get("max_depth", 8)),
-            rr_depth=int(cfg.get("rr_depth", 5)),
+            max_depth=_int(cfg, "max_depth", 8),
+            rr_depth=_int(cfg, "rr_depth", 5),
         )
     if t in ("stokes", "stokes_fw"):
         from .stokes import StokesIntegrator, PolarizedPathIntegrator
@@ -44,8 +52,25 @@ def make_integrator(cfg: dict):
         inner = None
         if nested is not None and nested.get("type", "path") in ("path", "mispath"):
             inner = PolarizedPathIntegrator(
-                max_depth=int(nested.get("max_depth", 6)),
-                rr_depth=int(nested.get("rr_depth", 5)),
+                max_depth=_int(nested, "max_depth", 6),
+                rr_depth=_int(nested, "rr_depth", 5),
             )
         return StokesIntegrator(inner=inner, forward_basis=(t == "stokes_fw"))
-    raise ValueError(f"unknown integrator type {t!r}")
+    if t in ("ptracer",):
+        from .ptracer import ParticleTracer
+
+        return ParticleTracer(
+            max_depth=_int(cfg, "max_depth", 6),
+            rr_depth=_int(cfg, "rr_depth", 5),
+        )
+    # unresolved -D defaults ("$integrator") and not-yet-ported AD variants
+    # (direct_projective / prb_projective) fall back to the path tracer
+    import warnings
+
+    warnings.warn(f"integrator type {t!r} unavailable; using 'path'")
+    from .path import PathIntegrator
+
+    return PathIntegrator(
+        max_depth=_int(cfg, "max_depth", 6),
+        rr_depth=_int(cfg, "rr_depth", 5),
+    )

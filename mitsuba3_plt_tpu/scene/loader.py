@@ -226,19 +226,25 @@ def _parse_bsdf(elem, defaults) -> LoadedBSDF:
         )
     if btype == "roughgrating":
         a = p.get("alpha", 0.1)
+        lobe_type = {"sinusoidal": 0, "rectangular": 1, "linear": 2}.get(
+            str(p.get("lobe_type", "rectangular")).lower(), 1
+        )
+        radial = str(p.get("radial", "false")).lower() in ("true", "1")
+        inv_p = p.get("inv_period", 0.1)
         return LoadedBSDF(
             BSDF_ROUGH_GRATING,
             base_color=p.get("specular_reflectance", (1.0, 1.0, 1.0)),
             eta_re=p.get("eta", (0.2, 0.92, 1.1)),
             eta_im=p.get("k", (3.9, 2.45, 2.14)),
             alpha=(p.get("alpha_u", a), p.get("alpha_v", a)),
-            grt_inv_period=(p.get("inv_period_x", 1.0), p.get("inv_period_y", 0.0)),
-            grt_height=p.get("height", 0.1),
-            grt_lobes=p.get("lobes", 3),
-            grt_type=p.get("lobe_type", 0),
+            grt_inv_period=(
+                p.get("inv_period_x", inv_p), p.get("inv_period_y", 0.0)
+            ),
+            grt_height=p.get("height", 0.3),
+            grt_lobes=int(p.get("lobes", 5)),
+            grt_type=lobe_type | (16 if radial else 0),
             grt_multiplier=p.get("multiplier", 1.0),
-            grt_coherence=p.get("coherence", 1.0),
-            radial=p.get("radial", False),
+            grt_coherence=p.get("coherence", 1e-18),
         )
     if btype == "null":
         return LoadedBSDF(BSDF_NULL)
@@ -344,6 +350,8 @@ def _build_scene_from_xml(root, defaults, base_dir):
     for e in root.findall("emitter"):
         p = _props(e, defaults)
         etype = e.get("type")
+        if "filename" in p:
+            p["filename"] = os.path.join(base_dir, p["filename"])
         emitters.append({"type": etype, **p})
 
     # --- shapes ---
@@ -585,10 +593,19 @@ def build_emitter_table(emitters, meshes, geo):
             if "image" in e:
                 env_img = np.asarray(e["image"], np.float32)
             elif "filename" in e:
-                from PIL import Image
+                try:
+                    from PIL import Image
 
-                im = Image.open(e["filename"]).convert("RGB")
-                env_img = np.asarray(im, np.float32) / 255.0
+                    im = Image.open(e["filename"]).convert("RGB")
+                    env_img = np.asarray(im, np.float32) / 255.0
+                except Exception as exc:  # EXR codec absent in this env
+                    import warnings
+
+                    warnings.warn(
+                        f"envmap {e['filename']!r} unreadable ({exc}); "
+                        "falling back to a uniform gray environment"
+                    )
+                    env_img = np.full((8, 16, 3), 0.5, np.float32)
             env_scale = float(e.get("scale", 1.0))
 
     etype = np.zeros(e_count, np.int32)
