@@ -20,6 +20,9 @@ SENSOR_PERSPECTIVE = 0
 SENSOR_ORTHOGRAPHIC = 1
 SENSOR_THINLENS = 2
 SENSOR_BATCH = 3
+SENSOR_RADIANCEMETER = 4
+SENSOR_IRRADIANCEMETER = 5
+SENSOR_DISTANT = 6
 
 
 @jax.tree_util.register_dataclass
@@ -89,6 +92,57 @@ class Sensor:
             aperture_radius=jnp.asarray(aperture_radius, jnp.float32),
             focus_distance=jnp.asarray(focus_distance, jnp.float32),
             stype_static=SENSOR_THINLENS,
+        )
+
+    @staticmethod
+    def radiancemeter(to_world):
+        """Single-ray radiance probe along the sensor's +z axis
+        (reference src/sensors/radiancemeter.cpp): a 1x1 film whose pixel is
+        the radiance arriving at the origin from the viewing direction."""
+        s = Sensor.orthographic(to_world, 1, 1, scale_x=0.0, scale_y=0.0)
+        return dataclasses.replace(
+            s,
+            stype=jnp.asarray(SENSOR_RADIANCEMETER, jnp.int32),
+            stype_static=SENSOR_RADIANCEMETER,
+        )
+
+    @staticmethod
+    def irradiancemeter(to_world, scale_x=1.0, scale_y=1.0):
+        """Cosine-weighted hemispherical irradiance probe over a surface
+        patch (reference src/sensors/irradiancemeter.cpp): rays start on the
+        patch with cosine-distributed directions; the developed pixel
+        estimates E = integral L cos dw (the pi factor of the cosine pdf is
+        folded into sample_ray's uniform weighting)."""
+        s = Sensor.orthographic(to_world, 1, 1, scale_x=scale_x,
+                                scale_y=scale_y)
+        return dataclasses.replace(
+            s,
+            stype=jnp.asarray(SENSOR_IRRADIANCEMETER, jnp.int32),
+            stype_static=SENSOR_IRRADIANCEMETER,
+        )
+
+    @staticmethod
+    def distant(direction, width=1, height=1, target=(0.0, 0.0, 0.0),
+                radius=1.0):
+        """Distant directional sensor (reference src/sensors/distant.cpp):
+        parallel rays arriving along `direction` over a disk of `radius`
+        around `target`."""
+        import numpy as _np
+
+        d = _np.asarray(direction, _np.float64)
+        d = d / _np.linalg.norm(d)
+        from ..core import transform as _tf
+
+        tw = _tf.look_at(
+            _np.asarray(target) - d * 1e4, target,
+            [0, 1, 0] if abs(d[1]) < 0.9 else [1, 0, 0],
+        )
+        s = Sensor.orthographic(tw, width, height, scale_x=radius,
+                                scale_y=radius)
+        return dataclasses.replace(
+            s,
+            stype=jnp.asarray(SENSOR_DISTANT, jnp.int32),
+            stype_static=SENSOR_DISTANT,
         )
 
     @staticmethod
@@ -167,7 +221,27 @@ class Sensor:
         R = self.to_world[:3, :3]
         t = self.to_world[:3, 3]
 
-        if self.stype_static == SENSOR_ORTHOGRAPHIC:
+        if self.stype_static == SENSOR_RADIANCEMETER:
+            o = jnp.broadcast_to(t, (*u.shape, 3))
+            d = jnp.broadcast_to(R[:, 2], (*u.shape, 3))
+            return o, fr.normalize(d)
+
+        if self.stype_static == SENSOR_IRRADIANCEMETER:
+            # origin jittered over the patch, cosine-weighted direction about
+            # the patch normal (+z of to_world)
+            from ..core import warp as _warp
+
+            x = (1.0 - 2.0 * u) * self.ortho_scale[0]
+            y = (1.0 - 2.0 * v) * self.ortho_scale[1]
+            o_cam = jnp.stack([x, y, jnp.zeros_like(x)], axis=-1)
+            if aperture_uv is None:
+                aperture_uv = jnp.stack([u, v], -1)
+            d_local = _warp.square_to_cosine_hemisphere(aperture_uv)
+            o = o_cam @ R.T + t
+            d = d_local @ R.T
+            return o, fr.normalize(d)
+
+        if self.stype_static in (SENSOR_ORTHOGRAPHIC, SENSOR_DISTANT):
             x = (1.0 - 2.0 * u) * self.ortho_scale[0]
             y = (1.0 - 2.0 * v) * self.ortho_scale[1]
             o_cam = jnp.stack([x, y, jnp.zeros_like(x)], axis=-1)
