@@ -99,7 +99,13 @@ class Sampler:
 # ---------------------------------------------------------------------------
 
 def _cmj_permute(i, l, p):
-    """Kensler's cycle-walking pseudorandom permutation of [0, l)."""
+    """Cycle-walking pseudorandom permutation of [0, l).
+
+    Rounds of {xor-key, odd-multiply, xor-shift} masked to the next power of
+    two — every op is invertible mod 2^k, so the composition is a true
+    bijection on the padded domain; cycle-walking maps back into [0, l)
+    (zero walks when l is itself a power of two, the common spp case).
+    """
     i = jnp.asarray(i, U32)
     l = jnp.asarray(l, U32)
     p = jnp.asarray(p, U32)
@@ -110,34 +116,25 @@ def _cmj_permute(i, l, p):
     w = w | (w >> U32(8))
     w = w | (w >> U32(16))
 
-    def body(state):
-        i, _ = state
-        i = i ^ p
-        i = i * U32(0xE170893D)
-        i = i ^ (p >> U32(16))
-        i = i ^ ((i & w) >> U32(4))
-        i = i ^ (p >> U32(8))
-        i = i * U32(0x0929EB3F)
-        i = i ^ (p >> U32(23))
-        i = i ^ ((i & w) >> U32(1))
-        i = i * (U32(1) | (p >> U32(27)))
-        i = i * U32(0x6935FA69)
-        i = i ^ ((i & w) >> U32(11))
-        i = i * U32(0x74DCCA9A)
-        i = i ^ ((i & w) >> U32(2))
-        i = i * U32(0x9E501CC3)
-        i = i ^ ((i & w) >> U32(2))
-        i = i * U32(0xC860A3DF)
-        i = i & w
-        i = i ^ (i >> U32(5))
-        return i, i >= l
+    keys = [
+        _pcg_hash(p + U32(0x9E3779B9) * U32(r + 1)) for r in range(4)
+    ]
 
-    # fixed 4 rounds of cycle-walking cover all practical l
-    i, again = body((i, jnp.ones_like(i, bool)))
-    for _ in range(3):
-        i2, again2 = body((i, again))
-        i = jnp.where(again, i2, i)
-        again = again & again2
+    def scramble(i):
+        for k in keys:
+            i = (i ^ (k & w)) & w
+            i = (i * U32(0x6935FA69)) & w      # odd multiplier: invertible
+            i = (i ^ (i >> U32(3))) & w        # xorshift: invertible
+            i = (i * U32(0x74DCCA9B)) & w
+            i = (i ^ (i >> U32(7))) & w
+        return i
+
+    # cycle walk: the padded domain is < 2*l, so a handful of rounds suffice
+    i = scramble(i)
+    for _ in range(5):
+        again = i >= l
+        i = jnp.where(again, scramble(i), i)
+    # leftover non-walked lanes (vanishingly rare) wrap without bias concern
     return (i + p) % l
 
 
@@ -163,9 +160,46 @@ def cmj_sample_2d(s, spp: int, pattern):
     return jnp.stack([x, y], axis=-1)
 
 
+def _radical_inverse_base2(i):
+    """Van der Corput sequence (bit reversal / 2^32)."""
+    i = jnp.asarray(i, U32)
+    i = ((i & U32(0x55555555)) << 1) | ((i & U32(0xAAAAAAAA)) >> 1)
+    i = ((i & U32(0x33333333)) << 2) | ((i & U32(0xCCCCCCCC)) >> 2)
+    i = ((i & U32(0x0F0F0F0F)) << 4) | ((i & U32(0xF0F0F0F0)) >> 4)
+    i = ((i & U32(0x00FF00FF)) << 8) | ((i & U32(0xFF00FF00)) >> 8)
+    i = (i << 16) | (i >> 16)
+    return i.astype(jnp.float32) * jnp.float32(2.3283064365386963e-10)
+
+
+def _radical_inverse_base3(i, digits: int = 20):
+    """Base-3 radical inverse with a static digit count (covers 3^20 > 2^31)."""
+    i = jnp.asarray(i, jnp.uint32)
+    f = jnp.zeros(i.shape, jnp.float32)
+    inv = jnp.float32(1.0 / 3.0)
+    scale = jnp.full(i.shape, inv)
+    for _ in range(digits):
+        digit = (i % 3).astype(jnp.float32)
+        f = f + digit * scale
+        i = i // 3
+        scale = scale * inv
+    return f
+
+
+def halton_2d(s, pattern):
+    """Low-discrepancy 2D point: (base-2, base-3) radical inverses of sample
+    index s with a Cranley-Patterson rotation per `pattern` (u32) — the role
+    of the reference's ldsampler/halton plugins (src/samplers/)."""
+    rx = _cmj_randfloat(jnp.zeros_like(pattern), pattern * U32(0x9E3779B1))
+    ry = _cmj_randfloat(jnp.ones_like(pattern), pattern * U32(0x85EBCA77))
+    x = jnp.mod(_radical_inverse_base2(s) + rx, 1.0)
+    y = jnp.mod(_radical_inverse_base3(s) + ry, 1.0)
+    return jnp.stack([x, y], axis=-1)
+
+
 SAMPLER_INDEPENDENT = "independent"
 SAMPLER_STRATIFIED = "stratified"
 SAMPLER_MULTIJITTER = "multijitter"
+SAMPLER_LD = "ldsampler"
 
 
 # Fixed dimension-allocation map for the path/PLT integrators. Each bounce gets

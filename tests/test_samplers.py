@@ -1,0 +1,53 @@
+"""Sampler quality: CMJ / Halton stratification and variance-reduction
+oracles (reference src/samplers/ role)."""
+import numpy as np
+import jax.numpy as jnp
+
+from mitsuba3_plt_tpu.core.rng import cmj_sample_2d, halton_2d, _cmj_permute
+
+
+def test_cmj_permutation_bijective():
+    for l in [16, 48, 64, 100, 257]:
+        for p in [7, 1234, 99999]:
+            perm = np.asarray(
+                _cmj_permute(jnp.arange(l, dtype=jnp.uint32), jnp.uint32(l),
+                             jnp.full(l, p, jnp.uint32))
+            )
+            assert len(set(perm.tolist())) == l, (l, p)
+
+
+def test_cmj_stratified_both_axes():
+    spp = 64
+    pts = np.asarray(
+        cmj_sample_2d(jnp.arange(spp, dtype=jnp.uint32), spp,
+                      jnp.full(spp, 7, jnp.uint32))
+    )
+    hx, _ = np.histogram(pts[:, 0], bins=8, range=(0, 1))
+    hy, _ = np.histogram(pts[:, 1], bins=8, range=(0, 1))
+    assert (hx == 8).all() and (hy == 8).all(), (hx, hy)
+
+
+def test_variance_reduction_ranking():
+    f = lambda p: np.sin(6.28 * p[..., 0]) * np.cos(6.28 * p[..., 1]) \
+        + p[..., 0] * p[..., 1]
+    rng = np.random.default_rng(0)
+    spp = 64
+    idx = jnp.arange(spp, dtype=jnp.uint32)
+    est = {}
+    for name in ["independent", "cmj", "halton"]:
+        vals = []
+        for pat in range(120):
+            if name == "independent":
+                pts = rng.random((spp, 2))
+            elif name == "cmj":
+                pts = np.asarray(
+                    cmj_sample_2d(idx, spp, jnp.full(spp, pat, jnp.uint32))
+                )
+            else:
+                pts = np.asarray(
+                    halton_2d(idx, jnp.full(spp, pat, jnp.uint32))
+                )
+            vals.append(f(pts).mean())
+        est[name] = float(np.std(vals))
+    assert est["cmj"] < 0.5 * est["independent"], est
+    assert est["halton"] < 0.8 * est["independent"], est
