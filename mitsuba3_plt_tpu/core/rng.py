@@ -129,12 +129,17 @@ def _cmj_permute(i, l, p):
             i = (i ^ (i >> U32(7))) & w
         return i
 
-    # cycle walk: the padded domain is < 2*l, so a handful of rounds suffice
+    # cycle walk until every lane lands in [0, l) — exact bijectivity
+    # (expected <2 rounds: the padded domain is < 2*l)
     i = scramble(i)
-    for _ in range(5):
-        again = i >= l
-        i = jnp.where(again, scramble(i), i)
-    # leftover non-walked lanes (vanishingly rare) wrap without bias concern
+
+    def cond(i):
+        return jnp.any(i >= l)
+
+    def walk(i):
+        return jnp.where(i >= l, scramble(i), i)
+
+    i = jax.lax.while_loop(cond, walk, i)
     return (i + p) % l
 
 
