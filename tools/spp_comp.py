@@ -1,0 +1,74 @@
+"""spp-convergence analysis: RMSE (and relMSE) vs sample count against a
+high-spp reference render — the fork's scripts/rendering/spp-comp.py role
+(FLIP is perceptual and omitted; relMSE covers the same ranking use).
+
+    python tools/spp_comp.py scene.xml --integrator plt --spps 16 64 256
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def rmse(a, b):
+    import numpy as np
+
+    return float(np.sqrt(np.mean((a - b) ** 2)))
+
+
+def rel_mse(a, ref):
+    import numpy as np
+
+    return float(np.mean((a - ref) ** 2 / (ref * ref + 1e-2)))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("scene")
+    ap.add_argument("--integrator", default=None)
+    ap.add_argument("--spps", type=int, nargs="+", default=[16, 64, 256])
+    ap.add_argument("--ref-spp", type=int, default=2048)
+    ap.add_argument("--resx", type=int, default=128)
+    ap.add_argument("--resy", type=int, default=128)
+    ap.add_argument("-o", "--output", default="spp_comp.json")
+    args = ap.parse_args(argv)
+
+    import numpy as np
+    import mitsuba3_plt_tpu as mi
+    from mitsuba3_plt_tpu.integrators import make_integrator
+
+    scene, meta = mi.load_file(args.scene, resx=args.resx, resy=args.resy)
+    icfg = meta.get("integrator", {"type": "path"})
+    if args.integrator:
+        icfg = {**icfg, "type": args.integrator}
+    integ = make_integrator(icfg)
+
+    ref = np.asarray(
+        mi.render((scene, meta), integrator=integ, spp=args.ref_spp, seed=999)
+    )
+
+    rows = []
+    for spp in args.spps:
+        t0 = time.perf_counter()
+        img = np.asarray(
+            mi.render((scene, meta), integrator=integ, spp=spp, seed=0)
+        )
+        dt = time.perf_counter() - t0
+        rows.append({
+            "spp": spp,
+            "time_s": round(dt, 3),
+            "time_per_sample_ms": round(dt / spp * 1e3, 3),
+            "rmse": round(rmse(img, ref), 6),
+            "rel_mse": round(rel_mse(img, ref), 6),
+        })
+        print(rows[-1])
+
+    out = {"scene": args.scene, "integrator": icfg, "ref_spp": args.ref_spp,
+           "resolution": [args.resx, args.resy], "rows": rows}
+    with open(args.output, "w") as f:
+        json.dump(out, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
