@@ -55,4 +55,8 @@ def render(scene, integrator=None, spp=16, seed=0, cfg=None, **kw):
         integrator = make_integrator({"type": "path"})
     cfg = cfg or config()
     kw.setdefault("n_out_channels", getattr(integrator, "n_out_channels", None))
+    mw = getattr(integrator, "max_wavefront", None)
+    if mw is not None and "spp_per_pass" not in kw:
+        w, h = scene.sensor.resolution
+        kw["spp_per_pass"] = max(1, min(spp, mw // (w * h) or 1))
     return _render(scene, integrator.sample, seed=seed, spp=spp, cfg=cfg, **kw)

@@ -93,6 +93,9 @@ class BounceData:
 class PLTIntegrator:
     max_depth: int = 8
     rr_depth: int = 4
+    # the stacked [max_depth, N] bounce buffer dominates memory: cap the
+    # wavefront so buffer + solve temporaries stay within a v5e-lite HBM
+    max_wavefront: int = 1 << 19
     emissive_sourcing_area: float = 1e-4
     distant_sourcing_area: float = 1e-7
     max_angular_spread: float = 1e-7

@@ -11,6 +11,11 @@ on virtual CPU devices are NOT hardware numbers — the report marks them).
 """
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import json
 import time
 

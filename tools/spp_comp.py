@@ -6,6 +6,11 @@ high-spp reference render — the fork's scripts/rendering/spp-comp.py role
 """
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import argparse
 import json
 import time
