@@ -533,9 +533,9 @@ def build_material_table(bsdf_list: List[LoadedBSDF]) -> MaterialTable:
         if "texture" in p:  # np array [H, W, 3] or filename
             t = p["texture"]
             if isinstance(t, str):
-                from PIL import Image
+                from ..utils.io import read_bitmap
 
-                t = np.asarray(Image.open(t).convert("RGB"), np.float32) / 255.0
+                t = read_bitmap(t)
             t = np.asarray(t, np.float32)
             if t.shape[0] != TEX_RES or t.shape[1] != TEX_RES:
                 from PIL import Image
@@ -584,8 +584,7 @@ def build_emitter_table(emitters, meshes, geo):
     }
 
     # environment map image (at most one): numpy array under "image", or a
-    # bitmap file under "filename" (PNG/JPG via PIL; EXR support arrives with
-    # the native IO module)
+    # bitmap file under "filename" (EXR via the native codec, PNG/JPG via PIL)
     env_img = None
     env_scale = 1.0
     for e in emitters:
@@ -593,19 +592,9 @@ def build_emitter_table(emitters, meshes, geo):
             if "image" in e:
                 env_img = np.asarray(e["image"], np.float32)
             elif "filename" in e:
-                try:
-                    from PIL import Image
+                from ..utils.io import read_bitmap
 
-                    im = Image.open(e["filename"]).convert("RGB")
-                    env_img = np.asarray(im, np.float32) / 255.0
-                except Exception as exc:  # EXR codec absent in this env
-                    import warnings
-
-                    warnings.warn(
-                        f"envmap {e['filename']!r} unreadable ({exc}); "
-                        "falling back to a uniform gray environment"
-                    )
-                    env_img = np.full((8, 16, 3), 0.5, np.float32)
+                env_img = read_bitmap(e["filename"])
             env_scale = float(e.get("scale", 1.0))
 
     etype = np.zeros(e_count, np.int32)

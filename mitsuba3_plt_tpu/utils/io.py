@@ -1,13 +1,37 @@
-"""Image I/O: PNG (tonemapped, via PIL), PFM (float HDR), NPY.
+"""Image I/O: EXR (native PIZ/ZIP codec), PNG (via PIL), PFM, NPY.
 
-The reference writes EXR via OpenEXR (scripts/rendering/main-headless.py);
-this environment has no EXR codec, so the HDR interchange format is PFM
-(+ .npy for exact arrays). write_bitmap dispatches on extension —
-mi.util.write_bitmap twin.
+write_bitmap/read_bitmap dispatch on extension — mi.util.write_bitmap /
+Bitmap ctor twins (reference src/core/bitmap.cpp). 8-bit sources are
+converted sRGB->linear on read like the reference's bitmap texture
+(raw=false default); EXR/PFM/NPY stay linear.
 """
 from __future__ import annotations
 
 import numpy as np
+
+
+def srgb_to_linear(x):
+    x = np.asarray(x, np.float32)
+    return np.where(x <= 0.04045, x / 12.92, np.power((x + 0.055) / 1.055, 2.4))
+
+
+def read_bitmap(path: str) -> np.ndarray:
+    """Read an image file as linear float32 [h, w, 3]."""
+    low = path.lower()
+    if low.endswith(".exr"):
+        from .exr import read_exr_rgb
+
+        return read_exr_rgb(path)
+    if low.endswith(".pfm"):
+        img = read_pfm(path)
+        return np.repeat(img[..., None], 3, -1) if img.ndim == 2 else img
+    if low.endswith(".npy"):
+        img = np.load(path).astype(np.float32)
+        return np.repeat(img[..., None], 3, -1) if img.ndim == 2 else img
+    from PIL import Image
+
+    arr = np.asarray(Image.open(path).convert("RGB"), np.float32) / 255.0
+    return srgb_to_linear(arr)
 
 
 def tonemap_srgb(img, exposure: float = 1.0):
@@ -47,6 +71,13 @@ def write_bitmap(path: str, img, exposure: float = 1.0):
     low = path.lower()
     if low.endswith(".npy"):
         np.save(path, img)
+    elif low.endswith(".exr"):
+        from .exr import write_exr
+
+        names = None
+        if img.ndim == 3 and img.shape[2] == 3:
+            names = ["R", "G", "B"]
+        write_exr(path, img, names)
     elif low.endswith(".pfm"):
         write_pfm(path, img)
     elif low.endswith((".png", ".jpg", ".jpeg")):
