@@ -106,6 +106,14 @@ def unit_angle(u, v):
     return jnp.where(dot_uv < 0, Pi - theta, theta)
 
 
+def unit_angle_dot(dot_uv):
+    """unit_angle from the dot product alone (|u-v|^2 = 2 - 2 u.v for unit
+    vectors) — lets callers avoid materializing broadcasted 3-vectors."""
+    d = jnp.sqrt(jnp.maximum(2.0 - 2.0 * jnp.abs(dot_uv), 0.0))
+    theta = 2.0 * safe_asin(0.5 * d)
+    return jnp.where(dot_uv < 0, Pi - theta, theta)
+
+
 # ---------------------------------------------------------------------------
 # Composite Simpson quadrature (used by bessel_j_small); static point count so
 # it unrolls at trace time into pure vector math.
@@ -187,6 +195,67 @@ def bessel_jn(x, n_max: int, M: int = _BESSEL_M):
     res = outs / jnp.maximum(jnp.abs(norm), 1e-30)[..., None]
     res = res * jnp.sign(norm)[..., None]
     # exact values at x == 0
+    at_zero = (x_abs < 1e-6)[..., None]
+    exact0 = jnp.zeros(n_max + 1, jnp.float32).at[0].set(1.0)
+    return jnp.where(at_zero, exact0, res)
+
+
+def bessel_jn_fast(x, n_max: int, M: int = 64):
+    """J_0..J_{n_max} tuned for the grating hot loop.
+
+    Two-stage Miller recurrence: the first M-(n_max+1) steps carry only
+    (J_{k+1}, J_k, norm) — keeping the output block out of the loop carry
+    halves the HBM traffic of the sweep — then a short unrolled tail emits
+    orders n_max..0.  Valid to f32 roundoff for |x| <= ~0.8*M; beyond that
+    the two-term Hankel asymptotic expansion takes over (where it is
+    accurate, since |x| >> n_max^2 there).
+    """
+    x_abs = jnp.abs(jnp.asarray(x, jnp.float32))
+    x_safe = jnp.maximum(x_abs, 1e-6)
+    inv_x = 1.0 / x_safe
+    switch = 0.75 * M
+
+    def step(k, jp1, jk, norm):
+        jm1 = (2.0 * k) * inv_x * jk - jp1
+        jp1, jk = jk, jm1
+        scale = jnp.where(jnp.abs(jk) > 1e18, 1e-18, 1.0)
+        kk = k - 1.0  # jk now holds J_{kk}
+        even = (jnp.asarray(kk, jnp.int32) % 2) == 0
+        contrib = jnp.where(kk == 0, jk, 2.0 * jk)
+        norm = norm + jnp.where(even, contrib, 0.0)
+        return jp1 * scale, jk * scale, norm * scale, scale
+
+    def body(i, carry):
+        jp1, jk, norm = carry
+        k = (M - i).astype(jnp.float32)
+        jp1, jk, norm, _ = step(k, jp1, jk, norm)
+        return jp1, jk, norm
+
+    init = (
+        jnp.zeros_like(x_safe),
+        jnp.full_like(x_safe, 1e-30),
+        jnp.zeros_like(x_safe),
+    )
+    n_head = M - (n_max + 1)
+    jp1, jk, norm = jax.lax.fori_loop(0, n_head, body, init, unroll=8)
+
+    outs = [None] * (n_max + 1)
+    for i in range(n_head, M):
+        k = float(M - i)
+        jp1, jk, norm, scale = step(k, jp1, jk, norm)
+        kk = M - i - 1
+        outs[kk] = jk
+        for j in range(kk + 1, n_max + 1):
+            outs[j] = outs[j] * scale
+
+    res = jnp.stack(outs, axis=-1)
+    res = res / jnp.maximum(jnp.abs(norm), 1e-30)[..., None]
+    res = res * jnp.sign(norm)[..., None]
+
+    orders = jnp.arange(n_max + 1, dtype=jnp.float32)
+    asym = bessel_j_asymp(x_abs[..., None], orders)
+    res = jnp.where((x_abs > switch)[..., None], asym, res)
+
     at_zero = (x_abs < 1e-6)[..., None]
     exact0 = jnp.zeros(n_max + 1, jnp.float32).at[0].set(1.0)
     return jnp.where(at_zero, exact0, res)

@@ -95,7 +95,9 @@ class PLTIntegrator:
     rr_depth: int = 4
     # the stacked [max_depth, N] bounce buffer dominates memory: cap the
     # wavefront so buffer + solve temporaries stay within a v5e-lite HBM
-    max_wavefront: int = 1 << 19
+    # (~1.4 GB at 2M lanes / depth 6 now that the wave-eval no longer
+    # materializes [N, 81, C, 3] intermediates)
+    max_wavefront: int = 1 << 21
     emissive_sourcing_area: float = 1e-4
     distant_sourcing_area: float = 1e-7
     max_angular_spread: float = 1e-7
@@ -222,35 +224,49 @@ class PLTIntegrator:
             [jnp.ones((1, n, C), jnp.float32), cum[:-1]], axis=0
         )  # [D, N, C]
 
-        L = jnp.zeros((n, C), jnp.float32)
-        for i in range(D):
-            b_i = jax.tree.map(lambda x: x[i], bounces)
+        # previous-vertex stacks for the emissive replay (the sensor "vertex"
+        # for i = 0: wi points back toward the camera, only the direction and
+        # delta-ness matter)
+        b0 = jax.tree.map(lambda x: x[0], bounces)
+        prev_p0 = b0.p + b0.si().to_world(b0.wi)
+        prev_delta_flags = (
+            bounces.bsdf_flags & jnp.uint32(BSDFFlags.Delta)
+        ) != 0  # [D, N]
+        prev_p = jnp.concatenate([prev_p0[None], bounces.p[:-1]], axis=0)
+        prev_delta = jnp.concatenate(
+            [jnp.ones((1, n), bool), prev_delta_flags[:-1]], axis=0
+        )
+
+        # one scan over depth (not a Python unroll: D-fold smaller HLO and
+        # the same fused kernels run for every prefix)
+        def solve_body(L, xs):
+            b_i, prev_p_i, prev_delta_i, alpha_i, i = xs
             L = L + self._emissive_term(
-                scene, bounces, b_i, i, alpha[i], wavelengths, cfg
+                scene, b_i, prev_p_i, prev_delta_i, alpha_i, wavelengths, cfg
             )
             L = L + self._nee_term(
-                scene, sampler, b_i, i, alpha[i], wavelengths, cfg
+                scene, sampler, b_i, i, alpha_i, wavelengths, cfg
             )
+            return L, None
+
+        L0 = jnp.zeros((n, C), jnp.float32)
+        L, _ = jax.lax.scan(
+            solve_body, L0,
+            (bounces, prev_p, prev_delta, alpha,
+             jnp.arange(D, dtype=jnp.uint32)),
+        )
         return L
 
     # ------------------------------------------------------------------
-    def _emissive_term(self, scene, bounces, b_i, i, alpha_i, wavelengths, cfg):
-        """Emissive-hit replay (plt.py:315-405)."""
+    def _emissive_term(self, scene, b_i, prev_p, prev_delta, alpha_i,
+                       wavelengths, cfg):
+        """Emissive-hit replay (plt.py:315-405); prev_p/prev_delta are the
+        previous path vertex (the sensor stand-in for i = 0)."""
         em = scene.emitters
         geo = scene.geo
         n = b_i.valid.shape[0]
 
         active = b_i.active & b_i.is_emitter
-        # previous vertex (the sensor for i = 0)
-        if i > 0:
-            prev = jax.tree.map(lambda x: x[i - 1], bounces)
-            prev_p = prev.p
-            prev_delta = (prev.bsdf_flags & jnp.uint32(BSDFFlags.Delta)) != 0
-        else:
-            # wi points back toward the camera; only the direction matters
-            prev_p = b_i.p + b_i.si().to_world(b_i.wi)
-            prev_delta = jnp.ones((n,), bool)
-
         d = fr.normalize(b_i.p - prev_p)
         ds = DirectionSample(
             p=b_i.p, n=b_i.n, uv=b_i.uv, d=d,

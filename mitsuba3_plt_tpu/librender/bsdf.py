@@ -147,6 +147,14 @@ class MaterialTable:
     present_types: Tuple[int, ...] = dataclasses.field(
         default=(), metadata=dict(static=True)
     )
+    # static grating metadata, computed host-side at scene build
+    # (finalize_grating_meta): (max_half, separable_1d). max_half bounds the
+    # lobe grid the wave-eval sums over; separable_1d=True means every
+    # grating in the scene is 1D, axis-aligned and non-radial, so the 2D
+    # lobe-grid sum collapses to one row times the ly multiplicity.
+    grt_static: Tuple[int, int] = dataclasses.field(
+        default=(4, 0), metadata=dict(static=True)
+    )
 
     @staticmethod
     def empty(m: int, present_types=()):
@@ -211,3 +219,28 @@ class MaterialTable:
             out[name] = sl
             off += w
         return out
+
+
+def finalize_grating_meta(tab: "MaterialTable") -> "MaterialTable":
+    """Compute the static grating metadata from a host-built table.
+
+    Call after the material arrays are filled with concrete values (loader /
+    dict loader / presets). max_half bounds the wave-eval lobe grid to the
+    scene's actual maximum order (the reference's per-instance m_lobes,
+    diffractiongrating.h:24 caps at 9); separable_1d records that every
+    grating is 1D + axis-aligned + non-radial, in which case the diffracted
+    direction is independent of ly (diffractiongrating.h:201-226 with
+    inv_period.y = 0) and the 2D sum collapses to one row."""
+    import numpy as np
+
+    mtype = np.asarray(tab.mtype)
+    grating = mtype == BSDF_ROUGH_GRATING
+    if not grating.any():
+        return dataclasses.replace(tab, grt_static=(0, 0))
+    lobes = np.asarray(tab.grt_lobes)[grating]
+    inv_p = np.asarray(tab.grt_inv_period)[grating]
+    gtype = np.asarray(tab.grt_type)[grating]
+    max_half = int(min(max(lobes) // 2, 4))
+    radial = (gtype & 0x10) != 0  # DiffractionGratingType::Radial
+    separable = bool((~radial).all() and (inv_p[:, 1] < 1e-9).all())
+    return dataclasses.replace(tab, grt_static=(max_half, int(separable)))

@@ -114,7 +114,7 @@ def order_intensities(g: Grating, wi, wl_um, n_orders: int):
     gt = (g.gtype & TYPE_MASK).reshape(q.shape[:1] + (1,) * (a.ndim - 1 + 1))
 
     # sinusoidal: J_l(a)^2, order 0 -> 1
-    jn = m.bessel_jn(a, n_orders)  # [..., n_orders+1]
+    jn = m.bessel_jn_fast(a, n_orders)  # [..., n_orders+1]
     sin_i = jnp.square(jn)
     sin_i = sin_i.at[..., 0].set(1.0)
 
@@ -132,13 +132,15 @@ def order_intensities(g: Grating, wi, wl_um, n_orders: int):
     return out
 
 
-def lobe_intensity_xy(g: Grating, lobe_xy, wi, wl_um, n_orders: int):
+def lobe_intensity_xy(g: Grating, lobe_xy, wi, wl_um, n_orders: int,
+                      base=None):
     """Separable intensity of 2D lobe (lx, ly): I(|lx|) * I(|ly|) with 1D
     gratings reusing the x intensity (diffractiongrating.h:228-272).
 
     lobe_xy: [..., 2] int32 (broadcast against lanes); returns multiplier *
-    ix * iy."""
-    base = order_intensities(g, wi, wl_um, n_orders)  # [..., n_orders+1]
+    ix * iy. Pass `base` to reuse an order_intensities sweep."""
+    if base is None:
+        base = order_intensities(g, wi, wl_um, n_orders)  # [..., n_orders+1]
     lx = jnp.abs(lobe_xy[..., 0])
     ly = jnp.abs(lobe_xy[..., 1])
     ix = m.select_along(base, lx)
@@ -152,11 +154,11 @@ def lobe_intensity_xy(g: Grating, lobe_xy, wi, wl_um, n_orders: int):
     return mult * ix * iy
 
 
-def _halfside_intensities(g: Grating, wi, wl_um, half: int):
+def _halfside_intensities(g: Grating, wi, wl_um, half: int, base=None):
     """Intensities of one-side orders 0..half with the order-0 halving used
     by the sampling CDF (diffractiongrating.h:111-118), masked beyond the
     per-lane lobe count."""
-    ints = order_intensities(g, wi, wl_um, half)  # [N, half+1]
+    ints = order_intensities(g, wi, wl_um, half) if base is None else base
     ints = ints * g.multiplier[..., None]
     ints = ints.at[..., 0].multiply(0.5)
     orders = jnp.arange(half + 1, dtype=jnp.int32)
@@ -164,14 +166,14 @@ def _halfside_intensities(g: Grating, wi, wl_um, half: int):
     return jnp.where(live, ints, 0.0)
 
 
-def sample_lobe(g: Grating, sample2, wi, wl_um, half: int):
+def sample_lobe(g: Grating, sample2, wi, wl_um, half: int, base=None):
     """Sample a 2D diffraction lobe (diffractiongrating.h:105-151).
 
     Uses the reference's folded-uniform scheme: rn = 2(u - .5) in [-1, 1];
     |rn| walks the one-sided CDF, the sign picks the mirror order. Returns
     (lobe [N,2] int32, pdf_xy [N,2]).
     """
-    ints = _halfside_intensities(g, wi, wl_um, half)  # [N, half+1]
+    ints = _halfside_intensities(g, wi, wl_um, half, base)  # [N, half+1]
     total = jnp.sum(ints, axis=-1, keepdims=True)
     p = ints / jnp.maximum(total, 1e-30)  # [N, half+1]
     cdf = jnp.cumsum(p, axis=-1)

@@ -138,9 +138,10 @@ class RoughGratingW:
         wi_m = jnp.stack(
             [fr.dot(si.wi, ms), fr.dot(si.wi, mt), fr.dot(si.wi, mvec)], axis=-1
         )
-        half = gr.MAX_LOBES // 2
-        lobe, pdf_xy = gr.sample_lobe(g, lobe_u2, wi_m, wl_um, half)
-        intensity = gr.lobe_intensity_xy(g, lobe, wi_m, wl_um, half)
+        half = int(p.get("_grt_static", (gr.MAX_LOBES // 2, 0))[0])
+        base = gr.order_intensities(g, wi_m, wl_um, half)  # one Bessel sweep
+        lobe, pdf_xy = gr.sample_lobe(g, lobe_u2, wi_m, wl_um, half, base)
+        intensity = gr.lobe_intensity_xy(g, lobe, wi_m, wl_um, half, base)
         wo_m, diff_ok = gr.diffract(wi_m, lobe, wl_um) if False else gr.diffract(
             g, wi_m, lobe, wl_um
         )
@@ -186,7 +187,18 @@ class RoughGratingW:
     @staticmethod
     def wbsdf_eval(p, si, wo, sd, ctx, cfg):
         """Exhaustive lobe sum with angular-coherence Gaussian falloff
-        (roughgrating.cpp:676-970), vectorized over lanes x lobes^2 x C."""
+        (roughgrating.cpp:676-970), vectorized over lanes x lobes^2 x C.
+
+        TPU restructuring (round 2): the lobe grid is a *static numpy*
+        array so order intensities come from static indexing (no
+        take_along_axis gathers — the measured 10-300x in-loop cost), the
+        lobe-center angle is computed from closed-form dot products (no
+        [N, L2, C, 3] direction tensor materializes), and when every
+        grating in the scene is statically 1D/axis-aligned (grt_static)
+        the ly axis of the grid collapses to its multiplicity — the whole
+        eval becomes one fused elementwise+reduce kernel over [N, C, L]."""
+        import numpy as np
+
         n = si.wi.shape[0]
         C = cfg.n_channels
         cos_i = fr.cos_theta(si.wi)
@@ -198,46 +210,65 @@ class RoughGratingW:
         wl_um = wl_nm * 1e-3
         k = 2.0 * m.Pi / jnp.maximum(wl_um, 1e-6)  # [N, C], 1/um
 
-        half = gr.MAX_LOBES // 2
-        side = jnp.arange(-half, half + 1, dtype=jnp.int32)
-        LL = side.shape[0]
-        lx, ly = jnp.meshgrid(side, side, indexing="ij")
-        lobe_grid = jnp.stack([lx.ravel(), ly.ravel()], axis=-1)  # [L2, 2]
-        L2 = lobe_grid.shape[0]
-        # live lobes per lane: |l| <= lobes//2
-        lane_half = (p["grt_lobes"] // 2)[:, None]
-        live = (jnp.abs(lobe_grid[None, :, 0]) <= lane_half) & (
-            jnp.abs(lobe_grid[None, :, 1]) <= lane_half
-        )  # [N, L2]
+        half, separable = p.get("_grt_static", (gr.MAX_LOBES // 2, 0))
+        half = max(int(half), 0)
+        side = np.arange(-half, half + 1)
+        if separable:
+            # all-1D scene: direction and intensity are ly-independent
+            # (inv_period.y = 0, axis-aligned) — sum one row, multiply by
+            # the per-lane count of live ly orders
+            lx_g, ly_g = side, np.zeros_like(side)
+        else:
+            gx, gy = np.meshgrid(side, side, indexing="ij")
+            lx_g, ly_g = gx.ravel(), gy.ravel()
+        L = lx_g.shape[0]
 
-        # order intensities per (lane, C): one Bessel sweep
+        lane_half = (p["grt_lobes"] // 2)[:, None, None]  # [N,1,1]
+        live = (jnp.asarray(np.abs(lx_g))[None, None, :] <= lane_half) & (
+            jnp.asarray(np.abs(ly_g))[None, None, :] <= lane_half
+        )  # [N,1,L]
+
+        # order intensities per (lane, C): one Bessel sweep, static indexing
         base = gr.order_intensities(g, si.wi, wl_um, half)  # [N, C, half+1]
-        mult = g.multiplier[:, None]
-        ix = jnp.take_along_axis(
-            base[:, None, :, :].repeat(L2, axis=1),
-            jnp.abs(lobe_grid[None, :, None, 0:1]).repeat(C, axis=2),
-            axis=-1,
-        )[..., 0]  # [N, L2, C]
-        iy2 = jnp.take_along_axis(
-            base[:, None, :, :].repeat(L2, axis=1),
-            jnp.abs(lobe_grid[None, :, None, 1:2]).repeat(C, axis=2),
-            axis=-1,
-        )[..., 0]
+        ix = base[:, :, np.abs(lx_g)]   # [N, C, L] static gather
+        iy2 = base[:, :, np.abs(ly_g)]
         is1d = g.is_1d()[:, None, None]
         iy = jnp.where(is1d, ix, iy2)
-        lobe_int = mult[..., None] * ix * iy  # [N, L2, C]
+        lobe_int = g.multiplier[:, None, None] * ix * iy  # [N, C, L]
 
-        # lobe center directions: diffract per (lane, lobe, C)
-        lobe_b = lobe_grid[None, :, None, :].repeat(n, 0)  # broadcast lanes
-        lobe_b = jnp.broadcast_to(lobe_grid[None, :, None, :], (n, L2, C, 2))
-        wl_b = jnp.broadcast_to(wl_um[:, None, :], (n, L2, C))
-        center_dir, lobe_ok = gr.diffract(g, si.wi, lobe_b, wl_b)  # [N, L2, C, 3]
+        # lobe-center directions via the grating equation
+        # (diffractiongrating.h:201-226), expanded to closed-form components
+        # so only [N, C, L] scalars flow to the angle computation
+        wi_x, wi_y, wi_z = si.wi[..., 0], si.wi[..., 1], si.wi[..., 2]
+        px = jnp.sqrt(wi_x * wi_x + wi_z * wi_z)
+        py = jnp.sqrt(wi_y * wi_y + wi_z * wi_z)
+        sin_ix = jnp.where(px > m.Epsilon, wi_x / jnp.maximum(px, 1e-20), 0.0)
+        sin_iy = jnp.where(py > m.Epsilon, wi_y / jnp.maximum(py, 1e-20), 0.0)
+        cg = g.grating_dir[..., 0][:, None, None]
+        sg = g.grating_dir[..., 1][:, None, None]
+        lxf = jnp.asarray(lx_g, jnp.float32)[None, None, :]
+        lyf = jnp.asarray(ly_g, jnp.float32)[None, None, :]
+        lob_rx = cg * lxf - sg * lyf
+        lob_ry = sg * lxf + cg * lyf
+        wl_b = wl_um[:, :, None]  # [N, C, 1]
+        a = wl_b * lob_rx * g.inv_period[:, 0][:, None, None] - sin_ix[:, None, None]
+        b = wl_b * lob_ry * g.inv_period[:, 1][:, None, None] - sin_iy[:, None, None]
+        mm = (m.sqr(a) - 1.0) / jnp.where(
+            jnp.abs(m.sqr(a * b) - 1.0) > 1e-12, m.sqr(a * b) - 1.0, 1e-12
+        )
+        qq = 1.0 - m.sqr(b) * mm
+        lobe_ok = (jnp.abs(a) <= 1.0) & (jnp.abs(b) <= 1.0)
+        # dot(center_dir, wo) without stacking the direction vector
+        cd_dot_wo = (
+            a * jnp.sqrt(jnp.maximum(qq, 0.0)) * wo[:, 0][:, None, None]
+            + b * jnp.sqrt(jnp.maximum(mm, 0.0)) * wo[:, 1][:, None, None]
+            + jnp.sqrt(jnp.maximum(1.0 - m.sqr(a) * qq - m.sqr(b) * mm, 0.0))
+            * wo[:, 2][:, None, None]
+        )
 
-        # acceptance cone: |angle(center, wo)| < a = 2 sqrt(au av)
+        # acceptance cone: |angle(center, wo)| < a_cone = 2 sqrt(au av)
         a_cone = 2.0 * jnp.sqrt(p["alpha"][..., 0] * p["alpha"][..., 1])
-        ang = m.unit_angle(
-            center_dir, jnp.broadcast_to(wo[:, None, None, :], center_dir.shape)
-        )  # [N, L2, C]
+        ang = m.unit_angle_dot(cd_dot_wo)  # [N, C, L]
         in_cone = jnp.abs(ang) < a_cone[:, None, None]
 
         # Angular-coherence Gaussian falloff around each lobe center
@@ -250,16 +281,28 @@ class RoughGratingW:
         coh = Coherence.isotropic(p["grt_coherence"], jnp.ones((n,), jnp.float32))
         inv_det = coh.inv_coherence_det(k)  # [N, C]
         inv_det = jnp.where(jnp.isnan(inv_det), 0.0, inv_det)
-        ang_coh = jnp.exp(-0.5 * ang * ang * inv_det[:, None, :])  # [N, L2, C]
+        ang_coh = jnp.exp(-0.5 * ang * ang * inv_det[:, :, None])  # [N, C, L]
         ang_coh = jnp.where(jnp.isnan(ang_coh), 0.0, ang_coh)
 
-        is_zero = (lobe_grid[:, 0] == 0) & (lobe_grid[:, 1] == 0)  # [L2]
-        coh_term = jnp.where(is_zero[None, :, None], 1.0, ang_coh)
+        is_zero = jnp.asarray((lx_g == 0) & (ly_g == 0))[None, None, :]
+        coh_term = jnp.where(is_zero, 1.0, ang_coh)
 
         contrib = jnp.where(
-            lobe_ok & in_cone & live[..., None], lobe_int * coh_term, 0.0
+            lobe_ok & in_cone & live, lobe_int * coh_term, 0.0
         )
-        per_wl = jnp.sum(contrib, axis=1)  # [N, C] intensity at each sampled wl
+        if separable:
+            # ly multiplicity: every live |ly| <= lobes//2 row repeats the
+            # lx row; the (0, 0) lobe keeps coh 1 while (0, ly!=0) use the
+            # coherence falloff — add the correction for the lx = 0 column.
+            ny_live = (2 * (p["grt_lobes"] // 2) + 1).astype(jnp.float32)
+            ny_b = ny_live[:, None, None]
+            corr = jnp.where(
+                is_zero & lobe_ok & in_cone & live,
+                lobe_int * (ang_coh - 1.0) * (ny_b - 1.0),
+                0.0,
+            )
+            contrib = contrib * ny_b + corr
+        per_wl = jnp.sum(contrib, axis=-1)  # [N, C] intensity per sampled wl
 
         if cfg.spectral:
             result = per_wl
@@ -267,7 +310,11 @@ class RoughGratingW:
             # RGB mode: each sampled wavelength contributes its sRGB color
             # (roughgrating.cpp:747-764 "colour = xyz_to_srgb(cie1931_xyz(wl))")
             colour = spec.xyz_to_srgb(spec.cie1931_xyz(wl_nm))  # [N, C, 3]
-            result = jnp.einsum("nc,nck->nk", per_wl, jnp.maximum(colour, 0.0))
+            # (a [N,3]x[N,3,3] einsum pads to full MXU tiles and loses to
+            # the fused elementwise reduce — repo perf notes)
+            result = jnp.sum(
+                per_wl[..., None] * jnp.maximum(colour, 0.0), axis=1
+            )
 
         # Fresnel at the half vector
         h = fr.normalize(si.wi + wo)
@@ -299,6 +346,7 @@ def wbsdf_sample(mat: MaterialTable, midx, si, u1, u2, lobe_u2, ctx, cfg,
     si_eff, flip = bsdfs._effective_si(p, si)
     p["_uv"] = si_eff.uv
     p["_tex_stack"] = mat.tex_stack
+    p["_grt_static"] = mat.grt_static
 
     # classic defaults for every lane
     bs_c, val_c, ok_c = bsdfs.sample(mat, midx, si, u1, u2, ctx, cfg, sampling_wl)
@@ -348,6 +396,7 @@ def wbsdf_eval(mat: MaterialTable, midx, si, wo, sd, ctx, cfg):
     si_eff, flip = bsdfs._effective_si(p, si)
     p["_uv"] = si_eff.uv
     p["_tex_stack"] = mat.tex_stack
+    p["_grt_static"] = mat.grt_static
     wo_eff = jnp.where(flip[..., None], bsdfs._flip_z(wo), wo)
 
     val = bsdfs.eval_(mat, midx, si, wo, ctx, cfg, sd.sampling_wavelengths)
@@ -363,6 +412,7 @@ def wbsdf_pdf(mat: MaterialTable, midx, si, wo, sd, ctx, cfg):
     si_eff, flip = bsdfs._effective_si(p, si)
     p["_uv"] = si_eff.uv
     p["_tex_stack"] = mat.tex_stack
+    p["_grt_static"] = mat.grt_static
     wo_eff = jnp.where(flip[..., None], bsdfs._flip_z(wo), wo)
 
     pd = bsdfs.pdf(mat, midx, si, wo, ctx, cfg)
@@ -384,6 +434,7 @@ def wbsdf_weight(mat: MaterialTable, midx, si, wo, sd, ctx, cfg):
     si_eff, flip = bsdfs._effective_si(p, si)
     p["_uv"] = si_eff.uv
     p["_tex_stack"] = mat.tex_stack
+    p["_grt_static"] = mat.grt_static
     wo_eff = jnp.where(flip[..., None], bsdfs._flip_z(wo), wo)
     wl = sd.sampling_wavelengths
 

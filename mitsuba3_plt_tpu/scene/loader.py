@@ -568,10 +568,12 @@ def build_material_table(bsdf_list: List[LoadedBSDF]) -> MaterialTable:
             ),
         )
 
-    return dc.replace(
+    from ..librender.bsdf import finalize_grating_meta
+
+    return finalize_grating_meta(dc.replace(
         tab, base_color_coeff=jnp.asarray(coeffs), **upd, **tex_kw,
         present_types=tuple(present),
-    )
+    ))
 
 
 def build_emitter_table(emitters, meshes, geo):
