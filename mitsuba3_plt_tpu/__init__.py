@@ -51,6 +51,10 @@ def render(scene, integrator=None, spp=16, seed=0, cfg=None, **kw):
         scene, meta = scene
         if integrator is None:
             integrator = make_integrator(meta.get("integrator", {"type": "path"}))
+        if "rfilter" in meta and "rfilter" not in kw:
+            from .librender.film import FILTER_NAMES
+
+            kw["rfilter"] = FILTER_NAMES.get(meta["rfilter"], 0)
     if integrator is None:
         integrator = make_integrator({"type": "path"})
     cfg = cfg or config()

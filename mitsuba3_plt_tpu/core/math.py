@@ -108,8 +108,9 @@ def unit_angle(u, v):
 
 def unit_angle_dot(dot_uv):
     """unit_angle from the dot product alone (|u-v|^2 = 2 - 2 u.v for unit
-    vectors) — lets callers avoid materializing broadcasted 3-vectors."""
-    d = jnp.sqrt(jnp.maximum(2.0 - 2.0 * jnp.abs(dot_uv), 0.0))
+    vectors) — lets callers avoid materializing broadcasted 3-vectors.
+    safe_sqrt: at |dot| = 1 the plain sqrt vjp is infinite."""
+    d = safe_sqrt(2.0 - 2.0 * jnp.abs(dot_uv))
     theta = 2.0 * safe_asin(0.5 * d)
     return jnp.where(dot_uv < 0, Pi - theta, theta)
 

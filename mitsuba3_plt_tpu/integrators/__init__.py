@@ -18,6 +18,13 @@ def make_integrator(cfg: dict):
             max_depth=_int(cfg, "max_depth", 6 if t != "direct" else 2),
             rr_depth=_int(cfg, "rr_depth", 5),
         )
+    if t in ("prb", "prb_basic"):
+        from .prb import PRBIntegrator
+
+        return PRBIntegrator(
+            max_depth=_int(cfg, "max_depth", 6),
+            rr_depth=_int(cfg, "rr_depth", 5),
+        )
     if t == "depth":
         from .aov import DepthIntegrator
 

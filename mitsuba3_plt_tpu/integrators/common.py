@@ -110,12 +110,44 @@ def render(
             data=block_data, width=width, height=height,
             n_channels=values.shape[-1], rfilter=rfilter,
         )
-        block = block.put(uv, values, valid)
+        # lanes are pixel-ordered (lane // spp_pass = pixel): segment sums
+        # instead of scatter-adds (~170 ms/2M lanes saved on v5e)
+        if rfilter == FILTER_BOX:
+            block = block.put_ordered(values, valid, spp_per_pass)
+        elif jax.default_backend() == "cpu":
+            block = block.put_ordered_filtered(uv, values, valid, spp_per_pass)
+        else:
+            # TPU: the 25-tap ordered splat fused into the render program
+            # wedges the TPU compiler (observed: >9 min, then a worker
+            # crash); fall back to the scatter splat until the film moves
+            # into a Pallas kernel
+            block = block.put(uv, values, valid)
         return block.data
 
     block = ImageBlock.create(width, height, ch, rfilter)
     data = block.data
-    for p in range(n_pass):
-        data = render_pass(data, p)
+
+    if rfilter == FILTER_BOX:
+        # run the pass loop on-device: one dispatch for the whole render (a
+        # host loop costs ~30 ms relay sync per pass — hundreds of passes
+        # at high spp). Chunk to <= 32 passes per dispatch so a long render
+        # still surfaces progress/cancellation points on the host.
+        # (Non-box filters stay on the host loop: the 25-tap ordered splat
+        # inside lax.fori_loop triggers a pathological TPU compile.)
+        @jax.jit
+        def render_chunk(data, p0, n):
+            def body(i, d):
+                return render_pass(d, p0 + i.astype(jnp.uint32))
+
+            return jax.lax.fori_loop(0, n, body, data)
+
+        done = 0
+        while done < n_pass:
+            todo = min(32, n_pass - done)
+            data = render_chunk(data, jnp.uint32(done), jnp.int32(todo))
+            done += todo
+    else:
+        for p in range(n_pass):
+            data = render_pass(data, jnp.uint32(p))
     block = dataclasses.replace(block, data=data)
     return block.develop()

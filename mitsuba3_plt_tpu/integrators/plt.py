@@ -402,6 +402,13 @@ class PLTIntegrator:
             scene, sampler, ray, cfg,
             wavelengths=wavelengths if cfg.spectral else None,
         )
+        # detached-sampling semantics (reference PRB / wbsdf replay): the
+        # recorded path (positions, sampled directions, pdfs) carries no
+        # gradient; parameters differentiate through the solve phase's
+        # attached re-evaluations (wbsdf_weight/eval, emitter values). This
+        # also keeps dead-lane garbage (zeroed diffract directions etc.)
+        # out of the backward pass.
+        bounces = jax.tree.map(jax.lax.stop_gradient, bounces)
         L = self.solve_phase(scene, sampler, bounces, wl, cfg)
         n = ray.o.shape[0]
         return L, jnp.ones((n,), bool)

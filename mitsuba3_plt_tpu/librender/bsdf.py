@@ -135,8 +135,9 @@ class MaterialTable:
     grt_multiplier: Any  # [M] intensity multiplier
     grt_coherence: Any   # [M] coherence mode weight
     # --- nested-bsdf indirection (mask/blend/normalmap wrap another entry) ---
-    nested_idx: Any      # [M] int32, -1 when unused
-    weight: Any          # [M] blend weight / opacity
+    nested_idx: Any      # [M] int32, -1 when unused (blend: child A)
+    nested_idx2: Any     # [M] int32, -1 when unused (blend: child B)
+    weight: Any          # [M] blend weight / opacity / bumpmap scale
     # --- textured base_color (reference src/textures/{bitmap,checkerboard}) ---
     tex_mode: Any = None      # [M] int32: 0 const, 1 bitmap, 2 checkerboard
     tex_idx: Any = None       # [M] int32 index into tex_stack (-1 none)
@@ -178,6 +179,7 @@ class MaterialTable:
             grt_multiplier=z1 + 1.0,
             grt_coherence=z1 + 1.0,
             nested_idx=jnp.full((m,), -1, jnp.int32),
+            nested_idx2=jnp.full((m,), -1, jnp.int32),
             weight=z1 + 0.5,
             present_types=tuple(present_types),
         )

@@ -119,6 +119,79 @@ class ImageBlock:
             data = self.data.at[flat].add(payload, mode="drop")
             return dataclasses.replace(self, data=data)
 
+        return self._put_splat(px, py, payload, active)
+
+    def put_ordered(self, values, active, spp: int):
+        """Box-filter accumulation for pixel-ordered wavefronts.
+
+        When lane i belongs to pixel i // spp (the sample_rays layout) and
+        the reconstruction filter is a box, the film 'splat' is a plain
+        segment sum — a reshape+reduce instead of a scatter-add, which costs
+        ~170 ms per 2M lanes on v5e (ImageBlock::put scatter_reduce role,
+        reference src/render/imageblock.cpp:119-126)."""
+        assert self.rfilter == FILTER_BOX
+        n = values.shape[0]
+        if active is None:
+            active = jnp.ones((n,), bool)
+        finite = jnp.all(jnp.isfinite(values), axis=-1)
+        active = active & finite
+        vals = jnp.where(active[..., None], values, 0.0)
+        payload = jnp.concatenate(
+            [vals, active.astype(jnp.float32)[..., None]], axis=-1
+        )
+        add = payload.reshape(self.width * self.height, spp, -1).sum(axis=1)
+        return dataclasses.replace(self, data=self.data + add)
+
+    def put_ordered_filtered(self, pos_uv, values, active, spp: int):
+        """Filtered accumulation for pixel-ordered wavefronts, scatter-free.
+
+        Per filter tap (dx, dy) in the (2r+1)^2 neighborhood: weight each
+        lane by f(dx - jx) f(dy - jy) (j = subpixel offset within the lane's
+        own pixel), segment-sum to a per-pixel image, then shift-add that
+        image by the tap offset (out-of-bounds contributions drop, like the
+        scatter path's mode='drop'). (2r+1)^2 reshape-reduces replace
+        (2r)^2 scatter-adds — the scatter costs ~170 ms per 2M lanes on
+        v5e, the segment sums ~2 ms each."""
+        w, h = self.width, self.height
+        n = values.shape[0]
+        if active is None:
+            active = jnp.ones((n,), bool)
+        finite = jnp.all(jnp.isfinite(values), axis=-1)
+        active = active & finite
+        vals = jnp.where(active[..., None], values, 0.0)
+        payload = jnp.concatenate(
+            [vals, active.astype(jnp.float32)[..., None]], axis=-1
+        )
+        # subpixel offset relative to the lane's own pixel center
+        px = pos_uv[..., 0] * w - 0.5
+        py = pos_uv[..., 1] * h - 0.5
+        lane = jnp.arange(n) // spp
+        jx = px - (lane % w).astype(jnp.float32)
+        jy = py - (lane // w).astype(jnp.float32)
+
+        radius = FILTER_RADIUS[self.rfilter]
+        img = self.data.reshape(h, w, -1)
+        acc = jnp.zeros_like(img)
+        for dy in range(-radius, radius + 1):
+            wy = filter_eval(self.rfilter, dy - jy)
+            for dx in range(-radius, radius + 1):
+                wgt = filter_eval(self.rfilter, dx - jx) * wy
+                tap = (payload * wgt[..., None]).reshape(
+                    h * w, spp, -1
+                ).sum(axis=1).reshape(h, w, -1)
+                # contribution of pixel p lands at p + (dx, dy)
+                ys = slice(max(dy, 0), h + min(dy, 0))
+                yd = slice(max(-dy, 0), h + min(-dy, 0))
+                xs = slice(max(dx, 0), w + min(dx, 0))
+                xd = slice(max(-dx, 0), w + min(-dx, 0))
+                acc = acc.at[ys, xs].add(tap[yd, xd])
+        return dataclasses.replace(
+            self, data=(img + acc).reshape(h * w, -1)
+        )
+
+    def _put_splat(self, px, py, payload, active):
+        w, h = self.width, self.height
+
         # separable splat over a (2*radius)^2 neighborhood; weight channel
         # normalizes (reference rfilters: src/rfilters/{tent,gaussian,
         # mitchell,catmullrom,lanczos}.cpp)

@@ -263,9 +263,9 @@ def diffract(g: Grating, wi, lobe_xy, wl_um):
     qq = 1.0 - m.sqr(b) * mm
     wo = jnp.stack(
         [
-            a * jnp.sqrt(jnp.maximum(qq, 0.0)),
-            b * jnp.sqrt(jnp.maximum(mm, 0.0)),
-            jnp.sqrt(jnp.maximum(1.0 - m.sqr(a) * qq - m.sqr(b) * mm, 0.0)),
+            a * m.safe_sqrt(qq),
+            b * m.safe_sqrt(mm),
+            m.safe_sqrt(1.0 - m.sqr(a) * qq - m.sqr(b) * mm),
         ],
         axis=-1,
     )

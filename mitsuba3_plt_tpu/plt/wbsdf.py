@@ -260,9 +260,9 @@ class RoughGratingW:
         lobe_ok = (jnp.abs(a) <= 1.0) & (jnp.abs(b) <= 1.0)
         # dot(center_dir, wo) without stacking the direction vector
         cd_dot_wo = (
-            a * jnp.sqrt(jnp.maximum(qq, 0.0)) * wo[:, 0][:, None, None]
-            + b * jnp.sqrt(jnp.maximum(mm, 0.0)) * wo[:, 1][:, None, None]
-            + jnp.sqrt(jnp.maximum(1.0 - m.sqr(a) * qq - m.sqr(b) * mm, 0.0))
+            a * m.safe_sqrt(qq) * wo[:, 0][:, None, None]
+            + b * m.safe_sqrt(mm) * wo[:, 1][:, None, None]
+            + m.safe_sqrt(1.0 - m.sqr(a) * qq - m.sqr(b) * mm)
             * wo[:, 2][:, None, None]
         )
 

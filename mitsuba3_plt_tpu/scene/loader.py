@@ -293,7 +293,11 @@ def _build_scene_from_xml(root, defaults, base_dir):
     integ = root.find("integrator")
     if integ is not None:
         p = _props(integ, defaults)
-        integrator_cfg = {"type": integ.get("type", "path"), **p}
+        # the type attribute participates in $default substitution too
+        # (<integrator type="$integrator"> in veach-mis/differentiable)
+        integrator_cfg = {
+            "type": _parse_value(integ.get("type", "path"), defaults), **p
+        }
 
     # --- named bsdfs ---
     for b in root.findall("bsdf"):
@@ -304,6 +308,7 @@ def _build_scene_from_xml(root, defaults, base_dir):
             named_bsdfs[bid] = idx
 
     # --- sensor ---
+    rfilter_name = "gaussian"  # hdrfilm default (src/films/hdrfilm.cpp)
     s = root.find("sensor")
     if s is not None:
         p = _props(s, defaults)
@@ -313,6 +318,9 @@ def _build_scene_from_xml(root, defaults, base_dir):
             fp = _props(film, defaults)
             fw = int(fp.get("width", 256))
             fh = int(fp.get("height", 256))
+            rf = film.find("rfilter")
+            if rf is not None:
+                rfilter_name = rf.get("type", rfilter_name)
         smp = s.find("sampler")
         if smp is not None:
             sp = _props(smp, defaults)
@@ -417,12 +425,12 @@ def _build_scene_from_xml(root, defaults, base_dir):
 
     return assemble_scene(
         meshes, mesh_mat, mesh_emitter, bsdf_list, emitters, sensor,
-        integrator_cfg, spp,
+        integrator_cfg, spp, rfilter=rfilter_name,
     )
 
 
 def assemble_scene(meshes, mesh_mat, mesh_emitter, bsdf_list, emitters, sensor,
-                   integrator_cfg, spp):
+                   integrator_cfg, spp, rfilter="gaussian"):
     if sensor is None:
         sensor = Sensor.perspective(
             tf.look_at([0, 0, 4], [0, 0, 0], [0, 1, 0]), 45.0, 256, 256
@@ -436,7 +444,7 @@ def assemble_scene(meshes, mesh_mat, mesh_emitter, bsdf_list, emitters, sensor,
         geo=geo, bvh=bvh, materials=mat_table, emitters=em_table,
         sensor=sensor, env_emitter=env_idx,
     )
-    meta = {"integrator": integrator_cfg, "spp": spp}
+    meta = {"integrator": integrator_cfg, "spp": spp, "rfilter": rfilter}
     return scene, meta
 
 
@@ -596,7 +604,18 @@ def build_emitter_table(emitters, meshes, geo):
             elif "filename" in e:
                 from ..utils.io import read_bitmap
 
-                env_img = read_bitmap(e["filename"])
+                if os.path.exists(e["filename"]):
+                    env_img = read_bitmap(e["filename"])
+                else:
+                    # asset genuinely absent (e.g. git-lfs pointer trees);
+                    # decode errors still raise — only missing files fall back
+                    import warnings
+
+                    warnings.warn(
+                        f"envmap file missing: {e['filename']!r}; using a "
+                        "uniform gray environment"
+                    )
+                    env_img = np.full((8, 16, 3), 0.5, np.float32)
             env_scale = float(e.get("scale", 1.0))
 
     etype = np.zeros(e_count, np.int32)
