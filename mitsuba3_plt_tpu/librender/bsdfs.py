@@ -46,6 +46,9 @@ from .bsdf import (
     BSDF_CIRCULAR,
     BSDF_PPLASTIC,
     BSDF_ROUGH_GRATING,
+    BSDF_BLEND,
+    BSDF_NORMALMAP,
+    BSDF_BUMPMAP,
 )
 
 
@@ -67,22 +70,8 @@ def eval_color(p, key: str, cfg: RenderConfig, wavelengths):
         # bitmap stack (bilinear, repeat wrap)
         tex_stack = p.get("_tex_stack")
         if tex_stack is not None:
-            T, R = tex_stack.shape[0], tex_stack.shape[1]
-            ti = jnp.clip(p["tex_idx"], 0, T - 1)
-            x = jnp.mod(uv[..., 0], 1.0) * R - 0.5
-            y = jnp.mod(uv[..., 1], 1.0) * R - 0.5
-            x0 = jnp.floor(x).astype(jnp.int32)
-            y0 = jnp.floor(y).astype(jnp.int32)
-            fx = (x - x0)[..., None]
-            fy = (y - y0)[..., None]
-            x0m, x1m = jnp.mod(x0, R), jnp.mod(x0 + 1, R)
-            y0m, y1m = jnp.mod(y0, R), jnp.mod(y0 + 1, R)
-            c = (
-                tex_stack[ti, y0m, x0m] * (1 - fx) * (1 - fy)
-                + tex_stack[ti, y0m, x1m] * fx * (1 - fy)
-                + tex_stack[ti, y1m, x0m] * (1 - fx) * fy
-                + tex_stack[ti, y1m, x1m] * fx * fy
-            )
+            ti = jnp.clip(p["tex_idx"], 0, tex_stack.shape[0] - 1)
+            c = _bitmap_bilinear(tex_stack, ti, uv)
             rgb = jnp.where((mode == 1)[..., None], c, rgb)
     if cfg.spectral:
         coeff = p.get(key + "_coeff")
@@ -135,6 +124,29 @@ def where_value(mask, a, b, cfg: RenderConfig):
     if cfg.polarized:
         return jnp.where(mask[..., None, None, None], a, b)
     return jnp.where(mask[..., None], a, b)
+
+
+def add_value(a, b, cfg: RenderConfig):
+    return a + b
+
+
+def _bitmap_bilinear(tex_stack, ti, uv):
+    """Bilinear fetch from the bitmap stack [T, R, R, 3] (repeat wrap)."""
+    R = tex_stack.shape[1]
+    x = jnp.mod(uv[..., 0], 1.0) * R - 0.5
+    y = jnp.mod(uv[..., 1], 1.0) * R - 0.5
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0m, x1m = jnp.mod(x0, R), jnp.mod(x0 + 1, R)
+    y0m, y1m = jnp.mod(y0, R), jnp.mod(y0 + 1, R)
+    return (
+        tex_stack[ti, y0m, x0m] * (1 - fx) * (1 - fy)
+        + tex_stack[ti, y0m, x1m] * fx * (1 - fy)
+        + tex_stack[ti, y1m, x0m] * (1 - fx) * fy
+        + tex_stack[ti, y1m, x1m] * fx * fy
+    )
 
 
 def _spec_reflect_mueller(wo_hat, wi_hat, cos_theta_mueller_fn, normal, cfg):
@@ -1116,27 +1128,18 @@ def _effective_si(p, si):
     return _dc.replace(si, wi=wi_eff), flip
 
 
-def sample(mat: MaterialTable, midx, si, u1, u2, ctx, cfg, wavelengths=None):
-    """Dispatching BSDF sample over all present material types.
-
-    Returns (BSDFSample, weight_value, active_mask).
-    """
+def _loop_sample(mat, p, si, u1, u2, ctx, cfg, wavelengths):
+    """Masked per-type sample loop over a gathered parameter dict."""
     n = si.wi.shape[0]
-    p = mat.gather(midx)
-    si_eff, flip = _effective_si(p, si)
-    p["_uv"] = si_eff.uv
-    p["_tex_stack"] = mat.tex_stack
-
     bs_acc = BSDFSample.zeros(n)
     val_acc = zeros_value(n, cfg)
     ok_acc = jnp.zeros((n,), bool)
-
     for t in mat.present_types:
         impl = IMPLS.get(t)
         if impl is None:
             continue
         mask = p["mtype"] == t
-        bs, val, ok = impl.sample(p, si_eff, u1, u2, ctx, cfg, wavelengths)
+        bs, val, ok = impl.sample(p, si, u1, u2, ctx, cfg, wavelengths)
         bs_acc = BSDFSample(
             wo=jnp.where(mask[..., None], bs.wo, bs_acc.wo),
             pdf=jnp.where(mask, bs.pdf, bs_acc.pdf),
@@ -1148,6 +1151,223 @@ def sample(mat: MaterialTable, midx, si, u1, u2, ctx, cfg, wavelengths=None):
         )
         val_acc = where_value(mask, val, val_acc, cfg)
         ok_acc = jnp.where(mask, ok, ok_acc)
+    return bs_acc, val_acc, ok_acc
+
+
+def _loop_eval(mat, p, si, wo, ctx, cfg, wavelengths):
+    val_acc = zeros_value(si.wi.shape[0], cfg)
+    for t in mat.present_types:
+        impl = IMPLS.get(t)
+        if impl is None:
+            continue
+        mask = p["mtype"] == t
+        val = impl.eval(p, si, wo, ctx, cfg, wavelengths)
+        val_acc = where_value(mask, val, val_acc, cfg)
+    return val_acc
+
+
+def _loop_pdf(mat, p, si, wo, ctx, cfg):
+    pdf_acc = jnp.zeros(si.wi.shape[0], jnp.float32)
+    for t in mat.present_types:
+        impl = IMPLS.get(t)
+        if impl is None:
+            continue
+        mask = p["mtype"] == t
+        pd = impl.pdf(p, si, wo, ctx, cfg)
+        pdf_acc = jnp.where(mask, pd, pdf_acc)
+    return pdf_acc
+
+
+# ---------------------------------------------------------------------------
+# nested wrappers: blendbsdf / normalmap / bumpmap
+# (reference src/bsdfs/{blendbsdf,normalmap,bumpmap}.cpp). One level of
+# nesting: the wrapper row is resolved to its child row(s) by parameter
+# remapping before the masked type loop; normal/bump perturb the shading
+# frame, blend mixes two children.
+# ---------------------------------------------------------------------------
+
+NESTED_WRAPPERS = (BSDF_BLEND, BSDF_NORMALMAP, BSDF_BUMPMAP)
+
+
+def _has_nested(mat):
+    return any(t in mat.present_types for t in NESTED_WRAPPERS)
+
+
+def _perturbed_frame(p, si):
+    """Per-lane perturbed shading frame (s', t', n') in the CURRENT local
+    frame, from the wrapper row's own texture: normalmap decodes 2c-1
+    (normalmap.cpp), bumpmap uses height-map finite differences scaled by
+    `weight` (bumpmap.cpp)."""
+    n_lanes = si.wi.shape[0]
+    mtype = p["mtype"]
+    is_nm = mtype == BSDF_NORMALMAP
+    is_bm = mtype == BSDF_BUMPMAP
+    n_loc = jnp.broadcast_to(
+        jnp.asarray([0.0, 0.0, 1.0], jnp.float32), (n_lanes, 3)
+    )
+    tex_stack = p.get("_tex_stack")
+    if tex_stack is not None and p.get("tex_idx") is not None:
+        uv = si.uv * p["tex_uv_scale"]
+        ti = jnp.clip(p["tex_idx"], 0, tex_stack.shape[0] - 1)
+        c = _bitmap_bilinear(tex_stack, ti, uv)
+        has_tex = p["tex_idx"] >= 0
+        nm = c * 2.0 - 1.0
+        nm = nm / jnp.maximum(
+            jnp.linalg.norm(nm, axis=-1, keepdims=True), 1e-6
+        )
+        # bump: central differences of the height (luminance)
+        R = tex_stack.shape[1]
+        eps = 1.0 / R
+        def h(du, dv):
+            cc = _bitmap_bilinear(
+                tex_stack, ti, uv + jnp.asarray([du, dv], jnp.float32)
+            )
+            return jnp.mean(cc, axis=-1)
+        dhdu = (h(eps, 0.0) - h(-eps, 0.0)) / (2 * eps)
+        dhdv = (h(0.0, eps) - h(0.0, -eps)) / (2 * eps)
+        scale = p["weight"]
+        bn = jnp.stack(
+            [-scale * dhdu, -scale * dhdv, jnp.ones((n_lanes,), jnp.float32)],
+            axis=-1,
+        )
+        bn = bn / jnp.maximum(jnp.linalg.norm(bn, axis=-1, keepdims=True), 1e-6)
+        n_loc = jnp.where(
+            (is_nm & has_tex)[..., None], nm,
+            jnp.where((is_bm & has_tex)[..., None], bn, n_loc),
+        )
+    # frame from n_loc: s' = normalize(x - n * n.x)
+    nx = n_loc[..., 0:1]
+    s = jnp.asarray([1.0, 0.0, 0.0], jnp.float32) - n_loc * nx
+    s = s / jnp.maximum(jnp.linalg.norm(s, axis=-1, keepdims=True), 1e-6)
+    t = jnp.cross(n_loc, s)
+    return s, t, n_loc
+
+
+def _nested_remap(mat, midx, p, si, u1):
+    """Resolve wrapper lanes: returns (p_eff_A, p_eff_B, si_perturbed,
+    (s', t', n'), u1_eff, is_blend, w, perturb) — p_eff_B differs from A
+    only on blend lanes (child B)."""
+    mtype = p["mtype"]
+    is_wrap = jnp.zeros_like(mtype, dtype=bool)
+    for t in NESTED_WRAPPERS:
+        is_wrap = is_wrap | (mtype == t)
+    is_blend = mtype == BSDF_BLEND
+    w = jnp.clip(p["weight"], 0.0, 1.0)
+
+    nested_a = jnp.maximum(p["nested_idx"], 0)
+    nested_b = jnp.maximum(p["nested_idx2"], 0)
+    # blend sample: child A with probability w (reference blendbsdf.cpp
+    # samples nested_bsdf[sample1 < weight ? 1 : 0] with weight for B —
+    # here A carries `weight`, B carries 1-weight)
+    pick_a = u1 < w
+    u1_eff = jnp.where(
+        is_blend,
+        jnp.where(pick_a, u1 / jnp.maximum(w, 1e-6),
+                  (u1 - w) / jnp.maximum(1.0 - w, 1e-6)),
+        u1,
+    )
+    child = jnp.where(is_blend & ~pick_a, nested_b, nested_a)
+    midx_a = jnp.where(is_wrap, child, midx)
+    midx_b = jnp.where(is_blend, nested_b, midx_a)
+
+    # perturbed frame for normal/bump lanes
+    s_, t_, n_ = _perturbed_frame(p, si)
+    perturb = (mtype == BSDF_NORMALMAP) | (mtype == BSDF_BUMPMAP)
+    ident_s = jnp.asarray([1.0, 0.0, 0.0], jnp.float32)
+    ident_t = jnp.asarray([0.0, 1.0, 0.0], jnp.float32)
+    ident_n = jnp.asarray([0.0, 0.0, 1.0], jnp.float32)
+    s_ = jnp.where(perturb[..., None], s_, ident_s)
+    t_ = jnp.where(perturb[..., None], t_, ident_t)
+    n_ = jnp.where(perturb[..., None], n_, ident_n)
+
+    import dataclasses as _dc
+
+    wi_p = jnp.stack(
+        [jnp.sum(si.wi * s_, -1), jnp.sum(si.wi * t_, -1),
+         jnp.sum(si.wi * n_, -1)], axis=-1
+    )
+    si_p = _dc.replace(si, wi=wi_p)
+
+    p_a = mat.gather(midx_a)
+    p_a["_uv"] = si.uv
+    p_a["_tex_stack"] = mat.tex_stack
+    p_b = mat.gather(midx_b)
+    p_b["_uv"] = si.uv
+    p_b["_tex_stack"] = mat.tex_stack
+    return p_a, p_b, si_p, (s_, t_, n_), u1_eff, is_blend, w, perturb
+
+
+def _to_frame(v, frame):
+    s_, t_, n_ = frame
+    return jnp.stack(
+        [jnp.sum(v * s_, -1), jnp.sum(v * t_, -1), jnp.sum(v * n_, -1)],
+        axis=-1,
+    )
+
+
+def _from_frame(v, frame):
+    s_, t_, n_ = frame
+    return s_ * v[..., 0:1] + t_ * v[..., 1:2] + n_ * v[..., 2:3]
+
+
+def sample(mat: MaterialTable, midx, si, u1, u2, ctx, cfg, wavelengths=None):
+    """Dispatching BSDF sample over all present material types.
+
+    Returns (BSDFSample, weight_value, active_mask).
+    """
+    n = si.wi.shape[0]
+    p = mat.gather(midx)
+    si_eff, flip = _effective_si(p, si)
+    p["_uv"] = si_eff.uv
+    p["_tex_stack"] = mat.tex_stack
+
+    if not _has_nested(mat):
+        bs_acc, val_acc, ok_acc = _loop_sample(
+            mat, p, si_eff, u1, u2, ctx, cfg, wavelengths
+        )
+    else:
+        p_a, p_b, si_p, frame, u1_eff, is_blend, w, perturb = _nested_remap(
+            mat, midx, p, si_eff, u1
+        )
+        bs_acc, val_acc, ok_acc = _loop_sample(
+            mat, p_a, si_p, u1_eff, u2, ctx, cfg, wavelengths
+        )
+        wo_back = _from_frame(bs_acc.wo, frame)
+        # sampled direction must lie on the same side of BOTH frames
+        # (normalmap.cpp:131-132)
+        perturb_ok = (wo_back[..., 2] * bs_acc.wo[..., 2]) > 0
+        ok_acc = ok_acc & (~perturb | perturb_ok)
+        bs_acc = BSDFSample(
+            wo=wo_back, pdf=bs_acc.pdf, eta=bs_acc.eta,
+            sampled_type=bs_acc.sampled_type,
+            sampled_component=bs_acc.sampled_component,
+        )
+        if BSDF_BLEND in mat.present_types:
+            # mixture weight/pdf on blend lanes (blendbsdf.cpp eval/pdf)
+            ev_a = _loop_eval(mat, p_a, si_p, bs_acc.wo, ctx, cfg, wavelengths)
+            ev_b = _loop_eval(mat, p_b, si_p, bs_acc.wo, ctx, cfg, wavelengths)
+            pd_a = _loop_pdf(mat, p_a, si_p, bs_acc.wo, ctx, cfg)
+            pd_b = _loop_pdf(mat, p_b, si_p, bs_acc.wo, ctx, cfg)
+            pdf_mix = w * pd_a + (1.0 - w) * pd_b
+            wc = jnp.broadcast_to(w[..., None], (n, cfg.n_channels))
+            ev_mix = add_value(
+                mul_value(ev_a, wc, cfg), mul_value(ev_b, 1.0 - wc, cfg), cfg
+            )
+            inv_pdf = jnp.where(pdf_mix > 0, 1.0 / jnp.maximum(pdf_mix, 1e-20), 0.0)
+            val_mix = mul_value(
+                ev_mix,
+                jnp.broadcast_to(inv_pdf[..., None], (n, cfg.n_channels)),
+                cfg,
+            )
+            bs_acc = BSDFSample(
+                wo=bs_acc.wo,
+                pdf=jnp.where(is_blend, pdf_mix, bs_acc.pdf),
+                eta=bs_acc.eta,
+                sampled_type=bs_acc.sampled_type,
+                sampled_component=bs_acc.sampled_component,
+            )
+            val_acc = where_value(is_blend, val_mix, val_acc, cfg)
+            ok_acc = jnp.where(is_blend, pdf_mix > 0, ok_acc)
 
     # un-flip wo for mirrored lanes
     wo_out = jnp.where(flip[..., None], _flip_z(bs_acc.wo), bs_acc.wo)
@@ -1162,22 +1382,34 @@ def sample(mat: MaterialTable, midx, si, u1, u2, ctx, cfg, wavelengths=None):
 
 
 def eval_(mat: MaterialTable, midx, si, wo, ctx, cfg, wavelengths=None):
-    n = si.wi.shape[0]
     p = mat.gather(midx)
     si_eff, flip = _effective_si(p, si)
     wo_eff = jnp.where(flip[..., None], _flip_z(wo), wo)
     p["_uv"] = si_eff.uv
     p["_tex_stack"] = mat.tex_stack
 
-    val_acc = zeros_value(n, cfg)
-    for t in mat.present_types:
-        impl = IMPLS.get(t)
-        if impl is None:
-            continue
-        mask = p["mtype"] == t
-        val = impl.eval(p, si_eff, wo_eff, ctx, cfg, wavelengths)
-        val_acc = where_value(mask, val, val_acc, cfg)
-    return val_acc
+    if not _has_nested(mat):
+        return _loop_eval(mat, p, si_eff, wo_eff, ctx, cfg, wavelengths)
+
+    p_a, p_b, si_p, frame, _, is_blend, w, perturb = _nested_remap(
+        mat, midx, p, si_eff, jnp.zeros_like(p["weight"])
+    )
+    wo_p = _to_frame(wo_eff, frame)
+    val = _loop_eval(mat, p_a, si_p, wo_p, ctx, cfg, wavelengths)
+    if BSDF_BLEND in mat.present_types:
+        val_b = _loop_eval(mat, p_b, si_p, wo_p, ctx, cfg, wavelengths)
+        n = si.wi.shape[0]
+        wc = jnp.broadcast_to(w[..., None], (n, cfg.n_channels))
+        mix = add_value(
+            mul_value(val, wc, cfg), mul_value(val_b, 1.0 - wc, cfg), cfg
+        )
+        val = where_value(is_blend, mix, val, cfg)
+    # same-side mask on perturbed lanes (normalmap.cpp:147-148)
+    side_ok = (wo_eff[..., 2] * wo_p[..., 2]) > 0
+    val = where_value(
+        ~perturb | side_ok, val, zeros_value(si.wi.shape[0], cfg), cfg
+    )
+    return val
 
 
 def pdf(mat: MaterialTable, midx, si, wo, ctx, cfg):
@@ -1187,15 +1419,19 @@ def pdf(mat: MaterialTable, midx, si, wo, ctx, cfg):
     p["_tex_stack"] = mat.tex_stack
     wo_eff = jnp.where(flip[..., None], _flip_z(wo), wo)
 
-    pdf_acc = jnp.zeros(si.wi.shape[0], jnp.float32)
-    for t in mat.present_types:
-        impl = IMPLS.get(t)
-        if impl is None:
-            continue
-        mask = p["mtype"] == t
-        pd = impl.pdf(p, si_eff, wo_eff, ctx, cfg)
-        pdf_acc = jnp.where(mask, pd, pdf_acc)
-    return pdf_acc
+    if not _has_nested(mat):
+        return _loop_pdf(mat, p, si_eff, wo_eff, ctx, cfg)
+
+    p_a, p_b, si_p, frame, _, is_blend, w, perturb = _nested_remap(
+        mat, midx, p, si_eff, jnp.zeros_like(p["weight"])
+    )
+    wo_p = _to_frame(wo_eff, frame)
+    pd = _loop_pdf(mat, p_a, si_p, wo_p, ctx, cfg)
+    if BSDF_BLEND in mat.present_types:
+        pd_b = _loop_pdf(mat, p_b, si_p, wo_p, ctx, cfg)
+        pd = jnp.where(is_blend, w * pd + (1.0 - w) * pd_b, pd)
+    side_ok = (wo_eff[..., 2] * wo_p[..., 2]) > 0
+    return jnp.where(~perturb | side_ok, pd, 0.0)
 
 
 def eval_pdf(mat, midx, si, wo, ctx, cfg, wavelengths=None):

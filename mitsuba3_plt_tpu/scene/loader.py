@@ -21,6 +21,7 @@ from ..librender.bsdf import (
     MaterialTable, BSDFFlags,
     BSDF_NULL, BSDF_DIFFUSE, BSDF_CONDUCTOR, BSDF_ROUGH_CONDUCTOR,
     BSDF_DIELECTRIC, BSDF_THIN_DIELECTRIC, BSDF_ROUGH_GRATING,
+    BSDF_BLEND, BSDF_NORMALMAP, BSDF_BUMPMAP,
 )
 from ..librender.sensor import Sensor
 from .emitters import (
@@ -171,6 +172,18 @@ def _parse_bsdf(elem, defaults) -> LoadedBSDF:
     btype = elem.get("type")
     p = _props(elem, defaults)
 
+    # bitmap texture children: reflectance/base_color textures land in
+    # p["texture"] (resolved against the scene dir)
+    for tex_elem in elem.findall("texture"):
+        tp = _props(tex_elem, defaults)
+        if "filename" in tp:
+            fn = os.path.join(defaults.get("__base_dir", "."), tp["filename"])
+            if tex_elem.get("name") in ("reflectance", "base_color", None):
+                p["texture"] = fn
+            p.setdefault("_texture_file", fn)
+        if "uv_scale" in tp:
+            p["uv_scale"] = tp["uv_scale"]
+
     if btype == "twosided":
         nested_elem = elem.find("bsdf")
         nested = _parse_bsdf(nested_elem, defaults) if nested_elem is not None else default_bsdf()
@@ -178,9 +191,15 @@ def _parse_bsdf(elem, defaults) -> LoadedBSDF:
         return nested
 
     if btype == "diffuse":
-        return LoadedBSDF(
-            BSDF_DIFFUSE, base_color=p.get("reflectance", (0.5, 0.5, 0.5))
-        )
+        kw = {}
+        if "texture" in p:
+            kw["texture"] = p["texture"]
+        if "uv_scale" in p:
+            kw["uv_scale"] = p["uv_scale"]
+        refl = p.get("reflectance", (0.5, 0.5, 0.5))
+        if isinstance(refl, str):
+            refl = (0.5, 0.5, 0.5)
+        return LoadedBSDF(BSDF_DIFFUSE, base_color=refl, **kw)
     if btype == "conductor":
         mat = p.get("material", "none")
         eta, k = CONDUCTOR_PRESETS.get(str(mat).lower(), CONDUCTOR_PRESETS["none"])
@@ -252,6 +271,30 @@ def _parse_bsdf(elem, defaults) -> LoadedBSDF:
         nested_elem = elem.find("bsdf")
         nested = _parse_bsdf(nested_elem, defaults) if nested_elem is not None else default_bsdf()
         return nested  # opacity ignored for now (documented gap)
+    if btype == "blendbsdf":
+        children = [_parse_bsdf(c, defaults) for c in elem.findall("bsdf")]
+        while len(children) < 2:
+            children.append(default_bsdf())
+        # reference blendbsdf.cpp: weight is the probability of the SECOND
+        # child; our table stores child A's probability in `weight`
+        lb = LoadedBSDF(BSDF_BLEND, weight=1.0 - float(p.get("weight", 0.5)))
+        lb.children = children[:2]
+        return lb
+    if btype in ("normalmap", "bumpmap"):
+        nested_elem = elem.find("bsdf")
+        nested = (_parse_bsdf(nested_elem, defaults)
+                  if nested_elem is not None else default_bsdf())
+        kw = {}
+        if "_texture_file" in p:
+            kw["texture"] = p["_texture_file"]
+        if "uv_scale" in p:
+            kw["uv_scale"] = p["uv_scale"]
+        lb = LoadedBSDF(
+            BSDF_NORMALMAP if btype == "normalmap" else BSDF_BUMPMAP,
+            weight=float(p.get("scale", 1.0)), **kw,
+        )
+        lb.children = [nested]
+        return lb
     # fallback
     return default_bsdf()
 
@@ -277,6 +320,7 @@ def load_file(path: str, parameters: Optional[Dict[str, str]] = None, **override
 
 
 def _build_scene_from_xml(root, defaults, base_dir):
+    defaults = {**defaults, "__base_dir": base_dir}
     named_bsdfs: Dict[str, int] = {}
     bsdf_list: List[LoadedBSDF] = []
     meshes, mesh_mat, mesh_emitter = [], [], []
@@ -449,6 +493,25 @@ def assemble_scene(meshes, mesh_mat, mesh_emitter, bsdf_list, emitters, sensor,
 
 
 def build_material_table(bsdf_list: List[LoadedBSDF]) -> MaterialTable:
+    # flatten nested wrapper children (blend/normalmap/bumpmap) into their
+    # own rows; the wrapper row records child indices in nested_idx/
+    # nested_idx2 (one dispatch level — the masked remap in bsdfs.sample)
+    bsdf_list = list(bsdf_list)
+    i = 0
+    while i < len(bsdf_list):
+        lb = bsdf_list[i]
+        children = getattr(lb, "children", None)
+        if children:
+            idxs = []
+            for ch in children:
+                bsdf_list.append(ch)
+                idxs.append(len(bsdf_list) - 1)
+            lb.params["nested_idx"] = idxs[0]
+            if len(idxs) > 1:
+                lb.params["nested_idx2"] = idxs[1]
+            lb.children = None
+        i += 1
+
     m_count = max(len(bsdf_list), 1)
     if not bsdf_list:
         bsdf_list = [default_bsdf()]
@@ -463,6 +526,7 @@ def build_material_table(bsdf_list: List[LoadedBSDF]) -> MaterialTable:
         "mtype", "flags", "twosided", "base_color", "transmittance",
         "eta_re", "eta_im", "alpha", "mf_type", "grt_inv_period", "grt_height",
         "grt_lobes", "grt_type", "grt_multiplier", "grt_coherence",
+        "nested_idx", "nested_idx2", "weight",
     )}
 
     FLAG_MAP = {
@@ -509,10 +573,28 @@ def build_material_table(bsdf_list: List[LoadedBSDF]) -> MaterialTable:
             ("grt_inv_period", "grt_inv_period"), ("grt_height", "grt_height"),
             ("grt_lobes", "grt_lobes"), ("grt_type", "grt_type"),
             ("grt_multiplier", "grt_multiplier"), ("grt_coherence", "grt_coherence"),
+            ("nested_idx", "nested_idx"), ("nested_idx2", "nested_idx2"),
+            ("weight", "weight"),
         ):
             if key in p:
                 arr = upd[field]
                 upd[field] = arr.at[i].set(jnp.asarray(p[key], arr.dtype))
+
+    # wrapper rows (blend/normalmap/bumpmap) take the union of their
+    # children's flags so Smooth/Delta gating (NEE etc.) sees the children
+    import numpy as _np
+
+    flags_np = _np.asarray(upd["flags"])
+    for i, lb in enumerate(bsdf_list):
+        ni = lb.params.get("nested_idx", -1)
+        if ni >= 0 and lb.btype in (BSDF_BLEND, BSDF_NORMALMAP, BSDF_BUMPMAP):
+            f = int(flags_np[ni])
+            n2 = lb.params.get("nested_idx2", -1)
+            if n2 >= 0:
+                f |= int(flags_np[n2])
+            if lb.twosided:
+                f |= BSDFFlags.BackSide
+            upd["flags"] = upd["flags"].at[i].set(jnp.uint32(f))
 
     import dataclasses as dc
 

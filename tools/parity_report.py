@@ -24,14 +24,17 @@ import numpy as np
 REF = "/root/reference"
 
 
-def render_scene(xml, w, h, spp, integrator=None):
+def render_scene(xml, w, h, spp, integrator=None, rfilter=None):
     import mitsuba3_plt_tpu as mi
 
     scene, meta = mi.load_file(xml, resx=w, resy=h)
-    if integrator:
+    if integrator or rfilter:
         meta = dict(meta)
+    if integrator:
         meta["integrator"] = dict(meta.get("integrator") or {})
         meta["integrator"]["type"] = integrator
+    if rfilter:
+        meta["rfilter"] = rfilter
     t0 = time.perf_counter()
     img = np.asarray(mi.render((scene, meta), spp=spp))
     dt = time.perf_counter() - t0
@@ -57,6 +60,8 @@ def main():
     ap.add_argument("--spp", type=int, default=512)
     ap.add_argument("--out", default="docs/PARITY.md")
     ap.add_argument("--jobs", default="")
+    ap.add_argument("--rfilter", default=None,
+                    help="override reconstruction filter (e.g. box)")
     args = ap.parse_args()
 
     from mitsuba3_plt_tpu.utils.exr import read_exr_rgb
@@ -84,7 +89,8 @@ def main():
         print(f"[{name}] rendering {w}x{h} spp={args.spp} ({integ})...",
               file=sys.stderr)
         try:
-            ours, dt = render_scene(xml, w, h, args.spp, integ)
+            ours, dt = render_scene(xml, w, h, args.spp, integ,
+                                    rfilter=args.rfilter)
         except Exception as e:
             rows.append((name, {"error": repr(e)[:120]}, 0.0))
             continue
