@@ -213,6 +213,7 @@ DIMS_PER_BOUNCE = 12
 DIM_CAMERA = 0          # 4 dims: film jitter (2), aperture (2)
 DIM_WAVELENGTH = 4      # 1 dim
 DIM_BOUNCE_BASE = 8     # bounce b uses [8 + b*12, 8 + (b+1)*12)
+DIM_MEDIUM_BASE = 1 << 20  # null-collision tracking chains: b*512 + slot
 
 
 def bounce_dim(bounce, offset):

@@ -51,6 +51,7 @@ def make_integrator(cfg: dict):
         return VolPathIntegrator(
             max_depth=_int(cfg, "max_depth", 8),
             rr_depth=_int(cfg, "rr_depth", 5),
+            spectral_mis=(t == "volpathmis"),
         )
     if t in ("stokes", "stokes_fw"):
         from .stokes import StokesIntegrator, PolarizedPathIntegrator

@@ -79,6 +79,7 @@ def render(
     rfilter: int = FILTER_BOX,
     n_out_channels: int | None = None,
     sampler_type: str = "independent",
+    device_pass_loop: bool = False,
 ):
     """Render orchestration: loops spp passes on host, jits the per-pass
     megakernel, accumulates an ImageBlock, develops to [H, W, C].
@@ -127,13 +128,12 @@ def render(
     block = ImageBlock.create(width, height, ch, rfilter)
     data = block.data
 
-    if rfilter == FILTER_BOX:
-        # run the pass loop on-device: one dispatch for the whole render (a
-        # host loop costs ~30 ms relay sync per pass — hundreds of passes
-        # at high spp). Chunk to <= 32 passes per dispatch so a long render
-        # still surfaces progress/cancellation points on the host.
-        # (Non-box filters stay on the host loop: the 25-tap ordered splat
-        # inside lax.fori_loop triggers a pathological TPU compile.)
+    if device_pass_loop and rfilter == FILTER_BOX:
+        # pass loop on-device: one dispatch per 32 passes instead of one
+        # per pass. DEFAULT OFF: wrapping the Pallas intersection kernel in
+        # lax.fori_loop crashes the TPU worker on the axon backend
+        # ("kernel fault"); the host loop pipelines async dispatches and
+        # is within ~5% at realistic pass counts.
         @jax.jit
         def render_chunk(data, p0, n):
             def body(i, d):

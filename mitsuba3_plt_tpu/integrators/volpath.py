@@ -32,6 +32,11 @@ from .path import _to_channels
 class VolPathIntegrator:
     max_depth: int = 8
     rr_depth: int = 5
+    # volpathmis (src/integrators/volpathmis.cpp): spectral MIS over the
+    # per-channel free-flight strategies — the sampling channel is drawn
+    # uniformly and the balance heuristic averages the channel pdfs. For
+    # gray media this reduces to the plain estimator.
+    spectral_mis: bool = False
 
     def sample(self, scene, sampler: Sampler, ray: Ray, wavelengths,
                cfg: RenderConfig):
@@ -68,8 +73,18 @@ class VolPathIntegrator:
                     maxt=ds.dist * (1.0 - mth.ShadowEpsilon))
             )
             vis = ~occ & (ds.pdf > 0)
-            # transmittance to the light (homogeneous analytic)
-            tr = medium.transmittance(ds.dist)[..., :C]
+            # transmittance to the light: ratio tracking for grids,
+            # analytic Beer-Lambert otherwise
+            if medium.heterogeneous:
+                from ..core.rng import DIM_MEDIUM_BASE
+
+                tr1 = medium.transmittance_ratio(
+                    point + offset, ds.d, ds.dist, sampler,
+                    DIM_MEDIUM_BASE + b * 512 + 256,
+                )
+                tr = jnp.broadcast_to(tr1[..., None], (n, C))
+            else:
+                tr = medium.transmittance(ds.dist)[..., :C]
 
             # scattering kernel value toward the light
             cos_sc = fr.dot(ds.d, -wi_world)
@@ -104,25 +119,71 @@ class VolPathIntegrator:
             si = scene.ray_intersect(ray_b)
             t_surf = jnp.where(si.valid, si.t, 1e8)
 
-            # --- free-flight sampling (hero channel 0) -------------------
-            u_t = sampler.next_1d(bounce_dim(b, 7))
-            t_med = medium.sample_distance(u_t, 0)
-            is_medium = active & (t_med < t_surf)
-            hit_surface = active & si.valid & ~is_medium
+            # --- free-flight sampling --------------------------------
+            if medium.heterogeneous:
+                # delta tracking (heterogeneous.cpp sample_interaction):
+                # the null-collision chain has unit weight for gray
+                # extinction — no throughput update
+                from ..core.rng import DIM_MEDIUM_BASE
 
-            # throughput update for the flight segment (channel-0 MC weight)
-            sigma0 = jnp.maximum(medium.sigma_t[0], 1e-8)
-            tr_med = medium.transmittance(t_med)[..., :3]
-            tr_surf = medium.transmittance(t_surf)[..., :3]
-            w_medium = tr_med * medium.sigma_t[None, :] / (
-                sigma0 * tr_med[..., 0:1]
-            )
-            w_surface = tr_surf / jnp.maximum(tr_surf[..., 0:1], 1e-20)
-            beta = beta * jnp.where(
-                is_medium[..., None], w_medium[..., : beta.shape[-1]],
-                jnp.where(hit_surface[..., None],
-                          w_surface[..., : beta.shape[-1]], 1.0),
-            )
+                t_med, is_real = medium.sample_distance_delta(
+                    ray_o, ray_d, t_surf, sampler,
+                    DIM_MEDIUM_BASE + b * 512,
+                )
+                is_medium = active & is_real
+                hit_surface = active & si.valid & ~is_real
+            elif self.spectral_mis:
+                # uniform channel choice + balance heuristic over the
+                # per-channel exponential pdfs (volpathmis.cpp)
+                u_c = sampler.next_1d(bounce_dim(b, 8))
+                ch = jnp.clip((u_c * 3).astype(jnp.int32), 0, 2)
+                s_c = jnp.sum(
+                    jnp.where(ch[..., None] == jnp.arange(3),
+                              medium.sigma_t[None, :], 0.0), -1,
+                )
+                u_t = sampler.next_1d(bounce_dim(b, 7))
+                t_med = -jnp.log(jnp.maximum(1.0 - u_t, 1e-20)) / jnp.maximum(
+                    s_c, 1e-8
+                )
+                is_medium = active & (t_med < t_surf)
+                hit_surface = active & si.valid & ~is_medium
+
+                tr_med = medium.transmittance(t_med)[..., :3]
+                tr_surf = medium.transmittance(t_surf)[..., :3]
+                pdf_med = jnp.mean(
+                    medium.sigma_t[None, :] * tr_med, axis=-1
+                )
+                pdf_srf = jnp.mean(tr_surf, axis=-1)
+                # sigma_s/sigma_t = albedo applies at the scatter vertex;
+                # the flight weight is Tr * sigma_t / pdf_avg
+                w_medium = tr_med * medium.sigma_t[None, :] / jnp.maximum(
+                    pdf_med, 1e-20
+                )[..., None]
+                w_surface = tr_surf / jnp.maximum(pdf_srf, 1e-20)[..., None]
+                beta = beta * jnp.where(
+                    is_medium[..., None], w_medium[..., : beta.shape[-1]],
+                    jnp.where(hit_surface[..., None],
+                              w_surface[..., : beta.shape[-1]], 1.0),
+                )
+            else:
+                u_t = sampler.next_1d(bounce_dim(b, 7))
+                t_med = medium.sample_distance(u_t, 0)
+                is_medium = active & (t_med < t_surf)
+                hit_surface = active & si.valid & ~is_medium
+
+                # throughput update for the flight segment (channel-0 weight)
+                sigma0 = jnp.maximum(medium.sigma_t[0], 1e-8)
+                tr_med = medium.transmittance(t_med)[..., :3]
+                tr_surf = medium.transmittance(t_surf)[..., :3]
+                w_medium = tr_med * medium.sigma_t[None, :] / (
+                    sigma0 * tr_med[..., 0:1]
+                )
+                w_surface = tr_surf / jnp.maximum(tr_surf[..., 0:1], 1e-20)
+                beta = beta * jnp.where(
+                    is_medium[..., None], w_medium[..., : beta.shape[-1]],
+                    jnp.where(hit_surface[..., None],
+                              w_surface[..., : beta.shape[-1]], 1.0),
+                )
 
             p_medium = ray_o + ray_d * t_med[..., None]
             point = jnp.where(is_medium[..., None], p_medium, si.p)
