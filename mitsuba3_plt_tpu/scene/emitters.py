@@ -25,6 +25,8 @@ EMITTER_DIRECTIONAL = 3
 EMITTER_ENVMAP = 4
 EMITTER_SPOT = 5
 EMITTER_DIRECTIONALAREA = 6
+EMITTER_SPHERE = 7   # analytic-sphere area light (sphere.cpp sample_direction);
+                     # the sphere radius rides in the (spot-only) cutoff_cos slot
 
 
 @jax.tree_util.register_dataclass
@@ -122,6 +124,8 @@ def sample_emitter_direction(
             cand = _sample_point(em, ref_p, e_idx, ep)  # spot shares point geometry
         elif t == EMITTER_ENVMAP:
             cand = _sample_envmap(em, ref_p, e_idx, sample2)
+        elif t == EMITTER_SPHERE:
+            cand = _sample_sphere(em, ref_p, e_idx, sample2, ep)
         else:
             continue
         ds = _select_ds(mask, cand, ds)
@@ -152,6 +156,21 @@ def pdf_emitter_direction(em: EmitterTable, geo, ref_p, ds: DirectionSample):
             p = jnp.full_like(pdf, m.InvFourPi)
         elif t == EMITTER_ENVMAP:
             p = envmap_pdf(em, ds.d)
+        elif t == EMITTER_SPHERE:
+            # visible-cone density (sphere.cpp pdf_direction)
+            dvec = ep["position"] - ref_p
+            dc = jnp.linalg.norm(dvec, axis=-1)
+            r = ep["cutoff_cos"]
+            sin2 = jnp.clip((r / jnp.maximum(dc, 1e-9)) ** 2, 0.0, 1.0)
+            cos_max = jnp.sqrt(jnp.maximum(1.0 - sin2, 0.0))
+            p = jnp.where(
+                dc > r,
+                1.0 / jnp.maximum(2.0 * m.Pi * (1.0 - cos_max), 1e-9),
+                # inside the sphere: uniform-area fallback density
+                ds.dist * ds.dist / jnp.maximum(
+                    jnp.abs(fr.dot(ds.d, ds.n)) * 4.0 * m.Pi * r * r, 1e-9
+                ),
+            )
         else:
             continue
         pdf = jnp.where(mask, p, pdf)
@@ -407,6 +426,66 @@ def _select_ds(mask, a: DirectionSample, b: DirectionSample) -> DirectionSample:
         pdf=jnp.where(mask, a.pdf, b.pdf),
         delta=jnp.where(mask, a.delta, b.delta),
         emitter_idx=jnp.where(mask, a.emitter_idx, b.emitter_idx),
+    )
+
+
+def _sample_sphere(em, ref_p, e_idx, sample2, ep=None):
+    """Visible-cone sampling of an analytic sphere light
+    (sphere.cpp sample_direction / PBRT cone sampling). The radius rides in
+    the cutoff_cos slot; area holds 4 pi r^2."""
+    if ep is None:
+        ep = em.gather(e_idx)
+    n = ref_p.shape[0]
+    c = ep["position"]
+    r = ep["cutoff_cos"]
+    dvec = c - ref_p
+    dc = jnp.linalg.norm(dvec, axis=-1)
+    dc_safe = jnp.maximum(dc, 1e-9)
+    dhat = dvec / dc_safe[..., None]
+    outside = dc > r * 1.0001
+
+    sin2_max = jnp.clip((r / dc_safe) ** 2, 0.0, 1.0)
+    cos_max = jnp.sqrt(jnp.maximum(1.0 - sin2_max, 0.0))
+    u1 = sample2[..., 0]
+    u2 = sample2[..., 1]
+    cos_t = 1.0 - u1 * (1.0 - cos_max)
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+    phi = 2.0 * m.Pi * u2
+    s_ax, t_ax = fr.coordinate_system(dhat)
+    d = (
+        s_ax * (sin_t * jnp.cos(phi))[..., None]
+        + t_ax * (sin_t * jnp.sin(phi))[..., None]
+        + dhat * cos_t[..., None]
+    )
+    # distance to the near intersection along d
+    under = r * r - dc * dc * (1.0 - cos_t * cos_t)
+    dist = dc * cos_t - jnp.sqrt(jnp.maximum(under, 0.0))
+    p_hit = ref_p + d * dist[..., None]
+    n_hit = fr.normalize(p_hit - c)
+    pdf_cone = 1.0 / jnp.maximum(2.0 * m.Pi * (1.0 - cos_max), 1e-9)
+
+    # inside the sphere: uniform area sampling with density conversion
+    from ..core import warp
+
+    p_area = c + warp.square_to_uniform_sphere(sample2) * r[..., None]
+    d_in = p_area - ref_p
+    dist_in = jnp.linalg.norm(d_in, axis=-1)
+    d_in = d_in / jnp.maximum(dist_in, 1e-9)[..., None]
+    n_in = fr.normalize(p_area - c)
+    cos_l_in = jnp.abs(fr.dot(d_in, n_in))
+    pdf_in = dist_in * dist_in / jnp.maximum(
+        cos_l_in * 4.0 * m.Pi * r * r, 1e-9
+    )
+
+    return DirectionSample(
+        p=jnp.where(outside[..., None], p_hit, p_area),
+        n=jnp.where(outside[..., None], n_hit, n_in),
+        uv=jnp.zeros((n, 2), jnp.float32),
+        d=jnp.where(outside[..., None], d, d_in),
+        dist=jnp.where(outside, dist, dist_in),
+        pdf=jnp.where(outside, pdf_cone, pdf_in),
+        delta=jnp.zeros((n,), bool),
+        emitter_idx=e_idx,
     )
 
 

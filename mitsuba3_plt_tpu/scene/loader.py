@@ -390,6 +390,51 @@ def _build_scene_from_xml(root, defaults, base_dir):
             )
         elif stype == "orthographic":
             sensor = Sensor.orthographic(to_world, fw, fh)
+        elif stype == "batch":
+            # batch of sub-sensors concatenated side by side
+            # (src/sensors/batch.cpp); sub-sensor `srf` spectra load from
+            # .spd files (reference Properties spectrum-file loading)
+            to_worlds, srf_files = [], []
+            sub_w, sub_h = 1, 1
+            for sub in s.findall("sensor"):
+                pp = _props(sub, defaults)
+                to_worlds.append(
+                    np.asarray(
+                        pp.get("to_world", np.eye(4, dtype=np.float32)),
+                        np.float32,
+                    )
+                )
+                film_e = sub.find("film")
+                if film_e is not None:
+                    fp2 = _props(film_e, defaults)
+                    sub_w = int(fp2.get("width", 1))
+                    sub_h = int(fp2.get("height", 1))
+                spd = None
+                for spec_el in sub.findall("spectrum"):
+                    if spec_el.get("name") == "srf" and spec_el.get("filename"):
+                        spd = os.path.join(base_dir, spec_el.get("filename"))
+                srf_files.append(spd)
+            srf = srf_grid = None
+            if any(srf_files):
+                curves = []
+                ref_grid = None
+                for fpath in srf_files:
+                    if fpath is None:
+                        curves.append(None)
+                        continue
+                    data = np.loadtxt(fpath)
+                    wl, v = data[:, 0], data[:, 1]
+                    if ref_grid is None:
+                        ref_grid = wl
+                    curves.append(np.interp(ref_grid, wl, v))
+                flat = np.ones_like(ref_grid)
+                srf = np.stack(
+                    [c if c is not None else flat for c in curves]
+                ).astype(np.float32)
+                srf_grid = ref_grid.astype(np.float32)
+            sensor = Sensor.batch_orthographic(
+                to_worlds, sub_w, sub_h, srf=srf, srf_wavelengths=srf_grid
+            )
         elif stype == "thinlens":
             fov = float(p.get("fov", 45.0))
             sensor = Sensor.thinlens(
@@ -407,10 +452,48 @@ def _build_scene_from_xml(root, defaults, base_dir):
         emitters.append({"type": etype, **p})
 
     # --- shapes ---
+    spheres = []
     for sh in root.findall("shape"):
         stype = sh.get("type")
         p = _props(sh, defaults)
         to_world = p.get("to_world", np.eye(4, dtype=np.float32))
+
+        if stype == "sphere":
+            # analytic sphere (sphere.cpp): exact intersection, no
+            # tessellation. center/radius props compose with a uniform
+            # to_world (non-uniform sphere scales are not supported).
+            center = np.asarray(p.get("center", (0.0, 0.0, 0.0)), np.float64)
+            radius = float(p.get("radius", 1.0))
+            M = np.asarray(to_world, np.float64)
+            center = (M @ np.append(center, 1.0))[:3]
+            radius = radius * float(np.cbrt(abs(np.linalg.det(M[:3, :3]))))
+
+            mat_idx = None
+            ref = sh.find("ref")
+            if ref is not None and ref.get("id") in named_bsdfs:
+                mat_idx = named_bsdfs[ref.get("id")]
+            inline = sh.find("bsdf")
+            if inline is not None:
+                mat_idx = add_bsdf(_parse_bsdf(inline, defaults))
+            if mat_idx is None:
+                mat_idx = add_bsdf(default_bsdf())
+
+            em_idx = -1
+            em = sh.find("emitter")
+            if em is not None and em.get("type") == "area":
+                ep = _props(em, defaults)
+                emitters.append(
+                    {"type": "sphere_area", "center": center,
+                     "radius": radius,
+                     "radiance": ep.get("radiance", (1.0, 1.0, 1.0))}
+                )
+                em_idx = len(emitters) - 1
+            spheres.append(
+                {"center": center.astype(np.float32), "radius": radius,
+                 "mat": mat_idx, "emitter": em_idx,
+                 "shape": 10000 + len(spheres)}
+            )
+            continue
 
         if stype == "ply":
             mesh = shp.load_ply(os.path.join(base_dir, p["filename"]))
@@ -420,15 +503,6 @@ def _build_scene_from_xml(root, defaults, base_dir):
             mesh = shp.make_rectangle()
         elif stype == "cube":
             mesh = shp.make_cube()
-        elif stype == "sphere":
-            mesh = shp.make_sphere()
-            if "center" in p:
-                T = tf.translate(np.asarray(p["center"])) @ tf.scale(
-                    p.get("radius", 1.0)
-                )
-                to_world = to_world @ T
-            elif "radius" in p:
-                to_world = to_world @ tf.scale(p["radius"])
         elif stype == "disk":
             mesh = shp.make_disk()
         else:
@@ -469,18 +543,23 @@ def _build_scene_from_xml(root, defaults, base_dir):
 
     return assemble_scene(
         meshes, mesh_mat, mesh_emitter, bsdf_list, emitters, sensor,
-        integrator_cfg, spp, rfilter=rfilter_name,
+        integrator_cfg, spp, rfilter=rfilter_name, spheres=spheres,
     )
 
 
 def assemble_scene(meshes, mesh_mat, mesh_emitter, bsdf_list, emitters, sensor,
-                   integrator_cfg, spp, rfilter="gaussian"):
+                   integrator_cfg, spp, rfilter="gaussian", spheres=None):
     if sensor is None:
         sensor = Sensor.perspective(
             tf.look_at([0, 0, 4], [0, 0, 0], [0, 1, 0]), 45.0, 256, 256
         )
 
-    geo, bvh = build_geometry(meshes, mesh_mat, mesh_emitter)
+    if not meshes:
+        # sphere-only scenes still need a (degenerate) triangle table
+        meshes = [shp.make_rectangle().transformed(
+            np.diag([1e-6, 1e-6, 1e-6, 1.0]).astype(np.float32))]
+        mesh_mat, mesh_emitter = [0], [-1]
+    geo, bvh = build_geometry(meshes, mesh_mat, mesh_emitter, spheres=spheres)
     mat_table = build_material_table(bsdf_list)
     em_table, env_idx = build_emitter_table(emitters, meshes, geo)
 
@@ -668,11 +747,14 @@ def build_material_table(bsdf_list: List[LoadedBSDF]) -> MaterialTable:
 
 def build_emitter_table(emitters, meshes, geo):
     e_count = max(len(emitters), 1)
+    from .emitters import EMITTER_SPHERE
+
     TYPE_MAP = {
         "area": EMITTER_AREA, "point": EMITTER_POINT,
         "constant": EMITTER_CONSTANT, "directional": EMITTER_DIRECTIONAL,
         "spot": EMITTER_SPOT, "envmap": EMITTER_ENVMAP,
         "directionalspot": EMITTER_DIRECTIONAL,
+        "sphere_area": EMITTER_SPHERE,
     }
 
     # environment map image (at most one): numpy array under "image", or a
@@ -746,6 +828,10 @@ def build_emitter_table(emitters, meshes, geo):
             cutoff[i] = np.cos(np.deg2rad(float(e["cutoff_angle"])))
         if "beam_width" in e:
             beam[i] = np.cos(np.deg2rad(float(e["beam_width"])))
+        if t == EMITTER_SPHERE:
+            position[i] = np.asarray(e["center"], np.float32)
+            cutoff[i] = float(e["radius"])  # radius rides in the cutoff slot
+            area_total[i] = 4.0 * np.pi * float(e["radius"]) ** 2
         if t == EMITTER_AREA and i in tri_lists and len(tri_lists[i]):
             tris = tri_lists[i]
             a = 0.5 * np.linalg.norm(

@@ -51,10 +51,20 @@ class Geometry:
     tri_shape: Any    # [F] int32 source shape id
     tri_isect: Any  # [F_pad, 9] packed (p0, e1, e2) for chunked intersection
     tri_attr: Any   # [F, 32] packed shading attributes (see pack_attributes)
+    # --- analytic spheres (reference src/shapes/sphere.cpp:240-330) -------
+    # intersected exactly (no tessellation bias); S is small so the test is
+    # a vectorized [N, S] broadcast merged with the triangle result
+    sph_center: Any = None  # [S, 3]
+    sph_radius: Any = None  # [S]
+    sph_attr: Any = None    # [S, 3] (mat, emitter, shape) as f32
 
     @property
     def n_faces(self):
         return self.tri_p0.shape[0]
+
+    @property
+    def n_spheres(self):
+        return 0 if self.sph_center is None else self.sph_center.shape[0]
 
 
 @jax.tree_util.register_dataclass
@@ -82,6 +92,30 @@ class Scene:
             return pallas_intersect(geo.tri_isect, ray.o, ray.d, ray.maxt)
         return isect.chunked_intersect(geo.tri_isect, ray.o, ray.d, ray.maxt)
 
+    def _sphere_intersect(self, ray: Ray):
+        """Nearest analytic sphere hit: [N] (t, sphere index or -1).
+
+        Vectorized [N, S] quadratic (sphere.cpp:240-290); S is tiny so this
+        is pure fused elementwise work, no gathers."""
+        geo = self.geo
+        c = geo.sph_center  # [S, 3]
+        r = geo.sph_radius  # [S]
+        oc = ray.o[:, None, :] - c[None, :, :]          # [N, S, 3]
+        b = jnp.sum(oc * ray.d[:, None, :], axis=-1)    # [N, S]
+        cc = jnp.sum(oc * oc, axis=-1) - (r * r)[None, :]
+        disc = b * b - cc
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t0 = -b - sq
+        t1 = -b + sq
+        eps = 1e-4
+        t_hit = jnp.where(t0 > eps, t0, jnp.where(t1 > eps, t1, jnp.inf))
+        t_hit = jnp.where(disc >= 0, t_hit, jnp.inf)
+        t_hit = jnp.where(t_hit < ray.maxt[:, None], t_hit, jnp.inf)
+        best = jnp.argmin(t_hit, axis=-1)
+        t_best = jnp.min(t_hit, axis=-1)
+        idx = jnp.where(jnp.isfinite(t_best), best.astype(jnp.int32), -1)
+        return t_best, idx
+
     # ------------------------------------------------------------------
     def ray_intersect(self, ray: Ray, brute_force: bool = False) -> SurfaceInteraction:
         geo = self.geo
@@ -91,6 +125,16 @@ class Scene:
             t, prim, u, v = isect.bvh_intersect(
                 self.bvh, geo.tri_p0, geo.tri_p1, geo.tri_p2, ray.o, ray.d, ray.maxt
             )
+        sph_idx = None
+        if geo.n_spheres:
+            t_s, sph_idx = self._sphere_intersect(ray)
+            tri_valid = prim >= 0
+            sph_wins = (sph_idx >= 0) & (
+                ~tri_valid | (t_s < jnp.where(tri_valid, t, jnp.inf))
+            )
+            t = jnp.where(sph_wins, t_s, t)
+            prim = jnp.where(sph_wins, geo.n_faces + jnp.maximum(sph_idx, 0),
+                             prim)
         valid = prim >= 0
         prim_c = jnp.maximum(prim, 0)
 
@@ -117,6 +161,30 @@ class Scene:
         # flip geometric normal to the shading side consistency (Mitsuba keeps
         # ng fixed and shading frame from ns)
         uv = uv0 * w[..., None] + uv1 * u[..., None] + uv2 * v[..., None]
+
+        if geo.n_spheres:
+            # analytic-sphere overrides (exact normal/uv, sphere.cpp:290-330)
+            is_sph = valid & (prim >= geo.n_faces)
+            s_c = jnp.maximum(prim - geo.n_faces, 0)
+            center = m.small_gather(geo.sph_center, s_c)
+            n_sph = fr.normalize(p - center)
+            phi = jnp.arctan2(n_sph[..., 1], n_sph[..., 0])
+            theta = m.safe_acos(n_sph[..., 2])
+            uv_sph = jnp.stack(
+                [phi * (0.5 / jnp.pi) + 0.5, theta / jnp.pi], axis=-1
+            )
+            sattr = m.small_gather(geo.sph_attr, s_c)
+            ng = jnp.where(is_sph[..., None], n_sph, ng)
+            ns = jnp.where(is_sph[..., None], n_sph, ns)
+            uv = jnp.where(is_sph[..., None], uv_sph, uv)
+            a_mat = jnp.where(is_sph, sattr[..., 0].astype(jnp.int32), a_mat)
+            a_emitter = jnp.where(
+                is_sph, sattr[..., 1].astype(jnp.int32), a_emitter
+            )
+            a_shape = jnp.where(
+                is_sph, sattr[..., 2].astype(jnp.int32), a_shape
+            )
+
         sh_s, sh_t = fr.coordinate_system(ns)
         wi_world = -ray.d
         wi_local = jnp.stack(
@@ -150,11 +218,20 @@ class Scene:
             if jax.default_backend() == "tpu":
                 from ..ops.intersect_pallas import pallas_occluded
 
-                return pallas_occluded(geo.tri_isect, ray.o, ray.d, ray.maxt)
-            return isect.chunked_occluded(geo.tri_isect, ray.o, ray.d, ray.maxt)
-        return isect.bvh_occluded(
-            self.bvh, geo.tri_p0, geo.tri_p1, geo.tri_p2, ray.o, ray.d, ray.maxt
-        )
+                occ = pallas_occluded(geo.tri_isect, ray.o, ray.d, ray.maxt)
+            else:
+                occ = isect.chunked_occluded(
+                    geo.tri_isect, ray.o, ray.d, ray.maxt
+                )
+        else:
+            occ = isect.bvh_occluded(
+                self.bvh, geo.tri_p0, geo.tri_p1, geo.tri_p2, ray.o, ray.d,
+                ray.maxt,
+            )
+        if geo.n_spheres:
+            _, sph_idx = self._sphere_intersect(ray)
+            occ = occ | (sph_idx >= 0)
+        return occ
 
 
 # ---------------------------------------------------------------------------
@@ -162,10 +239,11 @@ class Scene:
 # ---------------------------------------------------------------------------
 
 def build_geometry(
-    meshes, mat_ids, emitter_ids, shape_ids=None
+    meshes, mat_ids, emitter_ids, shape_ids=None, spheres=None
 ) -> Tuple[Geometry, BVH]:
     """meshes: list[HostMesh] (already transformed to world); mat_ids /
-    emitter_ids: per-mesh ints (-1 = no emitter)."""
+    emitter_ids: per-mesh ints (-1 = no emitter); spheres: optional list of
+    dicts {center, radius, mat, emitter, shape} intersected analytically."""
     P0, P1, P2, N0, N1, N2, U0, U1, U2 = [], [], [], [], [], [], [], [], []
     FN, MAT, EMI, SHP = [], [], [], []
 
@@ -238,6 +316,26 @@ def build_geometry(
         tri_shape=jnp.asarray(cati(SHP)),
         tri_isect=jnp.asarray(isect_rows),
         tri_attr=jnp.asarray(attr),
+        **(
+            dict(
+                sph_center=jnp.asarray(
+                    np.stack([np.asarray(s["center"], np.float32)
+                              for s in spheres])
+                ),
+                sph_radius=jnp.asarray(
+                    np.asarray([s["radius"] for s in spheres], np.float32)
+                ),
+                sph_attr=jnp.asarray(
+                    np.asarray(
+                        [[s.get("mat", 0), s.get("emitter", -1),
+                          s.get("shape", -1)] for s in spheres],
+                        np.float32,
+                    )
+                ),
+            )
+            if spheres
+            else {}
+        ),
     )
 
     # BVH build over the concatenated soup
@@ -260,6 +358,11 @@ def scene_bounds(geo: Geometry):
         [np.asarray(geo.tri_p0).max(0), np.asarray(geo.tri_p1).max(0),
          np.asarray(geo.tri_p2).max(0)]
     )
+    if geo.sph_center is not None:
+        c = np.asarray(geo.sph_center)
+        r = np.asarray(geo.sph_radius)[:, None]
+        lo = np.minimum(lo, (c - r).min(0))
+        hi = np.maximum(hi, (c + r).max(0))
     center = (lo + hi) / 2
     radius = float(np.linalg.norm(hi - lo) / 2)
     return center.astype(np.float32), radius

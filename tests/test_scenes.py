@@ -34,9 +34,6 @@ def test_scene_renders(xml):
     import mitsuba3_plt_tpu as mi
 
     base = os.path.basename(xml)
-    if "spectrograph" in xml:
-        pytest.xfail("XML batch-sensor parsing pending (experiment module "
-                     "builds the spectrograph rig programmatically)")
     scene, meta = mi.load_file(xml, resx=16, resy=16)
     with warnings.catch_warnings():
         # integrator fallback must FAIL (silent estimator swaps hid bugs)

@@ -76,6 +76,8 @@ def main():
          (800, 600), f"{REF}/results/grating-spp/plt/result_4096.png", "png"),
         ("disk-plt", f"{REF}/scenes/disk/disk.xml", "plt",
          (800, 600), f"{REF}/results/disk/result_s0.png", "png"),
+        ("veach-path", f"{REF}/scenes/veach-mis/scene.xml", "path",
+         (1280, 720), f"{REF}/results/veach/path.png", "png"),
     ]
     if args.jobs:
         keep = set(args.jobs.split(","))
