@@ -33,6 +33,12 @@ def main(argv=None):
     ap.add_argument("--resx", type=int, default=None)
     ap.add_argument("--resy", type=int, default=None)
     ap.add_argument("--sampler", default="independent")
+    ap.add_argument("--timeout", type=float, default=None,
+                    help="cooperative render timeout in seconds; writes the "
+                         "partial image (reference integrator.cpp timeout)")
+    ap.add_argument("--profile", default=None,
+                    help="directory for a jax.profiler trace of the render")
+    ap.add_argument("--quiet", action="store_true")
     args = ap.parse_args(argv)
 
     import numpy as np
@@ -64,15 +70,35 @@ def main(argv=None):
     integ = make_integrator(integrator_cfg)
     spp = args.spp or meta.get("spp", 16)
 
-    t0 = time.perf_counter()
-    img = np.asarray(
-        mi.render(
-            (scene, {**meta, "integrator": integrator_cfg}),
-            integrator=integ, spp=spp, seed=args.seed,
-            sampler_type=args.sampler,
-        )
+    stats = {}
+
+    def _progress(done, total, elapsed):
+        if not args.quiet:
+            pct = 100.0 * done / total
+            print(f"\r[{pct:5.1f}%] pass {done}/{total}  {elapsed:7.1f}s",
+                  end="", flush=True)
+
+    import contextlib
+
+    import jax
+
+    prof_ctx = (
+        jax.profiler.trace(args.profile) if args.profile
+        else contextlib.nullcontext()
     )
+    t0 = time.perf_counter()
+    with prof_ctx:
+        img = np.asarray(
+            mi.render(
+                (scene, {**meta, "integrator": integrator_cfg}),
+                integrator=integ, spp=spp, seed=args.seed,
+                sampler_type=args.sampler,
+                timeout=args.timeout, progress=_progress, stats=stats,
+            )
+        )
     t_render = time.perf_counter() - t0
+    if not args.quiet:
+        print()
 
     out = args.output
     os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
@@ -95,6 +121,15 @@ def main(argv=None):
         "load_time_s": round(t_load, 3),
         "render_time_s": round(t_render, 3),
         "time_per_sample": round(t_render / max(spp, 1) * 1e3, 3),  # ms/spp
+        # compile vs steady-state split (the reference's params.json only
+        # records wall time; keep both so perf numbers are comparable)
+        **{k: v for k, v in stats.items()},
+        "time_per_sample_steady": (
+            round(stats["steady_s_per_pass"]
+                  / max(stats["spp_done"] // max(stats["passes_done"], 1), 1)
+                  * 1e3, 3)
+            if stats.get("steady_s_per_pass") else None
+        ),
     }
     with open(out + "_params.json", "w") as f:
         json.dump(meta_out, f, indent=2)

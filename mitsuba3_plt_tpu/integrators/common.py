@@ -80,12 +80,21 @@ def render(
     n_out_channels: int | None = None,
     sampler_type: str = "independent",
     device_pass_loop: bool = False,
+    timeout: float | None = None,
+    progress=None,
+    stats: dict | None = None,
 ):
     """Render orchestration: loops spp passes on host, jits the per-pass
     megakernel, accumulates an ImageBlock, develops to [H, W, C].
 
     integrator_sample(scene, sampler, ray, wavelengths, cfg) -> (values [N,C'],
     valid [N]) where C' = n_out_channels (3 for RGB L, 12 for stokes AOVs...).
+
+    Observability (reference integrator.cpp:91-170 timeout/cancel +
+    ProgressReporter): `timeout` stops cooperatively between passes and
+    develops the partial accumulation (the reference's SIGHUP partial-dump
+    role); `progress(done, total, elapsed_s)` fires after each pass;
+    `stats` (a dict) receives compile_s / steady-state timing / passes_done.
     """
     width, height = scene.sensor.resolution
     if spp_per_pass is None:
@@ -98,11 +107,15 @@ def render(
     def render_pass(block_data, pass_idx):
         sampler = Sampler.create(seed, width * height * spp_per_pass)
         sampler = sampler.fork(pass_idx)
-        ray, uv, wavelengths, wl_weight = sample_rays(
-            scene, sampler, width, height, spp_per_pass, cfg,
-            sampler_type=sampler_type,
-        )
-        values, valid = integrator_sample(scene, sampler, ray, wavelengths, cfg)
+        with jax.named_scope("sample_rays"):
+            ray, uv, wavelengths, wl_weight = sample_rays(
+                scene, sampler, width, height, spp_per_pass, cfg,
+                sampler_type=sampler_type,
+            )
+        with jax.named_scope("integrator"):
+            values, valid = integrator_sample(
+                scene, sampler, ray, wavelengths, cfg
+            )
         if cfg.spectral:
             # convert hero-wavelength spectral values to RGB via CIE XYZ
             xyz = spec.spectrum_to_xyz(values, wavelengths, wl_weight)
@@ -147,7 +160,36 @@ def render(
             data = render_chunk(data, jnp.uint32(done), jnp.int32(todo))
             done += todo
     else:
+        import time as _time
+
+        t_start = _time.perf_counter()
+        t_compile = None
+        done = 0
         for p in range(n_pass):
             data = render_pass(data, jnp.uint32(p))
+            if p == 0 and (timeout or progress or stats is not None):
+                data.block_until_ready()
+                t_compile = _time.perf_counter() - t_start
+            done = p + 1
+            elapsed = _time.perf_counter() - t_start
+            if progress is not None:
+                progress(done, n_pass, elapsed)
+            if timeout is not None and elapsed > timeout and done < n_pass:
+                # cooperative cancel: develop the partial accumulation
+                break
+        if stats is not None:
+            data.block_until_ready()
+            total = _time.perf_counter() - t_start
+            stats.update(
+                passes_done=done, n_pass=n_pass,
+                compile_s=round(t_compile, 4) if t_compile else None,
+                total_s=round(total, 4),
+                steady_s_per_pass=(
+                    round((total - t_compile) / max(done - 1, 1), 4)
+                    if t_compile is not None and done > 1 else None
+                ),
+                spp_done=done * spp_per_pass,
+            )
     block = dataclasses.replace(block, data=data)
-    return block.develop()
+    with jax.named_scope("develop"):
+        return block.develop()

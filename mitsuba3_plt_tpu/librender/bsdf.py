@@ -82,6 +82,7 @@ BSDF_BLEND = 15
 BSDF_NORMALMAP = 16
 BSDF_BUMPMAP = 17
 BSDF_CIRCULAR = 18
+BSDF_PRINCIPLED = 19
 
 BSDF_TYPE_NAMES = {
     BSDF_NULL: "null",
@@ -103,6 +104,7 @@ BSDF_TYPE_NAMES = {
     BSDF_NORMALMAP: "normalmap",
     BSDF_BUMPMAP: "bumpmap",
     BSDF_CIRCULAR: "circular",
+    BSDF_PRINCIPLED: "principled",
 }
 
 
@@ -138,6 +140,10 @@ class MaterialTable:
     nested_idx: Any      # [M] int32, -1 when unused (blend: child A)
     nested_idx2: Any     # [M] int32, -1 when unused (blend: child B)
     weight: Any          # [M] blend weight / opacity / bumpmap scale
+    # --- principled extras [M, 8]: metallic, specular, spec_tint, sheen,
+    # sheen_tint, clearcoat, clearcoat_gloss, anisotropic
+    # (reference src/bsdfs/principled.cpp props) ---
+    pr_params: Any = None
     # --- textured base_color (reference src/textures/{bitmap,checkerboard}) ---
     tex_mode: Any = None      # [M] int32: 0 const, 1 bitmap, 2 checkerboard
     tex_idx: Any = None       # [M] int32 index into tex_stack (-1 none)
@@ -178,6 +184,7 @@ class MaterialTable:
             grt_type=jnp.zeros((m,), jnp.int32),
             grt_multiplier=z1 + 1.0,
             grt_coherence=z1 + 1.0,
+            pr_params=jnp.zeros((m, 8), jnp.float32),
             nested_idx=jnp.full((m,), -1, jnp.int32),
             nested_idx2=jnp.full((m,), -1, jnp.int32),
             weight=z1 + 0.5,

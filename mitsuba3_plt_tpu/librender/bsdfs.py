@@ -49,6 +49,7 @@ from .bsdf import (
     BSDF_BLEND,
     BSDF_NORMALMAP,
     BSDF_BUMPMAP,
+    BSDF_PRINCIPLED,
 )
 
 
@@ -857,6 +858,166 @@ class RoughPlastic:
 
 
 # ---------------------------------------------------------------------------
+# principled (opaque Disney subset) — reference src/bsdfs/principled.cpp:
+# metallic/roughness/specular/spec_tint/sheen/clearcoat/anisotropic; the
+# transmissive branch (spec_trans > 0) is not implemented (every bundled
+# scene uses spec_trans = 0).
+# ---------------------------------------------------------------------------
+
+def _schlick(F0, cos_t):
+    m5 = jnp.power(jnp.clip(1.0 - cos_t, 0.0, 1.0), 5.0)
+    return F0 + (1.0 - F0) * m5[..., None]
+
+
+def _gtr1(cos_h, alpha):
+    a2 = alpha * alpha
+    denom = m.Pi * jnp.log(jnp.maximum(a2, 1e-8)) * (
+        1.0 + (a2 - 1.0) * cos_h * cos_h
+    )
+    return jnp.where(
+        alpha < 1.0, (a2 - 1.0) / jnp.where(jnp.abs(denom) > 1e-8, denom, 1e-8),
+        m.InvPi,
+    )
+
+
+class Principled:
+    """Opaque principled material (principled.cpp:36-1000, spec_trans=0)."""
+
+    @staticmethod
+    def _alphas(p):
+        rough = p["alpha"][..., 0]
+        aniso = p["pr_params"][..., 7]
+        aspect = jnp.sqrt(1.0 - 0.9 * jnp.clip(aniso, 0.0, 1.0))
+        a = jnp.maximum(rough * rough, 1e-4)
+        return a / aspect, a * aspect
+
+    @staticmethod
+    def _lobes(p, si, wo, cfg, wavelengths):
+        """Shared eval pieces: (f_total*cos_o [N,C], active)."""
+        n = si.wi.shape[0]
+        cos_i = fr.cos_theta(si.wi)
+        cos_o = fr.cos_theta(wo)
+        active = (cos_i > 0) & (cos_o > 0)
+        base = eval_color(p, "base_color", cfg, wavelengths)  # [N, C]
+        pr = p["pr_params"]
+        metallic = jnp.clip(pr[..., 0], 0.0, 1.0)
+        specular = pr[..., 1]
+        spec_tint = jnp.clip(pr[..., 2], 0.0, 1.0)
+        sheen = pr[..., 3]
+        sheen_tint = jnp.clip(pr[..., 4], 0.0, 1.0)
+        clearcoat = pr[..., 5]
+        cc_gloss = jnp.clip(pr[..., 6], 0.0, 1.0)
+
+        h = fr.normalize(si.wi + wo)
+        cos_hwo = jnp.abs(fr.dot(wo, h))
+        au, av = Principled._alphas(p)
+        D = mf.ndf_eval(h, au, av, mf.GGX)
+        G = mf.g_smith(si.wi, wo, h, au, av, mf.GGX)
+
+        lum = jnp.mean(base, axis=-1, keepdims=True)
+        hue = base / jnp.maximum(lum, 1e-6)
+        F0_diel = 0.08 * specular[..., None] * (
+            1.0 + spec_tint[..., None] * (hue - 1.0)
+        )
+        m5 = jnp.power(jnp.clip(1.0 - cos_hwo, 0.0, 1.0), 5.0)[..., None]
+        F_diel = F0_diel + (1.0 - F0_diel) * m5
+        F_metal = base + (1.0 - base) * m5
+        F = F_diel + metallic[..., None] * (F_metal - F_diel)
+        spec = F * (D * G / jnp.maximum(4.0 * cos_i, 1e-9))[..., None]
+
+        # Disney retro-diffuse
+        fd90 = 0.5 + 2.0 * p["alpha"][..., 0] * cos_hwo * cos_hwo
+        def fd(cos_x):
+            return 1.0 + (fd90 - 1.0) * jnp.power(
+                jnp.clip(1.0 - cos_x, 0.0, 1.0), 5.0
+            )
+        diff = (
+            base * (1.0 / m.Pi)
+            * (fd(cos_i) * fd(cos_o) * cos_o * (1.0 - metallic))[..., None]
+        )
+
+        # sheen at grazing half angles
+        c_sheen = 1.0 + sheen_tint[..., None] * (hue - 1.0)
+        sh = (
+            c_sheen
+            * (sheen * jnp.power(jnp.clip(1.0 - cos_hwo, 0.0, 1.0), 5.0)
+               * cos_o * (1.0 - metallic))[..., None]
+        )
+
+        # clearcoat (GTR1, fixed 0.25 smith alpha, F = 0.04 schlick)
+        a_cc = 0.1 + (0.001 - 0.1) * cc_gloss
+        Dc = _gtr1(jnp.abs(fr.cos_theta(h)), a_cc)
+        Gc = mf.g_smith(si.wi, wo, h, jnp.full_like(a_cc, 0.25),
+                        jnp.full_like(a_cc, 0.25), mf.GGX)
+        Fc = 0.04 + 0.96 * jnp.power(jnp.clip(1.0 - cos_hwo, 0.0, 1.0), 5.0)
+        cc = (
+            0.25 * clearcoat * Dc * Fc * Gc / jnp.maximum(4.0 * cos_i, 1e-9)
+        )[..., None]
+
+        f = spec + diff + sh + cc
+        return jnp.where(active[..., None], f, 0.0), active
+
+    @staticmethod
+    def _lobe_weights(p):
+        metallic = jnp.clip(p["pr_params"][..., 0], 0.0, 1.0)
+        w_spec = 1.0 / (2.0 - metallic)
+        return w_spec, 1.0 - w_spec
+
+    @staticmethod
+    def eval(p, si, wo, ctx, cfg, wavelengths):
+        f, active = Principled._lobes(p, si, wo, cfg, wavelengths)
+        return depolarized(f, cfg)
+
+    @staticmethod
+    def pdf(p, si, wo, ctx, cfg):
+        cos_i = fr.cos_theta(si.wi)
+        cos_o = fr.cos_theta(wo)
+        active = (cos_i > 0) & (cos_o > 0)
+        au, av = Principled._alphas(p)
+        h = fr.normalize(si.wi + wo)
+        mpdf = mf.pdf_vndf(si.wi, h, au, av, mf.GGX)
+        pdf_spec = mpdf / jnp.maximum(4.0 * jnp.abs(fr.dot(wo, h)), 1e-12)
+        pdf_diff = jnp.maximum(cos_o, 0.0) * (1.0 / m.Pi)
+        w_spec, w_diff = Principled._lobe_weights(p)
+        return jnp.where(active, w_spec * pdf_spec + w_diff * pdf_diff, 0.0)
+
+    @staticmethod
+    def sample(p, si, u1, u2, ctx, cfg, wavelengths):
+        n = si.wi.shape[0]
+        cos_i = fr.cos_theta(si.wi)
+        active = cos_i > 0
+        au, av = Principled._alphas(p)
+        w_spec, w_diff = Principled._lobe_weights(p)
+        pick_spec = u1 < w_spec
+
+        wi_up = jnp.where((cos_i < 0)[..., None], -si.wi, si.wi)
+        mvec, _ = mf.sample_vndf_ggx(wi_up, u2, au, av)
+        wo_s = fr.reflect_n(si.wi, mvec)
+        from ..core import warp
+
+        wo_d = warp.square_to_cosine_hemisphere(u2)
+        wo = jnp.where(pick_spec[..., None], wo_s, wo_d)
+
+        pdf = Principled.pdf(p, si, wo, ctx, cfg)
+        f, act2 = Principled._lobes(p, si, wo, cfg, wavelengths)
+        ok = active & act2 & (pdf > 1e-9)
+        weight = jnp.where(
+            ok[..., None], f / jnp.maximum(pdf, 1e-9)[..., None], 0.0
+        )
+        bs = BSDFSample(
+            wo=wo,
+            pdf=pdf,
+            eta=jnp.ones((n,), jnp.float32),
+            sampled_type=jnp.where(
+                pick_spec, jnp.uint32(BSDFFlags.GlossyReflection),
+                jnp.uint32(BSDFFlags.DiffuseReflection),
+            ),
+            sampled_component=jnp.where(pick_spec, 0, 1),
+        )
+        return bs, depolarized(weight, cfg), ok
+
+
+# ---------------------------------------------------------------------------
 # mask (opacity blend with null transmission) — reference src/bsdfs/mask.cpp
 # nested BSDF rides in `nested_idx`; opacity in `weight`.
 # ---------------------------------------------------------------------------
@@ -1107,6 +1268,7 @@ IMPLS = {
     BSDF_RETARDER: Retarder,
     BSDF_CIRCULAR: CircularPolarizer,
     BSDF_PPLASTIC: PPlastic,
+    BSDF_PRINCIPLED: Principled,
 }
 
 

@@ -15,7 +15,7 @@ from ..librender.bsdf import (
     BSDF_DIFFUSE, BSDF_CONDUCTOR, BSDF_ROUGH_CONDUCTOR, BSDF_DIELECTRIC,
     BSDF_THIN_DIELECTRIC, BSDF_ROUGH_DIELECTRIC, BSDF_PLASTIC,
     BSDF_ROUGH_PLASTIC, BSDF_MASK, BSDF_POLARIZER, BSDF_RETARDER,
-    BSDF_ROUGH_GRATING, BSDF_NULL,
+    BSDF_ROUGH_GRATING, BSDF_NULL, BSDF_PRINCIPLED,
 )
 from ..librender.sensor import Sensor
 from . import shape as shp
@@ -35,6 +35,8 @@ BSDF_TYPE_MAP = {
     "retarder": BSDF_RETARDER,
     "roughgrating": BSDF_ROUGH_GRATING,
     "null": BSDF_NULL,
+    "principled": BSDF_PRINCIPLED,
+    "principledthin": BSDF_PRINCIPLED,
 }
 
 
@@ -88,6 +90,18 @@ def _parse_bsdf_dict(d: dict) -> LoadedBSDF:
         kw["alpha"] = (a, a)
     if "alpha_u" in d or "alpha_v" in d:
         kw["alpha"] = (float(d.get("alpha_u", 0.1)), float(d.get("alpha_v", 0.1)))
+    if bt == BSDF_PRINCIPLED:
+        if "base_color" in d:
+            kw["base_color"] = _color(d["base_color"])
+        rough = float(d.get("roughness", 0.5))
+        kw["alpha"] = (rough, rough)
+        kw["pr_params"] = (
+            float(d.get("metallic", 0.0)), float(d.get("specular", 0.5)),
+            float(d.get("spec_tint", 0.0)), float(d.get("sheen", 0.0)),
+            float(d.get("sheen_tint", 0.5)), float(d.get("clearcoat", 0.0)),
+            float(d.get("clearcoat_gloss", 0.0)),
+            float(d.get("anisotropic", 0.0)),
+        )
     if "opacity" in d:
         kw["weight"] = float(d["opacity"]) if np.isscalar(d["opacity"]) else 0.5
     if "theta" in d:

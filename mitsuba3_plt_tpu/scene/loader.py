@@ -21,7 +21,7 @@ from ..librender.bsdf import (
     MaterialTable, BSDFFlags,
     BSDF_NULL, BSDF_DIFFUSE, BSDF_CONDUCTOR, BSDF_ROUGH_CONDUCTOR,
     BSDF_DIELECTRIC, BSDF_THIN_DIELECTRIC, BSDF_ROUGH_GRATING,
-    BSDF_BLEND, BSDF_NORMALMAP, BSDF_BUMPMAP,
+    BSDF_BLEND, BSDF_NORMALMAP, BSDF_BUMPMAP, BSDF_PRINCIPLED,
 )
 from ..librender.sensor import Sensor
 from .emitters import (
@@ -264,6 +264,30 @@ def _parse_bsdf(elem, defaults) -> LoadedBSDF:
             grt_type=lobe_type | (16 if radial else 0),
             grt_multiplier=p.get("multiplier", 1.0),
             grt_coherence=p.get("coherence", 1e-18),
+        )
+    if btype in ("principled", "principledthin"):
+        def _scalar(key, default):
+            v = p.get(key, default)
+            return float(np.mean(v)) if not np.isscalar(v) else float(v)
+
+        rough = _scalar("roughness", 0.5)
+        kw = {}
+        if "texture" in p:
+            kw["texture"] = p["texture"]
+        base = p.get("base_color", (0.5, 0.5, 0.5))
+        if isinstance(base, str):
+            base = (0.5, 0.5, 0.5)
+        return LoadedBSDF(
+            BSDF_PRINCIPLED,
+            base_color=base,
+            alpha=(rough, rough),
+            pr_params=(
+                _scalar("metallic", 0.0), _scalar("specular", 0.5),
+                _scalar("spec_tint", 0.0), _scalar("sheen", 0.0),
+                _scalar("sheen_tint", 0.5), _scalar("clearcoat", 0.0),
+                _scalar("clearcoat_gloss", 0.0), _scalar("anisotropic", 0.0),
+            ),
+            **kw,
         )
     if btype == "null":
         return LoadedBSDF(BSDF_NULL)
@@ -563,9 +587,14 @@ def assemble_scene(meshes, mesh_mat, mesh_emitter, bsdf_list, emitters, sensor,
     mat_table = build_material_table(bsdf_list)
     em_table, env_idx = build_emitter_table(emitters, meshes, geo)
 
+    pbvh = None
+    if Scene.BRUTE_FORCE_MAX_FACES < geo.n_faces <= Scene.PACKET_BVH_MAX_FACES:
+        from .bvh import pack_packet_bvh
+
+        pbvh = pack_packet_bvh(bvh, geo.tri_p0, geo.tri_p1, geo.tri_p2)
     scene = Scene(
         geo=geo, bvh=bvh, materials=mat_table, emitters=em_table,
-        sensor=sensor, env_emitter=env_idx,
+        sensor=sensor, env_emitter=env_idx, pbvh=pbvh,
     )
     meta = {"integrator": integrator_cfg, "spp": spp, "rfilter": rfilter}
     return scene, meta
@@ -605,7 +634,7 @@ def build_material_table(bsdf_list: List[LoadedBSDF]) -> MaterialTable:
         "mtype", "flags", "twosided", "base_color", "transmittance",
         "eta_re", "eta_im", "alpha", "mf_type", "grt_inv_period", "grt_height",
         "grt_lobes", "grt_type", "grt_multiplier", "grt_coherence",
-        "nested_idx", "nested_idx2", "weight",
+        "nested_idx", "nested_idx2", "weight", "pr_params",
     )}
 
     FLAG_MAP = {
@@ -623,6 +652,10 @@ def build_material_table(bsdf_list: List[LoadedBSDF]) -> MaterialTable:
         ),
         BSDF_ROUGH_GRATING: (
             BSDFFlags.GlossyReflection | BSDFFlags.FrontSide
+        ),
+        BSDF_PRINCIPLED: (
+            BSDFFlags.GlossyReflection | BSDFFlags.DiffuseReflection
+            | BSDFFlags.FrontSide
         ),
     }
 
@@ -653,7 +686,7 @@ def build_material_table(bsdf_list: List[LoadedBSDF]) -> MaterialTable:
             ("grt_lobes", "grt_lobes"), ("grt_type", "grt_type"),
             ("grt_multiplier", "grt_multiplier"), ("grt_coherence", "grt_coherence"),
             ("nested_idx", "nested_idx"), ("nested_idx2", "nested_idx2"),
-            ("weight", "weight"),
+            ("weight", "weight"), ("pr_params", "pr_params"),
         ):
             if key in p:
                 arr = upd[field]

@@ -100,3 +100,20 @@ def test_chi2_rough_plastic():
         ),
         wi,
     )
+
+
+@pytest.mark.parametrize("metallic,rough", [(0.0, 0.5), (1.0, 0.35), (0.4, 0.6)])
+def test_chi2_principled(metallic, rough):
+    from mitsuba3_plt_tpu.librender.bsdf import BSDF_PRINCIPLED
+
+    wi = np.asarray([0.3, -0.15, 0.94])
+    wi = wi / np.linalg.norm(wi)
+    # ires=32: the Disney alpha = roughness^2 mapping gives sharp lobes
+    # that need a fine per-cell integration subgrid (cf. roughdielectric)
+    run_chi2(
+        LoadedBSDF(
+            BSDF_PRINCIPLED, base_color=(0.7, 0.5, 0.3), alpha=(rough, rough),
+            pr_params=(metallic, 0.5, 0.0, 0.3, 0.5, 0.3, 0.5, 0.0),
+        ),
+        wi, ires=32,
+    )
