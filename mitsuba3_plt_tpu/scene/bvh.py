@@ -40,6 +40,132 @@ class BVH:
     prim_idx: Any    # [P] i32 padded triangle indices (-1 = empty slot)
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PacketBVH:
+    """VMEM-resident packing of a skip-link BVH for the Pallas packet
+    traversal kernel (ops/intersect_pallas.pallas_bvh_intersect).
+
+    Triangles are re-ordered so each leaf's primitives are CONTIGUOUS rows of
+    `tri` — the kernel walks `rows [first, first+count)` with zero index
+    indirection; the original primitive id rides in row slot 9 as f32.
+    Replaces the role of the reference's Embree/kd-tree backends
+    (src/render/scene_embree.inl, include/mitsuba/render/kdtree.h) for
+    mesh-heavy scenes.
+    """
+
+    box: Any    # [NN_pad, 8] f32: lo.xyz, hi.xyz, 0, 0
+    link: Any   # [NN_pad, 4] i32: first (child node | tri row), count, miss, 0
+    tri: Any    # [P_pad, 16] f32: p0, e1, e2, orig_prim_id, pad...
+
+    @property
+    def n_nodes(self):
+        return self.box.shape[0]
+
+
+def pack_packet_bvh(bvh: BVH, tri_p0, tri_p1, tri_p2,
+                    leaf_collapse: int = 16) -> PacketBVH:
+    """Flatten a built BVH + triangle soup into the PacketBVH layout.
+
+    `leaf_collapse`: any subtree holding <= this many prims becomes ONE leaf.
+    Packet traversal amortizes a triangle test over the whole ray tile, so
+    wide leaves (vector math) beat deep descents (scalar node reads + per-node
+    slab tests) — the opposite tradeoff from the per-lane XLA walk.
+    """
+    lo = np.asarray(bvh.node_lo, np.float32)
+    hi = np.asarray(bvh.node_hi, np.float32)
+    first = np.asarray(bvh.node_first, np.int32)
+    count = np.asarray(bvh.node_count, np.int32)
+    miss = np.asarray(bvh.node_miss, np.int32)
+    prim = np.asarray(bvh.prim_idx, np.int32)
+    p0 = np.asarray(tri_p0, np.float32)
+    p1 = np.asarray(tri_p1, np.float32)
+    p2 = np.asarray(tri_p2, np.float32)
+
+    nn = lo.shape[0]
+    # DFS pre-order + skip links => subtree(i) = node range [i, end[i])
+    end = np.where(miss >= 0, miss, nn)
+    csum = np.concatenate([[0], np.cumsum(count)]).astype(np.int64)
+    sub_prims = csum[end] - csum[np.arange(nn)]
+
+    make_leaf = (count > 0) | (sub_prims <= leaf_collapse)
+
+    # new-subtree sizes (children sit at i+1 and miss[i+1], both > i)
+    new_size = np.ones(nn, np.int64)
+    for i in range(nn - 1, -1, -1):
+        if not make_leaf[i]:
+            left = i + 1
+            right = miss[left]
+            new_size[i] = 1 + new_size[left] + new_size[right]
+
+    n_new = int(new_size[0])
+    o_lo = np.zeros((n_new, 3), np.float32)
+    o_hi = np.zeros((n_new, 3), np.float32)
+    o_first = np.zeros(n_new, np.int32)
+    o_count = np.zeros(n_new, np.int32)
+    o_miss = np.full(n_new, -1, np.int32)
+    ids_list = []
+    n_rows = 0
+
+    counter = 0
+    stack = [(0, -1)]
+    while stack:
+        i, m = stack.pop()
+        ni = counter
+        counter += 1
+        o_lo[ni] = lo[i]
+        o_hi[ni] = hi[i]
+        o_miss[ni] = m
+        if make_leaf[i]:
+            # every prim in subtree [i, end[i]), in leaf DFS order
+            seg = np.arange(i, end[i])
+            seg = seg[count[seg] > 0]
+            ids = np.concatenate(
+                [prim[first[j]: first[j] + count[j]] for j in seg]
+            ) if len(seg) else np.zeros(0, np.int32)
+            o_first[ni] = n_rows
+            o_count[ni] = len(ids)
+            ids_list.append(ids)
+            n_rows += len(ids)
+        else:
+            left = i + 1
+            right = miss[left]
+            o_first[ni] = ni + 1
+            stack.append((right, m))
+            stack.append((left, ni + 1 + int(new_size[left])))
+
+    ids = (np.concatenate(ids_list) if n_rows else np.zeros(0, np.int32))
+    if n_rows:
+        rows = np.concatenate(
+            [
+                p0[ids], p1[ids] - p0[ids], p2[ids] - p0[ids],
+                ids[:, None].astype(np.float32),
+                np.zeros((n_rows, 6), np.float32),
+            ],
+            axis=-1,
+        )
+    else:
+        rows = np.zeros((0, 16), np.float32)
+
+    p_pad = (-n_rows) % 8
+    p_rows = np.concatenate(
+        [rows, np.zeros((p_pad, 16), np.float32)], axis=0
+    )
+
+    nn_pad = (-n_new) % 8
+    box = np.concatenate([o_lo, o_hi, np.zeros((n_new, 2), np.float32)],
+                         axis=-1)
+    box = np.concatenate([box, np.zeros((nn_pad, 8), np.float32)], axis=0)
+    link = np.stack(
+        [o_first, o_count, o_miss, np.zeros(n_new, np.int32)], axis=-1
+    )
+    link = np.concatenate([link, np.zeros((nn_pad, 4), np.int32)], axis=0)
+
+    return PacketBVH(
+        box=jnp.asarray(box), link=jnp.asarray(link), tri=jnp.asarray(p_rows)
+    )
+
+
 def build_bvh(vertices: np.ndarray, faces: np.ndarray) -> BVH:
     f = np.asarray(faces)
     v = np.asarray(vertices)

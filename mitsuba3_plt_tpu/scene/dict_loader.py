@@ -206,9 +206,12 @@ def load_dict(scene_dict: Dict):
     }
     for name, obj in items:
         t = obj["type"]
-        if t not in ("rectangle", "cube", "sphere", "disk", "ply", "obj"):
+        if t not in ("rectangle", "cube", "sphere", "disk", "ply", "obj",
+                     "mesh"):
             continue
-        if t == "ply":
+        if t == "mesh":
+            mesh = obj["mesh"]  # in-memory HostMesh (bench/tests)
+        elif t == "ply":
             mesh = shp.load_ply(obj["filename"])
         elif t == "obj":
             mesh = shp.load_obj(obj["filename"])

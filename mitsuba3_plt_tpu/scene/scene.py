@@ -21,7 +21,7 @@ from ..librender.bsdf import MaterialTable
 from ..librender.records import Ray, SurfaceInteraction
 from ..librender.sensor import Sensor
 from . import intersect as isect
-from .bvh import BVH, build_bvh
+from .bvh import BVH, build_bvh, pack_packet_bvh
 from .emitters import EmitterTable
 
 
@@ -76,11 +76,16 @@ class Scene:
     emitters: EmitterTable
     sensor: Sensor
     medium: Any = None  # optional global homogeneous medium (scene/media.py)
+    pbvh: Any = None    # PacketBVH for the Pallas packet traversal (built by
+                        # assemble_scene for scenes above the brute-force cap)
     env_emitter: int = dataclasses.field(default=-1, metadata=dict(static=True))
 
     # Below this face count, gather-free brute force (Pallas kernel on TPU)
     # beats the per-lane BVH walk (in-loop gathers dominate the walk's cost).
     BRUTE_FORCE_MAX_FACES = 4096
+    # Above this, the PacketBVH tables outgrow VMEM (~16 MB/core) and the
+    # XLA skip-link walk takes over.
+    PACKET_BVH_MAX_FACES = 150_000
 
     def _small_scene_intersect(self, ray: Ray):
         """Gather-free brute force: Pallas kernel on TPU, chunked scan on CPU
@@ -91,6 +96,40 @@ class Scene:
 
             return pallas_intersect(geo.tri_isect, ray.o, ray.d, ray.maxt)
         return isect.chunked_intersect(geo.tri_isect, ray.o, ray.d, ray.maxt)
+
+    def _packet_perm(self, o, d):
+        """Coherence sort for the packet-BVH kernel: rays grouped by
+        direction octant + origin Morton cell so each [SUB_B, 128] tile
+        traverses a tight subtree. The argsort + gathers cost ~tens of ms at
+        2M lanes; unsorted bounce rays cost the kernel seconds (tile-union
+        traversal degenerates toward brute force)."""
+        geo = self.geo
+        lo = self.pbvh.box[0, 0:3]
+        hi = self.pbvh.box[0, 3:6]
+        rel = jnp.clip((o - lo) / jnp.maximum(hi - lo, 1e-9), 0.0, 0.999)
+        cell = (rel * 8.0).astype(jnp.int32)  # [N, 3] in [0, 8)
+
+        def spread3(x):  # 3-bit -> every 3rd bit
+            x = (x | (x << 4)) & 0x0C3
+            x = (x | (x << 2)) & 0x249
+            return x
+
+        morton = (
+            spread3(cell[:, 0])
+            | (spread3(cell[:, 1]) << 1)
+            | (spread3(cell[:, 2]) << 2)
+        )
+        octant = (
+            (d[:, 0] < 0).astype(jnp.int32)
+            | ((d[:, 1] < 0).astype(jnp.int32) << 1)
+            | ((d[:, 2] < 0).astype(jnp.int32) << 2)
+        )
+        key = (octant << 9) | morton
+        perm = jnp.argsort(key)
+        inv = jnp.zeros_like(perm).at[perm].set(
+            jnp.arange(perm.shape[0], dtype=perm.dtype)
+        )
+        return perm, inv
 
     def _sphere_intersect(self, ray: Ray):
         """Nearest analytic sphere hit: [N] (t, sphere index or -1).
@@ -121,6 +160,14 @@ class Scene:
         geo = self.geo
         if brute_force or geo.n_faces <= Scene.BRUTE_FORCE_MAX_FACES:
             t, prim, u, v = self._small_scene_intersect(ray)
+        elif self.pbvh is not None and jax.default_backend() == "tpu":
+            from ..ops.intersect_pallas import pallas_bvh_intersect
+
+            perm, inv = self._packet_perm(ray.o, ray.d)
+            t, prim, u, v = pallas_bvh_intersect(
+                self.pbvh, ray.o[perm], ray.d[perm], ray.maxt[perm]
+            )
+            t, prim, u, v = t[inv], prim[inv], u[inv], v[inv]
         else:
             t, prim, u, v = isect.bvh_intersect(
                 self.bvh, geo.tri_p0, geo.tri_p1, geo.tri_p2, ray.o, ray.d, ray.maxt
@@ -223,6 +270,13 @@ class Scene:
                 occ = isect.chunked_occluded(
                     geo.tri_isect, ray.o, ray.d, ray.maxt
                 )
+        elif self.pbvh is not None and jax.default_backend() == "tpu":
+            from ..ops.intersect_pallas import pallas_bvh_occluded
+
+            perm, inv = self._packet_perm(ray.o, ray.d)
+            occ = pallas_bvh_occluded(
+                self.pbvh, ray.o[perm], ray.d[perm], ray.maxt[perm]
+            )[inv]
         else:
             occ = isect.bvh_occluded(
                 self.bvh, geo.tri_p0, geo.tri_p1, geo.tri_p2, ray.o, ray.d,
