@@ -1,0 +1,291 @@
+"""Visibility (silhouette) gradients for geometry parameters.
+
+The interior term of a geometry derivative comes for free from `jax.grad`
+through the render (ad/render.py): shading, foreshortening, normals. What
+naive AD misses is the BOUNDARY term — the radiance jump swept by a moving
+silhouette — which is exactly why the reference grew its projective-sampling
+machinery (PSIntegrator, src/python/python/ad/integrators/common.py:785-1298,
+direct_projective/prb_projective, scene silhouette API
+src/render/scene.cpp:369-434).
+
+TPU-native formulation (edge sampling of the primary-visibility boundary):
+
+    dI/dtheta = interior(AD)  +  sum over view silhouettes of
+                w(px) * (L_minus - L_plus) * (n_hat . d px(theta)/d theta) dl
+
+sampled uniformly by 3D edge length; the radiance jump is probed with two
+rays offset +-delta pixels across the projected edge, and the edge-point
+screen velocity is pulled back to the triangle-soup vertex rows with a
+per-sample `jax.vjp` of the camera projection. Everything is one fixed-shape
+wavefront — no per-lane control flow.
+
+Scope: perspective sensors, primary (camera) visibility. NEE/shadow boundary
+terms (a blocker's silhouette as seen from a shaded point) are the same
+estimator driven from shading points instead of the camera; not yet wired.
+Cotangents for a shared vertex land on the sampled edge's OWN face rows —
+correct for any parameterization that moves coincident soup rows together
+(translations, LargeSteps vertex fields).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import RenderConfig
+from ..core.rng import Sampler
+from ..librender.records import Ray
+
+
+# ---------------------------------------------------------------------------
+# host-side edge extraction
+# ---------------------------------------------------------------------------
+
+_EDGE_CACHE: Dict[int, Any] = {}
+
+
+def build_edges(geo):
+    """Unique-edge table of the triangle soup (host, numpy).
+
+    Soup rows duplicate shared vertices, so edges are matched by quantized
+    endpoint coordinates. Returns dict of arrays:
+      a_face, a_corner, b_face, b_corner [E] — provenance of both endpoints
+      (corner k of face f is tri_p{k}[f]),
+      f1, f2 [E] — adjacent faces (f2 = -1 for open edges).
+    """
+    p = [np.asarray(geo.tri_p0), np.asarray(geo.tri_p1),
+         np.asarray(geo.tri_p2)]
+    F = p[0].shape[0]
+
+    def q(x):  # quantized coordinate key
+        return tuple(np.round(np.asarray(x, np.float64) * 1e5).astype(
+            np.int64).tolist())
+
+    edges = {}
+    for f in range(F):
+        for c in range(3):
+            va, vb = p[c][f], p[(c + 1) % 3][f]
+            ka, kb = q(va), q(vb)
+            if ka == kb:
+                continue  # degenerate
+            key = (ka, kb) if ka < kb else (kb, ka)
+            rec = edges.setdefault(key, [])
+            rec.append((f, c))
+
+    a_face, a_corner, b_face, b_corner, f1, f2 = [], [], [], [], [], []
+    for key, recs in edges.items():
+        f, c = recs[0]
+        a_face.append(f)
+        a_corner.append(c)
+        b_face.append(f)
+        b_corner.append((c + 1) % 3)
+        f1.append(f)
+        f2.append(recs[1][0] if len(recs) > 1 else -1)
+
+    out = dict(
+        a_face=np.asarray(a_face, np.int32),
+        a_corner=np.asarray(a_corner, np.int32),
+        b_face=np.asarray(b_face, np.int32),
+        b_corner=np.asarray(b_corner, np.int32),
+        f1=np.asarray(f1, np.int32),
+        f2=np.asarray(f2, np.int32),
+    )
+    return out
+
+
+def _edges_for(scene):
+    import hashlib
+
+    # content-keyed (id() recycles after GC and would alias across scenes)
+    key = hashlib.sha1(np.asarray(scene.geo.tri_p0).tobytes()).digest()
+    if key not in _EDGE_CACHE:
+        _EDGE_CACHE.clear()  # single-entry cache
+        _EDGE_CACHE[key] = build_edges(scene.geo)
+    return _EDGE_CACHE[key]
+
+
+# ---------------------------------------------------------------------------
+# camera projection (perspective)
+# ---------------------------------------------------------------------------
+
+def _project_px(sensor, x):
+    """World point [.., 3] -> continuous pixel coords [.., 2] (+ depth).
+
+    Inverse of Sensor.sample_ray's perspective mapping (librender/sensor.py):
+    u = (1 - x_c/(z_c tx))/2 - ppo_x, scaled by resolution.
+    """
+    R = sensor.to_world[:3, :3]
+    t = sensor.to_world[:3, 3]
+    xc = (x - t) @ R  # camera frame (R orthonormal)
+    z = xc[..., 2]
+    tx = sensor.tan_half_x
+    ty = sensor.tan_half_x / sensor.aspect
+    u = (1.0 - xc[..., 0] / (jnp.maximum(z, 1e-6) * tx)) * 0.5 - sensor.ppo[0]
+    v = (1.0 - xc[..., 1] / (jnp.maximum(z, 1e-6) * ty)) * 0.5 - sensor.ppo[1]
+    w, h = sensor.resolution
+    return jnp.stack([u * w, v * h], axis=-1), z
+
+
+# ---------------------------------------------------------------------------
+# boundary gradient estimator
+# ---------------------------------------------------------------------------
+
+def primary_boundary_grad(
+    scene,
+    integrator_sample,
+    grad_image,
+    key: int | Any = 0,
+    n_samples: int = 1 << 14,
+    cfg: RenderConfig = RenderConfig(),
+    delta_px: float = 0.35,
+):
+    """Boundary-term cotangents {tri_p0, tri_p1, tri_p2: [F, 3]} for
+    d(loss)/d(vertex rows), where loss = sum(grad_image * image).
+
+    grad_image: [H, W, C] adjoint of the loss w.r.t. the developed image.
+    """
+    ed = _edges_for(scene)
+    geo = scene.geo
+    sensor = scene.sensor
+    wpx, hpx = sensor.resolution
+    tri_p = (geo.tri_p0, geo.tri_p1, geo.tri_p2)
+
+    a_face = jnp.asarray(ed["a_face"])
+    a_corner = jnp.asarray(ed["a_corner"])
+    b_face = jnp.asarray(ed["b_face"])
+    b_corner = jnp.asarray(ed["b_corner"])
+    f1 = jnp.asarray(ed["f1"])
+    f2 = jnp.asarray(ed["f2"])
+
+    def corner_pos(face, corner):
+        stacked = jnp.stack(
+            [p[face] for p in tri_p], axis=0
+        )  # [3, E, 3]
+        return jnp.take_along_axis(
+            stacked, corner[None, :, None].astype(jnp.int32), axis=0
+        )[0]
+
+    pa_all = corner_pos(a_face, a_corner)  # [E, 3]
+    pb_all = corner_pos(b_face, b_corner)
+    elen = jnp.linalg.norm(pb_all - pa_all, axis=-1)
+    cum = jnp.cumsum(elen)
+    total_len = cum[-1]
+
+    sampler = Sampler.create(int(key), n_samples)
+    r_e = sampler.next_1d(0)
+    r_u = sampler.next_1d(1)
+
+    e_idx = jnp.searchsorted(cum, r_e * total_len)
+    e_idx = jnp.clip(e_idx, 0, elen.shape[0] - 1).astype(jnp.int32)
+    u = r_u
+
+    pa = pa_all[e_idx]
+    pb = pb_all[e_idx]
+    x = pa + (pb - pa) * u[:, None]
+
+    # silhouette test w.r.t. the camera origin
+    cam_o = sensor.to_world[:3, 3]
+    view = x - cam_o
+    fn = geo.face_n
+    s1 = jnp.sum(fn[f1[e_idx]] * view, axis=-1)
+    f2e = f2[e_idx]
+    s2 = jnp.sum(fn[jnp.maximum(f2e, 0)] * view, axis=-1)
+    sil = jnp.where(f2e >= 0, s1 * s2 < 0.0, True)
+
+    # projection + on-screen check
+    px, z = _project_px(sensor, x)
+    pa_px, _ = _project_px(sensor, pa)
+    pb_px, _ = _project_px(sensor, pb)
+    on_screen = (
+        (z > 1e-4)
+        & (px[:, 0] > 0.5) & (px[:, 0] < wpx - 0.5)
+        & (px[:, 1] > 0.5) & (px[:, 1] < hpx - 0.5)
+    )
+
+    e2d = pb_px - pa_px
+    e2d_len = jnp.linalg.norm(e2d, axis=-1)
+    n2d = jnp.stack([-e2d[:, 1], e2d[:, 0]], axis=-1) / jnp.maximum(
+        e2d_len, 1e-9
+    )[:, None]
+
+    # visibility of the edge point from the camera
+    dist = jnp.linalg.norm(view, axis=-1)
+    vdir = view / jnp.maximum(dist, 1e-9)[:, None]
+    occ = scene.ray_test(
+        Ray(
+            o=jnp.broadcast_to(cam_o, x.shape),
+            d=vdir,
+            maxt=dist * (1.0 - 1e-3),
+        )
+    )
+    active = sil & on_screen & ~occ
+
+    # radiance on both sides: rays through px +- delta * n2d
+    res = jnp.asarray([wpx, hpx], jnp.float32)
+    uv_plus = (px + delta_px * n2d) / res
+    uv_minus = (px - delta_px * n2d) / res
+    uv2 = jnp.concatenate([uv_plus, uv_minus], axis=0)
+    o2, d2 = sensor.sample_ray(uv2)
+    ray2 = Ray.create(o2, d2)
+    sam2 = Sampler.create(int(key) + 1, 2 * n_samples)
+    wl = None
+    if cfg.spectral:
+        from ..core import spectrum as spec
+
+        wl, _ = spec.sample_hero_wavelengths(
+            sam2.next_1d(1023), cfg.n_channels
+        )
+    values, valid = integrator_sample(scene, sam2, ray2, wl, cfg)
+    values = jnp.where(valid[:, None], values, 0.0)
+    L_plus = values[:n_samples]
+    L_minus = values[n_samples:]
+
+    # loss weight at the pixel
+    pix = jnp.clip(px.astype(jnp.int32),
+                   jnp.zeros(2, jnp.int32),
+                   jnp.asarray([wpx - 1, hpx - 1], jnp.int32))
+    w_px = grad_image[pix[:, 1], pix[:, 0]]  # [N, C]
+
+    # moving the edge along +n2d grows the L_minus region
+    jump = jnp.sum(w_px * (L_minus - L_plus), axis=-1)  # [N]
+
+    # screen velocity of the edge point pulled back to the endpoints, and
+    # the du -> screen-arclength Jacobian
+    def s_of(a3, b3, uu, nn):
+        p2d, _ = _project_px(sensor, a3 + (b3 - a3) * uu)
+        return jnp.sum(p2d * nn)
+
+    g_a, g_b = jax.vmap(jax.grad(s_of, argnums=(0, 1)))(pa, pb, u, n2d)
+
+    def px_of_u(uu, a3, b3):
+        p2d, _ = _project_px(sensor, a3 + (b3 - a3) * uu)
+        return p2d
+
+    dpx_du = jax.vmap(
+        lambda uu, a3, b3: jax.jacfwd(px_of_u)(uu, a3, b3)
+    )(u, pa, pb)
+    arc = jnp.linalg.norm(dpx_du, axis=-1)  # |d px / d u|
+
+    # pdf of the sample point per unit u on its edge: elen_e / total_len
+    inv_pdf = total_len / jnp.maximum(elen[e_idx], 1e-12)
+    coef = jnp.where(active, jump * arc * inv_pdf, 0.0) / n_samples
+
+    cot_a = g_a * coef[:, None]  # [N, 3]
+    cot_b = g_b * coef[:, None]
+
+    # scatter back to soup rows: flat slot = face * 3 + corner
+    F = geo.tri_p0.shape[0]
+    slots = jnp.concatenate(
+        [a_face[e_idx] * 3 + a_corner[e_idx],
+         b_face[e_idx] * 3 + b_corner[e_idx]]
+    )
+    cots = jnp.concatenate([cot_a, cot_b], axis=0)
+    acc = jnp.zeros((3 * F, 3), jnp.float32).at[slots].add(cots)
+    return {
+        "geo.tri_p0": acc[0::3],
+        "geo.tri_p1": acc[1::3],
+        "geo.tri_p2": acc[2::3],
+    }

@@ -77,10 +77,17 @@ def render_differentiable(scene, integrator_sample, seed=0, spp=4,
 
 def render_loss_grad(scene, integrator_sample, loss_fn: Callable,
                      param_keys, seed=0, spp=4,
-                     cfg: RenderConfig = RenderConfig(), **kw):
+                     cfg: RenderConfig = RenderConfig(),
+                     geometry_boundary: bool = False,
+                     boundary_samples: int = 1 << 14, **kw):
     """(loss, grads) for the dotted-key scene parameters in `param_keys`.
 
     loss_fn: image [H, W, C] -> scalar. Returns (loss, {key: grad}).
+
+    geometry_boundary: add the silhouette boundary term (ad/projective.py)
+    to any `geo.tri_p*` gradients — without it those gradients carry only
+    the interior (shading) term and are silently wrong for translations
+    (the gap the reference fills with PSIntegrator projective sampling).
     """
     params = traverse(scene)
     p0 = {k: params[k] for k in param_keys}
@@ -90,9 +97,22 @@ def render_loss_grad(scene, integrator_sample, loss_fn: Callable,
         img = render_differentiable(
             sc, integrator_sample, seed=seed, spp=spp, cfg=cfg, **kw
         )
-        return loss_fn(img)
+        return loss_fn(img), img
 
-    return jax.value_and_grad(f)(p0)
+    (loss, img), grads = jax.value_and_grad(f, has_aux=True)(p0)
+
+    if geometry_boundary and any(k.startswith("geo.tri_p") for k in grads):
+        from .projective import primary_boundary_grad
+
+        grad_img = jax.grad(loss_fn)(img)
+        cots = primary_boundary_grad(
+            scene, integrator_sample, grad_img, key=seed + 0x9E37,
+            n_samples=boundary_samples, cfg=cfg,
+        )
+        for k in grads:
+            if k in cots:
+                grads[k] = grads[k] + cots[k]
+    return loss, grads
 
 
 def render_grad(scene, integrator_sample, param_keys, grad_image, seed=0,
