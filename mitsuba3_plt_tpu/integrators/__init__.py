@@ -41,9 +41,15 @@ def make_integrator(cfg: dict):
     if t in ("plt",):
         from .plt import PLTIntegrator
 
+        d = _int(cfg, "max_depth", 6)
+        # The solve phase materializes [max_depth * N] bounce rows; keep
+        # depth x wavefront under ~12.6M rows (HBM budget measured on
+        # disk.xml, max_depth=12: a 2^21 wavefront flattens to an 11 GB
+        # [D*N, 3] tensor and OOMs the 16 GB chip).
         return PLTIntegrator(
-            max_depth=_int(cfg, "max_depth", 6),
+            max_depth=d,
             rr_depth=_int(cfg, "rr_depth", 5),
+            max_wavefront=min(1 << 21, (12 << 20) // max(d, 1)),
         )
     if t in ("volpath", "volpathmis"):
         from .volpath import VolPathIntegrator

@@ -74,8 +74,10 @@ def main():
          f"{REF}/results/cbox-plt/result_s0.exr", "exr"),
         ("gratings-plt", f"{REF}/scenes/gratings/gratings.xml", "plt",
          (800, 600), f"{REF}/results/grating-spp/plt/result_4096.png", "png"),
+        # disk.xml runs max_depth=12 PLT (the heaviest workload); spp
+        # scaled down to keep the report under an hour
         ("disk-plt", f"{REF}/scenes/disk/disk.xml", "plt",
-         (800, 600), f"{REF}/results/disk/result_s0.png", "png"),
+         (800, 600), f"{REF}/results/disk/result_s0.png", "png", 8),
         ("veach-path", f"{REF}/scenes/veach-mis/scene.xml", "path",
          (1280, 720), f"{REF}/results/veach/path.png", "png"),
     ]
@@ -84,14 +86,16 @@ def main():
         jobs = [j for j in jobs if j[0] in keep]
 
     rows = []
-    for name, xml, integ, (w, h), refpath, kind in jobs:
+    for job in jobs:
+        name, xml, integ, (w, h), refpath, kind = job[:6]
+        spp = args.spp // job[6] if len(job) > 6 else args.spp
         if not os.path.exists(refpath):
             print(f"[{name}] reference missing: {refpath}", file=sys.stderr)
             continue
-        print(f"[{name}] rendering {w}x{h} spp={args.spp} ({integ})...",
+        print(f"[{name}] rendering {w}x{h} spp={spp} ({integ})...",
               file=sys.stderr)
         try:
-            ours, dt = render_scene(xml, w, h, args.spp, integ,
+            ours, dt = render_scene(xml, w, h, spp, integ,
                                     rfilter=args.rfilter)
         except Exception as e:
             rows.append((name, {"error": repr(e)[:120]}, 0.0))
