@@ -55,6 +55,8 @@ def render(scene, integrator=None, spp=16, seed=0, cfg=None, **kw):
             from .librender.film import FILTER_NAMES
 
             kw["rfilter"] = FILTER_NAMES.get(meta["rfilter"], 0)
+        if "sampler" in meta and "sampler_type" not in kw:
+            kw["sampler_type"] = meta["sampler"]
     if integrator is None:
         integrator = make_integrator({"type": "path"})
     cfg = cfg or config()

@@ -201,10 +201,41 @@ def halton_2d(s, pattern):
     return jnp.stack([x, y], axis=-1)
 
 
+def orthogonal_2d(s, spp: int, pattern):
+    """Orthogonal-array 2D sample via the Bose construction, strength 2
+    (reference src/samplers/orthogonal.cpp:224-252, Jarosz et al. 2019).
+
+    resolution = ceil(sqrt(spp)); the OA has res^2 points — when spp is a
+    perfect square (the recommended usage, as in the reference) every
+    res x res stratum holds exactly one point AND each 1D projection is an
+    N-rooks pattern; otherwise the first spp points of the permuted OA are
+    used. spp is static; pattern is a u32 array (per-pixel seed).
+    """
+    import math
+
+    res = max(int(math.ceil(math.sqrt(spp))), 1)
+    N = res * res
+    i = _cmj_permute(s, N, pattern)
+    a_i0 = i // U32(res)
+    a_i1 = i % U32(res)
+    # Bose: dimension j=0 uses (a_i0, a_i1); j=1 uses (a_i1, a_i0); the
+    # stratum/sub-stratum pair is independently permuted per dimension
+    sx = _cmj_permute(a_i0, res, pattern * U32(1) * U32(0x51633E2D))
+    ssx = _cmj_permute(a_i1, res, pattern * U32(1) * U32(0x68BC21EB))
+    sy = _cmj_permute(a_i1, res, pattern * U32(2) * U32(0x51633E2D))
+    ssy = _cmj_permute(a_i0, res, pattern * U32(2) * U32(0x68BC21EB))
+    jx = _cmj_randfloat(i, pattern * U32(0x967A889B))
+    jy = _cmj_randfloat(i, pattern * U32(0x368CC8B7))
+    x = (sx.astype(jnp.float32) + (ssx.astype(jnp.float32) + jx) / res) / res
+    y = (sy.astype(jnp.float32) + (ssy.astype(jnp.float32) + jy) / res) / res
+    return jnp.stack([x, y], axis=-1)
+
+
 SAMPLER_INDEPENDENT = "independent"
 SAMPLER_STRATIFIED = "stratified"
 SAMPLER_MULTIJITTER = "multijitter"
 SAMPLER_LD = "ldsampler"
+SAMPLER_ORTHOGONAL = "orthogonal"
 
 
 # Fixed dimension-allocation map for the path/PLT integrators. Each bounce gets

@@ -29,7 +29,7 @@ def sample_rays(scene, sampler: Sampler, width, height, spp_pass, cfg: RenderCon
     (correlated multi-jittered pixel positions, src/samplers/ role).
     Returns (ray, pos_uv [N,2], wavelengths [N,C] or None, wl_weight or None).
     """
-    from ..core.rng import cmj_sample_2d, halton_2d, hash_combine
+    from ..core.rng import cmj_sample_2d, halton_2d, orthogonal_2d, hash_combine
 
     n = width * height * spp_pass
     lane = jnp.arange(n, dtype=jnp.uint32)
@@ -45,6 +45,10 @@ def sample_rays(scene, sampler: Sampler, width, height, spp_pass, cfg: RenderCon
         s_idx = (lane % spp_pass).astype(jnp.uint32)
         pattern = hash_combine(sampler.seed, pix)
         jitter = halton_2d(s_idx, pattern)
+    elif sampler_type == "orthogonal" and spp_pass > 1:
+        s_idx = (lane % spp_pass).astype(jnp.uint32)
+        pattern = hash_combine(sampler.seed, pix)
+        jitter = orthogonal_2d(s_idx, spp_pass, pattern)
     else:
         jitter = sampler.next_2d(DIM_CAMERA)
     uv = jnp.stack(

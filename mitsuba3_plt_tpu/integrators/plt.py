@@ -300,6 +300,7 @@ class PLTIntegrator:
         from ..plt.beam import PLTBeam
         from ..scene.emitters import (
             EMITTER_DIRECTIONAL, EMITTER_CONSTANT, EMITTER_ENVMAP,
+            EMITTER_DIRECTIONALSPOT,
         )
 
         n = d.shape[0]
@@ -307,11 +308,20 @@ class PLTIntegrator:
         etype = em.etype[e_idx]
         is_distant = (
             (etype == EMITTER_DIRECTIONAL) | (etype == EMITTER_CONSTANT)
-            | (etype == EMITTER_ENVMAP)
+            | (etype == EMITTER_ENVMAP) | (etype == EMITTER_DIRECTIONALSPOT)
+        )
+        # directionalspot: the emitter's angular spread IS the source solid
+        # angle seen by the beam (pi * sin^2(spread_angle)); plain
+        # directional/env sources use the integrator default
+        sin_spread = em.cutoff_cos[e_idx]
+        spot_omega = jnp.pi * sin_spread * sin_spread
+        distant_sa = jnp.where(
+            (etype == EMITTER_DIRECTIONALSPOT) & (spot_omega > 0),
+            spot_omega,
+            jnp.full((n,), self.distant_sourcing_area, jnp.float32),
         )
         beam_d = PLTBeam.source_distant(
-            d, jnp.full((n,), self.distant_sourcing_area, jnp.float32), Le,
-            self.max_angular_spread,
+            d, distant_sa, Le, self.max_angular_spread,
         )
         beam_a = PLTBeam.source_area(
             b_i.p, d, jnp.full((n,), self.emissive_sourcing_area, jnp.float32),

@@ -25,7 +25,7 @@ from ..librender.bsdf import BSDFContext, TransportMode, BSDFFlags
 from ..librender.records import Ray
 from ..scene import emitters as em_mod
 from ..scene.emitters import EMITTER_AREA, EMITTER_POINT, EMITTER_CONSTANT, \
-    EMITTER_DIRECTIONAL, EMITTER_SPOT
+    EMITTER_DIRECTIONAL, EMITTER_SPOT, EMITTER_DIRECTIONALAREA
 
 
 @dataclasses.dataclass(frozen=True)
@@ -70,15 +70,28 @@ class ParticleTracer:
         dir_point = warp.square_to_uniform_sphere(u_dir)
         w_point = ep["radiance"] * (4.0 * mth.Pi * e_count)
 
+        # directionalarea: position on the surface, direction = the surface
+        # normal exactly (delta); power weight = L * area
+        # (directionalarea.cpp:87-113 sample_ray returns m_area * wav_weight)
+        is_darea = ep["etype"] == EMITTER_DIRECTIONALAREA
+        w_darea = ep["radiance"] * (ep["area"] * e_count)[..., None]
+
         is_area = ep["etype"] == EMITTER_AREA
+        is_surface = is_area | is_darea
         is_point = (ep["etype"] == EMITTER_POINT) | (ep["etype"] == EMITTER_SPOT)
-        p0 = jnp.where(is_area[..., None], pos_area, ep["position"])
-        d0 = jnp.where(is_area[..., None], dir_area, dir_point)
+        p0 = jnp.where(is_surface[..., None], pos_area, ep["position"])
+        d0 = jnp.where(
+            is_darea[..., None], n_area,
+            jnp.where(is_area[..., None], dir_area, dir_point),
+        )
         beta = jnp.where(
-            is_area[..., None], w_area,
-            jnp.where(is_point[..., None], w_point, 0.0),
+            is_darea[..., None], w_darea,
+            jnp.where(
+                is_area[..., None], w_area,
+                jnp.where(is_point[..., None], w_point, 0.0),
+            ),
         )[:, :C] / n_particles
-        nrm0 = jnp.where(is_area[..., None], n_area, d0)
+        nrm0 = jnp.where(is_surface[..., None], n_area, d0)
 
         def connect(p, nvec, beta_c, si_opt, wi_world, is_emitter_vertex, b):
             """Connect a vertex to the sensor; returns (uv, value, ok)."""

@@ -83,6 +83,7 @@ BSDF_NORMALMAP = 16
 BSDF_BUMPMAP = 17
 BSDF_CIRCULAR = 18
 BSDF_PRINCIPLED = 19
+BSDF_PRINCIPLED_THIN = 20
 
 BSDF_TYPE_NAMES = {
     BSDF_NULL: "null",
@@ -105,6 +106,7 @@ BSDF_TYPE_NAMES = {
     BSDF_BUMPMAP: "bumpmap",
     BSDF_CIRCULAR: "circular",
     BSDF_PRINCIPLED: "principled",
+    BSDF_PRINCIPLED_THIN: "principledthin",
 }
 
 

@@ -50,6 +50,7 @@ from .bsdf import (
     BSDF_NORMALMAP,
     BSDF_BUMPMAP,
     BSDF_PRINCIPLED,
+    BSDF_PRINCIPLED_THIN,
 )
 
 
@@ -1018,6 +1019,280 @@ class Principled:
 
 
 # ---------------------------------------------------------------------------
+# principledthin — reference src/bsdfs/principledthin.cpp: symmetric thin
+# sheet with 4 lobes (GGX specular reflection, thin specular transmission
+# with Burley's IOR-scaled roughness, Disney diffuse/retro/fake-subsurface/
+# sheen reflection, Lambertian diffuse transmission).
+#
+# pr_params layout for THIS type: [spec_trans, diff_trans (stored already
+# halved to 0..1), spec_tint, sheen, sheen_tint, flatness, unused,
+# anisotropic]; alpha[:,0] = roughness, eta_re[:,0] = eta.
+# ---------------------------------------------------------------------------
+
+def _schlick_weight(cos_t):
+    return jnp.power(jnp.clip(1.0 - cos_t, 0.0, 1.0), 5.0)
+
+
+class PrincipledThin:
+    @staticmethod
+    def _alphas(p, scaled: bool):
+        rough = p["alpha"][..., 0]
+        if scaled:
+            # Burley 2015 Fig. 15: thin transmission roughness scales with IOR
+            rough = jnp.clip((0.65 * p["eta_re"][..., 0] - 0.35), 0.0, None) * rough
+        aniso = jnp.clip(p["pr_params"][..., 7], 0.0, 1.0)
+        aspect = jnp.sqrt(1.0 - 0.9 * aniso)
+        a = jnp.maximum(rough * rough, 1e-4)
+        return a / aspect, a * aspect
+
+    @staticmethod
+    def _fold(si, wo):
+        """Thin BSDF is symmetric: fold wi/wo to the front side
+        (principledthin.cpp eval: mulsign by cos_theta_i)."""
+        cos_raw = fr.cos_theta(si.wi)
+        sgn = jnp.where(cos_raw < 0.0, -1.0, 1.0)
+        wi = si.wi * sgn[..., None]
+        wo_t = wo * sgn[..., None]
+        return wi, wo_t, jnp.abs(cos_raw), sgn
+
+    @staticmethod
+    def _probs(p):
+        """Normalized lobe-pick probabilities (srates = 1, the reference
+        defaults): [spec_reflect, spec_trans, diff_reflect, diff_trans]."""
+        pr = p["pr_params"]
+        st = jnp.clip(pr[..., 0], 0.0, 1.0)
+        dt = jnp.clip(pr[..., 1], 0.0, 1.0)
+        w = jnp.stack(
+            [0.5 * st, 0.5 * st, (1.0 - st) * (1.0 - dt), (1.0 - st) * dt],
+            axis=-1,
+        )
+        return w / jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-12)
+
+    @staticmethod
+    def _lobes(p, si, wo, cfg, wavelengths):
+        wi, wo_t, cos_i, _ = PrincipledThin._fold(si, wo)
+        cos_o = fr.cos_theta(wo_t)
+        active = cos_i > 1e-9
+        reflect = cos_o > 0.0
+        refract = cos_o < 0.0
+
+        pr = p["pr_params"]
+        spec_trans = jnp.clip(pr[..., 0], 0.0, 1.0)
+        diff_trans = jnp.clip(pr[..., 1], 0.0, 1.0)
+        spec_tint = jnp.clip(pr[..., 2], 0.0, 1.0)
+        sheen = pr[..., 3]
+        sheen_tint = jnp.clip(pr[..., 4], 0.0, 1.0)
+        flatness = jnp.clip(pr[..., 5], 0.0, 1.0)
+        rough = p["alpha"][..., 0]
+        eta_t = p["eta_re"][..., 0]
+        base = eval_color(p, "base_color", cfg, wavelengths)  # [N, C]
+
+        # halfway vector of the REFLECTED image of wo (abs z)
+        wo_r = jnp.concatenate(
+            [wo_t[..., :2], jnp.abs(wo_t[..., 2:3])], axis=-1
+        )
+        wh = fr.normalize(wi + wo_r)
+        # macro-micro compatibility (principledhelpers.h:199-211; wi is
+        # front-side so mulsign(m, cos_i) = m)
+        compat_r = (fr.dot(wi, wh) > 0) & (fr.dot(wo_t, wh) > 0)
+        compat_t = (fr.dot(wi, wh) > 0) & (fr.dot(wo_t, -wh) > 0)
+
+        F_diel, _, _, _ = fres.fresnel_dielectric(fr.dot(wi, wh), eta_t)
+
+        value = jnp.zeros_like(base)
+
+        # --- specular reflection: spec_trans * F_thin * D G / (4 cos_i)
+        au, av = PrincipledThin._alphas(p, scaled=False)
+        D = mf.ndf_eval(wh, au, av, mf.GGX)
+        G = mf.g_smith(wi, wo_t, wh, au, av, mf.GGX)
+        lum = jnp.mean(base, axis=-1, keepdims=True)
+        c_tint = jnp.where(lum > 0, base / jnp.maximum(lum, 1e-9), 1.0)
+        R0 = ((eta_t - 1.0) / (eta_t + 1.0)) ** 2
+        F0_tint = c_tint * R0[..., None]
+        F_schlick = F0_tint + (1.0 - F0_tint) * _schlick_weight(
+            fr.dot(wi, wh)
+        )[..., None]
+        F_thin = (
+            F_diel[..., None] * (1.0 - spec_tint[..., None])
+            + F_schlick * spec_tint[..., None]
+        )
+        m_sr = active & reflect & (spec_trans > 0) & compat_r
+        value = value + jnp.where(
+            m_sr[..., None],
+            spec_trans[..., None] * F_thin
+            * (D * G / jnp.maximum(4.0 * cos_i, 1e-9))[..., None],
+            0.0,
+        )
+
+        # --- specular transmission: spec_trans * base * (1-F) D' G' /(4 cos_i)
+        aus, avs = PrincipledThin._alphas(p, scaled=True)
+        Ds = mf.ndf_eval(wh, aus, avs, mf.GGX)
+        Gs = mf.g_smith(wi, wo_t, wh, aus, avs, mf.GGX)
+        m_st = active & refract & (spec_trans > 0) & compat_t
+        value = value + jnp.where(
+            m_st[..., None],
+            spec_trans[..., None] * base * (1.0 - F_diel)[..., None]
+            * (Ds * Gs / jnp.maximum(4.0 * cos_i, 1e-9))[..., None],
+            0.0,
+        )
+
+        # --- diffuse reflection: diff + retro (+ fake subsurface) + sheen
+        Fo = _schlick_weight(jnp.abs(cos_o))
+        Fi = _schlick_weight(cos_i)
+        f_diff = (1.0 - 0.5 * Fi) * (1.0 - 0.5 * Fo)
+        cos_d = fr.dot(wh, wo_t)
+        Rr = 2.0 * rough * cos_d * cos_d
+        f_retro = Rr * (Fo + Fi + Fo * Fi * (Rr - 1.0))
+        Fss90 = 0.5 * Rr
+        Fss = (1.0 + (Fss90 - 1.0) * Fo) * (1.0 + (Fss90 - 1.0) * Fi)
+        f_ss = 1.25 * (
+            Fss * (1.0 / jnp.maximum(jnp.abs(cos_o) + cos_i, 1e-6) - 0.5)
+            + 0.5
+        )
+        diff_term = (1.0 - flatness) * (f_diff + f_retro) + flatness * f_ss
+        m_dr = active & reflect & (spec_trans < 1.0) & (diff_trans < 1.0)
+        value = value + jnp.where(
+            m_dr[..., None],
+            ((1.0 - spec_trans) * (1.0 - diff_trans) * cos_o * m.InvPi
+             * diff_term)[..., None] * base,
+            0.0,
+        )
+        # sheen (reflect side, scaled by (1-spec_trans)(1-diff_trans))
+        Fd = _schlick_weight(jnp.abs(cos_d))
+        c_sheen = 1.0 + sheen_tint[..., None] * (c_tint - 1.0)
+        value = value + jnp.where(
+            (m_dr & (sheen > 0))[..., None],
+            (sheen * (1.0 - spec_trans) * (1.0 - diff_trans) * Fd
+             * jnp.abs(cos_o))[..., None] * c_sheen,
+            0.0,
+        )
+
+        # --- diffuse transmission (Lambertian through the sheet)
+        m_dt = active & refract & (spec_trans < 1.0) & (diff_trans > 0)
+        value = value + jnp.where(
+            m_dt[..., None],
+            ((1.0 - spec_trans) * diff_trans * m.InvPi
+             * jnp.abs(cos_o))[..., None] * base,
+            0.0,
+        )
+        return jnp.where(active[..., None], value, 0.0), active
+
+    @staticmethod
+    def eval(p, si, wo, ctx, cfg, wavelengths):
+        f, _ = PrincipledThin._lobes(p, si, wo, cfg, wavelengths)
+        return depolarized(f, cfg)
+
+    @staticmethod
+    def pdf(p, si, wo, ctx, cfg):
+        wi, wo_t, cos_i, _ = PrincipledThin._fold(si, wo)
+        cos_o = fr.cos_theta(wo_t)
+        active = cos_i > 1e-9
+        reflect = cos_o > 0.0
+        refract = cos_o < 0.0
+        w = PrincipledThin._probs(p)
+
+        wo_r = jnp.concatenate(
+            [wo_t[..., :2], jnp.abs(wo_t[..., 2:3])], axis=-1
+        )
+        wh = fr.normalize(wi + wo_r)
+        compat_r = (fr.dot(wi, wh) > 0) & (fr.dot(wo_t, wh) > 0)
+        compat_t = (fr.dot(wi, wh) > 0) & (fr.dot(wo_t, -wh) > 0)
+        dwh_dwo = 1.0 / jnp.maximum(4.0 * jnp.abs(fr.dot(wo_r, wh)), 1e-9)
+
+        au, av = PrincipledThin._alphas(p, scaled=False)
+        aus, avs = PrincipledThin._alphas(p, scaled=True)
+        pdf_sr = mf.pdf_vndf(wi, wh, au, av, mf.GGX) * dwh_dwo
+        pdf_st = mf.pdf_vndf(wi, wh, aus, avs, mf.GGX) * dwh_dwo
+        pdf = (
+            jnp.where(reflect & compat_r, w[..., 0] * pdf_sr, 0.0)
+            + jnp.where(refract & compat_t, w[..., 1] * pdf_st, 0.0)
+            + jnp.where(reflect, w[..., 2] * jnp.abs(cos_o) * m.InvPi, 0.0)
+            + jnp.where(refract, w[..., 3] * jnp.abs(cos_o) * m.InvPi, 0.0)
+        )
+        return jnp.where(active, pdf, 0.0)
+
+    @staticmethod
+    def sample(p, si, u1, u2, ctx, cfg, wavelengths):
+        n = si.wi.shape[0]
+        wi, _, cos_i, sgn = PrincipledThin._fold(si, si.wi)  # wo arg unused
+        active = cos_i > 1e-9
+        w = PrincipledThin._probs(p)
+        c0 = w[..., 0]
+        c1 = c0 + w[..., 1]
+        c2 = c1 + w[..., 2]
+        pick_sr = u1 < c0
+        pick_st = (u1 >= c0) & (u1 < c1)
+        pick_dr = (u1 >= c1) & (u1 < c2)
+        pick_dt = u1 >= c2
+
+        au, av = PrincipledThin._alphas(p, scaled=False)
+        aus, avs = PrincipledThin._alphas(p, scaled=True)
+        mh_r, _ = mf.sample_vndf_ggx(wi, u2, au, av)
+        mh_t, _ = mf.sample_vndf_ggx(wi, u2, aus, avs)
+        wo_sr = fr.reflect_n(wi, mh_r)
+        wo_st_up = fr.reflect_n(wi, mh_t)
+        wo_st = jnp.concatenate(
+            [wo_st_up[..., :2], -jnp.abs(wo_st_up[..., 2:3])], axis=-1
+        )
+        wo_cos = warp.square_to_cosine_hemisphere(u2)
+        wo_dt = jnp.concatenate(
+            [wo_cos[..., :2], -wo_cos[..., 2:3]], axis=-1
+        )
+        wo_t = jnp.where(
+            pick_sr[..., None], wo_sr,
+            jnp.where(
+                pick_st[..., None], wo_st,
+                jnp.where(pick_dr[..., None], wo_cos, wo_dt),
+            ),
+        )
+        wo = wo_t * sgn[..., None]  # unfold to the original side
+
+        # kill samples whose micro/macro sides disagree for the PICKED lobe
+        # (principledthin.cpp sample: active &= mac_mic_compatibility && side)
+        side_sr = (
+            (fr.cos_theta(wo_sr) > 0) & (fr.dot(wi, mh_r) > 0)
+            & (fr.dot(wo_sr, mh_r) > 0)
+        )
+        side_st = (
+            (fr.cos_theta(wo_st) < 0) & (fr.dot(wi, mh_t) > 0)
+            & (fr.dot(wo_st, -mh_t) > 0)
+        )
+        lobe_ok = jnp.where(
+            pick_sr, side_sr, jnp.where(pick_st, side_st, True)
+        )
+
+        pdf = PrincipledThin.pdf(p, si, wo, ctx, cfg)
+        f, act2 = PrincipledThin._lobes(p, si, wo, cfg, wavelengths)
+        ok = active & act2 & lobe_ok & (pdf > 1e-9)
+        weight = jnp.where(
+            ok[..., None], f / jnp.maximum(pdf, 1e-9)[..., None], 0.0
+        )
+        glossy = pick_sr | pick_st
+        transmit = pick_st | pick_dt
+        bs = BSDFSample(
+            wo=wo,
+            pdf=pdf,
+            eta=jnp.ones((n,), jnp.float32),
+            sampled_type=jnp.where(
+                glossy & ~transmit, jnp.uint32(BSDFFlags.GlossyReflection),
+                jnp.where(
+                    glossy, jnp.uint32(BSDFFlags.GlossyTransmission),
+                    jnp.where(
+                        transmit,
+                        jnp.uint32(BSDFFlags.DiffuseTransmission),
+                        jnp.uint32(BSDFFlags.DiffuseReflection),
+                    ),
+                ),
+            ),
+            sampled_component=jnp.where(
+                pick_sr, 0,
+                jnp.where(pick_st, 1, jnp.where(pick_dr, 2, 3)),
+            ),
+        )
+        return bs, depolarized(weight, cfg), ok
+
+
+# ---------------------------------------------------------------------------
 # mask (opacity blend with null transmission) — reference src/bsdfs/mask.cpp
 # nested BSDF rides in `nested_idx`; opacity in `weight`.
 # ---------------------------------------------------------------------------
@@ -1269,6 +1544,7 @@ IMPLS = {
     BSDF_CIRCULAR: CircularPolarizer,
     BSDF_PPLASTIC: PPlastic,
     BSDF_PRINCIPLED: Principled,
+    BSDF_PRINCIPLED_THIN: PrincipledThin,
 }
 
 

@@ -15,7 +15,7 @@ from ..librender.bsdf import (
     BSDF_DIFFUSE, BSDF_CONDUCTOR, BSDF_ROUGH_CONDUCTOR, BSDF_DIELECTRIC,
     BSDF_THIN_DIELECTRIC, BSDF_ROUGH_DIELECTRIC, BSDF_PLASTIC,
     BSDF_ROUGH_PLASTIC, BSDF_MASK, BSDF_POLARIZER, BSDF_RETARDER,
-    BSDF_ROUGH_GRATING, BSDF_NULL, BSDF_PRINCIPLED,
+    BSDF_ROUGH_GRATING, BSDF_NULL, BSDF_PRINCIPLED, BSDF_PRINCIPLED_THIN,
 )
 from ..librender.sensor import Sensor
 from . import shape as shp
@@ -36,7 +36,7 @@ BSDF_TYPE_MAP = {
     "roughgrating": BSDF_ROUGH_GRATING,
     "null": BSDF_NULL,
     "principled": BSDF_PRINCIPLED,
-    "principledthin": BSDF_PRINCIPLED,
+    "principledthin": BSDF_PRINCIPLED_THIN,
 }
 
 
@@ -102,6 +102,20 @@ def _parse_bsdf_dict(d: dict) -> LoadedBSDF:
             float(d.get("clearcoat_gloss", 0.0)),
             float(d.get("anisotropic", 0.0)),
         )
+    if bt == BSDF_PRINCIPLED_THIN:
+        # thin pr_params layout (src/bsdfs/principledthin.cpp props)
+        if "base_color" in d:
+            kw["base_color"] = _color(d["base_color"])
+        rough = float(d.get("roughness", 0.5))
+        kw["alpha"] = (rough, rough)
+        kw["eta_re"] = (float(d.get("eta", 1.5)),) * 3
+        kw["pr_params"] = (
+            float(d.get("spec_trans", 0.0)),
+            float(d.get("diff_trans", 0.0)) / 2.0,
+            float(d.get("spec_tint", 0.0)), float(d.get("sheen", 0.0)),
+            float(d.get("sheen_tint", 0.5)), float(d.get("flatness", 0.0)),
+            0.0, float(d.get("anisotropic", 0.0)),
+        )
     if "opacity" in d:
         kw["weight"] = float(d["opacity"]) if np.isscalar(d["opacity"]) else 0.5
     if "theta" in d:
@@ -164,13 +178,18 @@ def load_dict(scene_dict: Dict):
             named_bsdfs[name] = add_bsdf(_parse_bsdf_dict(obj))
         elif t in ("area",):
             pass  # handled inline with shapes
-        elif t in ("point", "constant", "directional", "spot", "envmap"):
+        elif t in ("point", "constant", "directional", "spot", "envmap",
+                   "directionalspot", "projector"):
             e = {"type": t, **{k: v for k, v in obj.items() if k != "type"}}
             if "to_world" in obj:
                 e["to_world"] = np.asarray(obj["to_world"], np.float32)
             for key in ("radiance", "intensity", "irradiance"):
                 if key in obj:
-                    e["radiance"] = _color(obj[key])
+                    v = obj[key]
+                    if isinstance(v, np.ndarray) and v.ndim == 3:
+                        e["image"] = v  # textured irradiance (projector)
+                    else:
+                        e["radiance"] = _color(v)
             emitters.append(e)
         elif t in ("perspective", "orthographic", "thinlens"):
             fw = fh = 256
@@ -237,9 +256,9 @@ def load_dict(scene_dict: Dict):
                 mat_idx = named_bsdfs[v["id"]]
             elif vt in BSDF_TYPE_MAP or vt == "twosided":
                 mat_idx = add_bsdf(_parse_bsdf_dict(v))
-            elif vt == "area":
+            elif vt in ("area", "directionalarea"):
                 emitters.append({
-                    "type": "area", "mesh_index": len(meshes),
+                    "type": vt, "mesh_index": len(meshes),
                     "radiance": _color(v.get("radiance", (1, 1, 1))),
                 })
                 em_idx = len(emitters) - 1

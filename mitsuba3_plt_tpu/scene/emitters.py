@@ -27,6 +27,13 @@ EMITTER_SPOT = 5
 EMITTER_DIRECTIONALAREA = 6
 EMITTER_SPHERE = 7   # analytic-sphere area light (sphere.cpp sample_direction);
                      # the sphere radius rides in the (spot-only) cutoff_cos slot
+EMITTER_DIRECTIONALSPOT = 8  # directional with angular spread (reference
+                             # src/emitters/directionalspot.cpp): NEE direction
+                             # jittered within a disk of radius sin(spread_angle);
+                             # sin(spread_angle) rides in the cutoff_cos slot
+EMITTER_PROJECTOR = 9        # textured perspective point source (reference
+                             # src/emitters/projector.cpp); tan(fov/2) rides in
+                             # cutoff_cos, intensity scale in beam_cos
 
 
 @jax.tree_util.register_dataclass
@@ -55,6 +62,11 @@ class EmitterTable:
     # plugins src/spectra/{uniform,regular,irregular,d65,blackbody}.cpp);
     # None -> RGB `radiance` is authoritative
     spectra: Any = None      # [E, 95] or None
+    # projector local frame x/y axes (None unless a projector is present;
+    # reference src/emitters/projector.cpp camera_to_sample)
+    frame_s: Any = None      # [E, 3]
+    frame_t: Any = None      # [E, 3]
+    proj_image: Any = None   # [Hp, Wp, 3] projector irradiance texture
 
     present_types: tuple = dataclasses.field(default=(), metadata=dict(static=True))
 
@@ -126,6 +138,10 @@ def sample_emitter_direction(
             cand = _sample_envmap(em, ref_p, e_idx, sample2)
         elif t == EMITTER_SPHERE:
             cand = _sample_sphere(em, ref_p, e_idx, sample2, ep)
+        elif t == EMITTER_DIRECTIONALSPOT:
+            cand = _sample_directionalspot(em, ref_p, e_idx, sample2, ep)
+        elif t == EMITTER_PROJECTOR:
+            cand = _sample_point(em, ref_p, e_idx, ep)  # textured point source
         else:
             continue
         ds = _select_ds(mask, cand, ds)
@@ -208,8 +224,56 @@ def eval_emitter(em: EmitterTable, e_idx, d, dist, active):
     if EMITTER_ENVMAP in em.present_types:
         is_env = etype == EMITTER_ENVMAP
         val = jnp.where(is_env[..., None], eval_envmap(em, d), val)
+    # projector: perspective-projected texture, irradiance normalized at z=1
+    # (reference src/emitters/projector.cpp sample_direction:
+    #  spec = pi * scale * tex(uv) / (z_local^2 * cos_theta), and
+    #  z_local^2 * cos_theta = dist^2 * cos_theta^3)
+    if EMITTER_PROJECTOR in em.present_types:
+        is_proj = etype == EMITTER_PROJECTOR
+        d_out = -d  # propagation direction: from the projector toward ref_p
+        cos_t = fr.dot(d_out, ep["direction"])
+        s_loc = fr.dot(d_out, m.small_gather(em.frame_s, e_idx_c))
+        t_loc = fr.dot(d_out, m.small_gather(em.frame_t, e_idx_c))
+        tan_half = jnp.maximum(ep["cutoff_cos"], 1e-6)  # tan(fov_x/2)
+        hp, wp = em.proj_image.shape[:2]
+        aspect = wp / hp
+        z_safe = jnp.where(cos_t > 1e-6, cos_t, 1.0)
+        u = 0.5 - 0.5 * (s_loc / z_safe) / tan_half
+        v = 0.5 - 0.5 * (t_loc / z_safe) * aspect / tan_half
+        inside = (
+            (cos_t > 1e-6) & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (v <= 1.0)
+        )
+        tex = _proj_tex(em.proj_image, u, v)
+        proj_val = (
+            m.Pi * ep["beam_cos"][..., None] * tex
+            / jnp.maximum(dist * dist * z_safe ** 3, 1e-12)[..., None]
+        )
+        proj_val = jnp.where(inside[..., None], proj_val, 0.0)
+        val = jnp.where(is_proj[..., None], proj_val, val)
+    # directionalarea: delta emission along the surface normal only —
+    # measure-zero for BSDF/camera hits and NEE (directionalarea.cpp:126-164
+    # eval/sample_direction return 0); only ptracer's sample_ray emits
+    is_darea = etype == EMITTER_DIRECTIONALAREA
+    val = jnp.where(is_darea[..., None], 0.0, val)
     ok = active & (e_idx >= 0)
     return jnp.where(ok[..., None], val, 0.0)
+
+
+def _proj_tex(img, u, v):
+    """Clamped bilinear lookup of the projector irradiance texture."""
+    hp, wp = img.shape[:2]
+    x = jnp.clip(u * wp - 0.5, 0.0, wp - 1.0)
+    y = jnp.clip(v * hp - 0.5, 0.0, hp - 1.0)
+    x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, wp - 2) if wp > 1 else jnp.zeros_like(x, jnp.int32)
+    y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, hp - 2) if hp > 1 else jnp.zeros_like(y, jnp.int32)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x1 = jnp.minimum(x0 + 1, wp - 1)
+    y1 = jnp.minimum(y0 + 1, hp - 1)
+    return (
+        img[y0, x0] * (1 - fx) * (1 - fy) + img[y0, x1] * fx * (1 - fy)
+        + img[y1, x0] * (1 - fx) * fy + img[y1, x1] * fx * fy
+    )
 
 
 def eval_env(em: EmitterTable, d):
@@ -559,6 +623,32 @@ def _sample_constant(em, ref_p, e_idx, sample2):
         p=ref_p + d * dist[..., None], n=-d,
         uv=jnp.zeros((n, 2), jnp.float32), d=d, dist=dist,
         pdf=jnp.full((n,), m.InvFourPi), delta=jnp.zeros((n,), bool),
+        emitter_idx=e_idx,
+    )
+
+
+def _sample_directionalspot(em, ref_p, e_idx, sample2, ep=None):
+    """Directional emitter with angular spread (reference
+    src/emitters/directionalspot.cpp:155-186 sample_direction): the sampled
+    NEE direction is jittered within a disk of radius sin(spread_angle)
+    perpendicular to the main axis. pdf = 1, delta (the spread is treated as
+    part of the delta direction, exactly like the reference)."""
+    if ep is None:
+        ep = em.gather(e_idx)
+    n = ref_p.shape[0]
+    sin_spread = ep["cutoff_cos"]  # sin(spread_angle) rides here
+    ang = warp.square_to_uniform_disk_concentric(sample2) * sin_spread[..., None]
+    axis = ep["direction"]  # propagation direction (from the emitter)
+    s_ax, t_ax = fr.coordinate_system(axis)
+    d_prop = fr.normalize(
+        axis + s_ax * ang[..., 0:1] + t_ax * ang[..., 1:2]
+    )
+    d = -d_prop  # toward the emitter
+    dist = 2.0 * em.scene_radius * jnp.ones((n,)) + 1.0
+    return DirectionSample(
+        p=ref_p + d * dist[..., None], n=-d,
+        uv=jnp.zeros((n, 2), jnp.float32), d=d, dist=dist,
+        pdf=jnp.ones((n,), jnp.float32), delta=jnp.ones((n,), bool),
         emitter_idx=e_idx,
     )
 

@@ -22,6 +22,7 @@ from ..librender.bsdf import (
     BSDF_NULL, BSDF_DIFFUSE, BSDF_CONDUCTOR, BSDF_ROUGH_CONDUCTOR,
     BSDF_DIELECTRIC, BSDF_THIN_DIELECTRIC, BSDF_ROUGH_GRATING,
     BSDF_BLEND, BSDF_NORMALMAP, BSDF_BUMPMAP, BSDF_PRINCIPLED,
+    BSDF_PRINCIPLED_THIN,
 )
 from ..librender.sensor import Sensor
 from .emitters import (
@@ -277,6 +278,24 @@ def _parse_bsdf(elem, defaults) -> LoadedBSDF:
         base = p.get("base_color", (0.5, 0.5, 0.5))
         if isinstance(base, str):
             base = (0.5, 0.5, 0.5)
+        if btype == "principledthin":
+            # thin pr_params layout (src/bsdfs/principledthin.cpp props):
+            # [spec_trans, diff_trans/2, spec_tint, sheen, sheen_tint,
+            #  flatness, 0, anisotropic]
+            return LoadedBSDF(
+                BSDF_PRINCIPLED_THIN,
+                base_color=base,
+                alpha=(rough, rough),
+                eta_re=(_scalar("eta", 1.5),) * 3,
+                pr_params=(
+                    _scalar("spec_trans", 0.0),
+                    _scalar("diff_trans", 0.0) / 2.0,
+                    _scalar("spec_tint", 0.0), _scalar("sheen", 0.0),
+                    _scalar("sheen_tint", 0.5), _scalar("flatness", 0.0),
+                    0.0, _scalar("anisotropic", 0.0),
+                ),
+                **kw,
+            )
         return LoadedBSDF(
             BSDF_PRINCIPLED,
             base_color=base,
@@ -377,6 +396,7 @@ def _build_scene_from_xml(root, defaults, base_dir):
 
     # --- sensor ---
     rfilter_name = "gaussian"  # hdrfilm default (src/films/hdrfilm.cpp)
+    sampler_name = "independent"
     s = root.find("sensor")
     if s is not None:
         p = _props(s, defaults)
@@ -393,6 +413,7 @@ def _build_scene_from_xml(root, defaults, base_dir):
         if smp is not None:
             sp = _props(smp, defaults)
             spp = int(sp.get("sample_count", 16))
+            sampler_name = smp.get("type", "independent")
         to_world = p.get("to_world", np.eye(4, dtype=np.float32))
         stype = s.get("type", "perspective")
         if stype == "perspective":
@@ -553,10 +574,10 @@ def _build_scene_from_xml(root, defaults, base_dir):
         # area emitter attached to this shape
         em_idx = -1
         em = sh.find("emitter")
-        if em is not None and em.get("type") == "area":
+        if em is not None and em.get("type") in ("area", "directionalarea"):
             ep = _props(em, defaults)
             emitters.append(
-                {"type": "area", "mesh_index": len(meshes),
+                {"type": em.get("type"), "mesh_index": len(meshes),
                  "radiance": ep.get("radiance", (1.0, 1.0, 1.0))}
             )
             em_idx = len(emitters) - 1
@@ -568,11 +589,13 @@ def _build_scene_from_xml(root, defaults, base_dir):
     return assemble_scene(
         meshes, mesh_mat, mesh_emitter, bsdf_list, emitters, sensor,
         integrator_cfg, spp, rfilter=rfilter_name, spheres=spheres,
+        sampler=sampler_name,
     )
 
 
 def assemble_scene(meshes, mesh_mat, mesh_emitter, bsdf_list, emitters, sensor,
-                   integrator_cfg, spp, rfilter="gaussian", spheres=None):
+                   integrator_cfg, spp, rfilter="gaussian", spheres=None,
+                   sampler="independent"):
     if sensor is None:
         sensor = Sensor.perspective(
             tf.look_at([0, 0, 4], [0, 0, 0], [0, 1, 0]), 45.0, 256, 256
@@ -596,7 +619,8 @@ def assemble_scene(meshes, mesh_mat, mesh_emitter, bsdf_list, emitters, sensor,
         geo=geo, bvh=bvh, materials=mat_table, emitters=em_table,
         sensor=sensor, env_emitter=env_idx, pbvh=pbvh,
     )
-    meta = {"integrator": integrator_cfg, "spp": spp, "rfilter": rfilter}
+    meta = {"integrator": integrator_cfg, "spp": spp, "rfilter": rfilter,
+            "sampler": sampler}
     return scene, meta
 
 
@@ -656,6 +680,11 @@ def build_material_table(bsdf_list: List[LoadedBSDF]) -> MaterialTable:
         BSDF_PRINCIPLED: (
             BSDFFlags.GlossyReflection | BSDFFlags.DiffuseReflection
             | BSDFFlags.FrontSide
+        ),
+        BSDF_PRINCIPLED_THIN: (
+            BSDFFlags.GlossyReflection | BSDFFlags.GlossyTransmission
+            | BSDFFlags.DiffuseReflection | BSDFFlags.DiffuseTransmission
+            | BSDFFlags.FrontSide | BSDFFlags.BackSide
         ),
     }
 
@@ -782,11 +811,17 @@ def build_emitter_table(emitters, meshes, geo):
     e_count = max(len(emitters), 1)
     from .emitters import EMITTER_SPHERE
 
+    from .emitters import (
+        EMITTER_DIRECTIONALSPOT, EMITTER_PROJECTOR, EMITTER_DIRECTIONALAREA,
+    )
+
     TYPE_MAP = {
         "area": EMITTER_AREA, "point": EMITTER_POINT,
         "constant": EMITTER_CONSTANT, "directional": EMITTER_DIRECTIONAL,
         "spot": EMITTER_SPOT, "envmap": EMITTER_ENVMAP,
-        "directionalspot": EMITTER_DIRECTIONAL,
+        "directionalspot": EMITTER_DIRECTIONALSPOT,
+        "directionalarea": EMITTER_DIRECTIONALAREA,
+        "projector": EMITTER_PROJECTOR,
         "sphere_area": EMITTER_SPHERE,
     }
 
@@ -828,7 +863,7 @@ def build_emitter_table(emitters, meshes, geo):
     max_tris = 1
     tri_lists = {}
     for i, e in enumerate(emitters):
-        if e["type"] == "area":
+        if e["type"] in ("area", "directionalarea"):
             tris = np.where(tri_emitter_np == i)[0].astype(np.int32)
             tri_lists[i] = tris
             max_tris = max(max_tris, len(tris))
@@ -846,8 +881,11 @@ def build_emitter_table(emitters, meshes, geo):
         etype[i] = t
         present.add(t)
         rad = e.get("radiance", e.get("intensity", e.get("irradiance", (1, 1, 1))))
-        rad = (rad,) * 3 if np.isscalar(rad) else tuple(rad)
-        radiance[i] = rad
+        if np.isscalar(rad):
+            rad = (rad,) * 3
+        elif not (hasattr(rad, "__len__") and len(rad) == 3 and np.isscalar(np.asarray(rad).flat[0])) or np.asarray(rad).ndim != 1:
+            rad = (1.0, 1.0, 1.0)  # texture/image irradiance (projector)
+        radiance[i] = tuple(np.asarray(rad, np.float64))
         if "position" in e:
             position[i] = e["position"]
         if "to_world" in e:
@@ -861,11 +899,19 @@ def build_emitter_table(emitters, meshes, geo):
             cutoff[i] = np.cos(np.deg2rad(float(e["cutoff_angle"])))
         if "beam_width" in e:
             beam[i] = np.cos(np.deg2rad(float(e["beam_width"])))
+        if t == EMITTER_DIRECTIONALSPOT:
+            # spread_angle is in radians (directionalspot.cpp:89,127);
+            # sin(spread) rides in the cutoff_cos slot
+            cutoff[i] = np.sin(float(e.get("spread_angle", 0.0)))
+        if t == EMITTER_PROJECTOR:
+            # tan(fov_x/2) in cutoff_cos, intensity scale in beam_cos
+            cutoff[i] = np.tan(np.deg2rad(float(e.get("fov", 45.0))) / 2.0)
+            beam[i] = float(e.get("scale", 1.0))
         if t == EMITTER_SPHERE:
             position[i] = np.asarray(e["center"], np.float32)
             cutoff[i] = float(e["radius"])  # radius rides in the cutoff slot
             area_total[i] = 4.0 * np.pi * float(e["radius"]) ** 2
-        if t == EMITTER_AREA and i in tri_lists and len(tri_lists[i]):
+        if t in (EMITTER_AREA, EMITTER_DIRECTIONALAREA) and i in tri_lists and len(tri_lists[i]):
             tris = tri_lists[i]
             a = 0.5 * np.linalg.norm(
                 np.cross(p1[tris] - p0[tris], p2[tris] - p0[tris]), axis=-1
@@ -907,6 +953,47 @@ def build_emitter_table(emitters, meshes, geo):
         table = _dc.replace(
             table, env_image=img, env_row_cdf=row_cdf, env_col_cdf=col_cdf,
             env_scale=jnp.asarray(env_scale, jnp.float32),
+        )
+
+    # projector local frame + irradiance texture (projector.cpp)
+    if EMITTER_PROJECTOR in present:
+        frame_s = np.tile(np.array([[1, 0, 0]], np.float32), (e_count, 1))
+        frame_t = np.tile(np.array([[0, 1, 0]], np.float32), (e_count, 1))
+        proj_img = np.ones((1, 1, 3), np.float32)
+        for i, e in enumerate(emitters):
+            if TYPE_MAP.get(e["type"]) != EMITTER_PROJECTOR:
+                continue
+            if "to_world" in e:
+                M = np.asarray(e["to_world"], np.float64)
+                frame_s[i] = M[:3, 0] / np.linalg.norm(M[:3, 0])
+                frame_t[i] = M[:3, 1] / np.linalg.norm(M[:3, 1])
+            else:
+                # arbitrary host-side frame around the direction axis
+                d_ax = direction[i] / max(np.linalg.norm(direction[i]), 1e-12)
+                h = (
+                    np.array([1.0, 0, 0])
+                    if abs(d_ax[0]) < 0.9 else np.array([0, 1.0, 0])
+                )
+                s_np = np.cross(h, d_ax)
+                s_np /= max(np.linalg.norm(s_np), 1e-12)
+                frame_s[i] = s_np
+                frame_t[i] = np.cross(d_ax, s_np)
+            img_e = e.get("irradiance")
+            if isinstance(img_e, np.ndarray):
+                proj_img = np.asarray(img_e, np.float32)
+            elif "image" in e:
+                proj_img = np.asarray(e["image"], np.float32)
+            elif "texture" in e or "filename" in e:
+                from ..utils.io import read_bitmap
+
+                proj_img = np.asarray(
+                    read_bitmap(e.get("texture", e.get("filename"))), np.float32
+                )
+        table = _dc.replace(
+            table,
+            frame_s=jnp.asarray(frame_s),
+            frame_t=jnp.asarray(frame_t),
+            proj_image=jnp.asarray(proj_img),
         )
 
     # per-emitter spectral curves ("spectrum" prop: d65 / blackbody /

@@ -117,3 +117,37 @@ def test_chi2_principled(metallic, rough):
         ),
         wi, ires=32,
     )
+
+
+@pytest.mark.parametrize("spec_trans,diff_trans", [(0.0, 0.0), (0.7, 0.0),
+                                                   (0.4, 1.0), (1.0, 0.0)])
+def test_chi2_principledthin(spec_trans, diff_trans):
+    from mitsuba3_plt_tpu.librender.bsdf import BSDF_PRINCIPLED_THIN
+
+    wi = np.asarray([0.3, -0.2, 0.93])
+    wi = wi / np.linalg.norm(wi)
+    run_chi2(
+        LoadedBSDF(
+            BSDF_PRINCIPLED_THIN, base_color=(0.6, 0.5, 0.4),
+            alpha=(0.5, 0.5), eta_re=(1.5,) * 3,
+            pr_params=(spec_trans, diff_trans / 2.0, 0.0, 0.0, 0.5, 0.0,
+                       0.0, 0.0),
+        ),
+        wi, ires=32,
+    )
+
+
+def test_chi2_principledthin_backside():
+    """Thin BSDF is symmetric: sampling from below must also match its pdf."""
+    from mitsuba3_plt_tpu.librender.bsdf import BSDF_PRINCIPLED_THIN
+
+    wi = np.asarray([0.3, 0.1, -0.94])
+    wi = wi / np.linalg.norm(wi)
+    run_chi2(
+        LoadedBSDF(
+            BSDF_PRINCIPLED_THIN, base_color=(0.6, 0.5, 0.4),
+            alpha=(0.4, 0.4), eta_re=(1.5,) * 3,
+            pr_params=(0.5, 0.3, 0.2, 0.3, 0.5, 0.5, 0.0, 0.3),
+        ),
+        wi, ires=32,
+    )

@@ -1,0 +1,165 @@
+"""directionalspot + projector emitters (reference
+src/emitters/directionalspot.cpp, src/emitters/projector.cpp)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import mitsuba3_plt_tpu as mi
+from mitsuba3_plt_tpu.core import transform as tf
+from mitsuba3_plt_tpu.scene import emitters as em_mod
+
+
+def _render(scene_dict, spp=32):
+    scene, meta = mi.load_dict(scene_dict)
+    img = mi.render(scene, spp=spp, seed=3)
+    return np.asarray(img)
+
+
+def _plane_scene(emitter):
+    return {
+        "type": "scene",
+        "integrator": {"type": "path", "max_depth": 2},
+        "sensor": {
+            "type": "perspective",
+            "fov": 45,
+            "to_world": tf.look_at([0, 0, 4], [0, 0, 0], [0, 1, 0]),
+            "film": {"type": "hdrfilm", "width": 32, "height": 32},
+        },
+        "light": emitter,
+        "plane": {
+            "type": "rectangle",
+            "bsdf": {"type": "diffuse", "reflectance": 0.8},
+        },
+    }
+
+
+def test_directionalspot_zero_spread_matches_directional():
+    d = {"type": "directionalspot", "direction": [0, 0, -1],
+         "irradiance": [1.5, 1.5, 1.5], "spread_angle": 0.0}
+    ref = {"type": "directional", "direction": [0, 0, -1],
+           "irradiance": [1.5, 1.5, 1.5]}
+    a = _render(_plane_scene(d))
+    b = _render(_plane_scene(ref))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_directionalspot_spread_preserves_energy():
+    # jittering the delta direction within a small cone must not change the
+    # delivered irradiance (pdf stays 1; directionalspot.cpp sample_direction)
+    d = {"type": "directionalspot", "direction": [0, 0, -1],
+         "irradiance": [2.0, 2.0, 2.0], "spread_angle": 0.05}
+    ref = {"type": "directional", "direction": [0, 0, -1],
+           "irradiance": [2.0, 2.0, 2.0]}
+    a = _render(_plane_scene(d), spp=128)
+    b = _render(_plane_scene(ref), spp=128)
+    # cos-factor varies by <0.2% within a 0.05 rad cone
+    np.testing.assert_allclose(a.mean(), b.mean(), rtol=5e-3)
+    assert np.all(np.isfinite(a))
+
+
+def _make_projector_table(img, fov=90.0, scale=1.0):
+    scene, _ = mi.load_dict({
+        "type": "scene",
+        "integrator": {"type": "path", "max_depth": 2},
+        "sensor": {
+            "type": "perspective", "fov": 45,
+            "to_world": tf.look_at([0, 0, 4], [0, 0, 0], [0, 1, 0]),
+            "film": {"type": "hdrfilm", "width": 16, "height": 16},
+        },
+        "light": {
+            "type": "projector",
+            "irradiance": img,
+            "fov": fov,
+            "scale": scale,
+            "to_world": tf.look_at([0, 0, 2], [0, 0, 0], [0, 1, 0]),
+        },
+        "plane": {
+            "type": "rectangle",
+            "bsdf": {"type": "diffuse", "reflectance": 0.8},
+        },
+    })
+    return scene
+
+
+def test_projector_on_axis_irradiance():
+    """On the projection axis, radiance = pi * scale * tex / dist^2
+    (projector.cpp sample_direction: z_local^2 * cos = dist^2 at cos=1)."""
+    img = np.full((8, 8, 3), 1.0, np.float32)
+    scene = _make_projector_table(img, fov=90.0, scale=2.0)
+    em = scene.emitters
+    # lane at the plane origin looking back at the projector at (0,0,2)
+    d = jnp.asarray([[0.0, 0.0, 1.0]])  # toward the emitter
+    dist = jnp.asarray([2.0])
+    e_idx = jnp.asarray([0], jnp.int32)
+    val = np.asarray(em_mod.eval_emitter(em, e_idx, d, dist, jnp.asarray([True])))
+    expect = np.pi * 2.0 * 1.0 / 4.0
+    np.testing.assert_allclose(val[0], expect, rtol=1e-5)
+
+
+def test_projector_outside_fov_is_dark():
+    img = np.full((8, 8, 3), 1.0, np.float32)
+    scene = _make_projector_table(img, fov=30.0, scale=1.0)
+    em = scene.emitters
+    # 40 deg off-axis > fov/2 = 15 deg -> zero
+    ang = np.deg2rad(40.0)
+    d = jnp.asarray([[np.sin(ang), 0.0, np.cos(ang)]], jnp.float32)
+    val = np.asarray(em_mod.eval_emitter(
+        em, jnp.asarray([0], jnp.int32), d, jnp.asarray([2.0]),
+        jnp.asarray([True])
+    ))
+    assert np.all(val == 0.0)
+
+
+def test_projector_render_projects_texture():
+    # left half of the texture bright, right half dark -> the rendered plane
+    # must be asymmetric
+    img = np.zeros((8, 8, 3), np.float32)
+    img[:, :4] = 4.0
+    scene = _make_projector_table(img, fov=60.0, scale=1.0)
+    out = np.asarray(mi.render(scene, spp=64, seed=1))
+    assert np.all(np.isfinite(out))
+    left = out[:, :8].mean()
+    right = out[:, 8:].mean()
+    assert (left > 4 * right) or (right > 4 * left), (left, right)
+
+
+def test_directionalarea_dark_to_camera_lit_by_ptracer():
+    """directionalarea: invisible to BSDF/camera rays (eval = 0,
+    directionalarea.cpp:164) but emits along its normal via ptracer."""
+    from mitsuba3_plt_tpu.config import RGB
+    from mitsuba3_plt_tpu.integrators.ptracer import render_ptracer
+
+    scene_dict = {
+        "type": "scene",
+        "integrator": {"type": "path", "max_depth": 3},
+        "sensor": {
+            "type": "perspective", "fov": 60,
+            "to_world": tf.look_at([0, 0, 4], [0, 0, 0], [0, 1, 0]),
+            "film": {"type": "hdrfilm", "width": 16, "height": 16},
+        },
+        # small emitter panel at z=2, flipped so its normal (-z) points at the
+        # wall front; particles fly along -z and light the wall the camera sees
+        "panel": {
+            "type": "rectangle",
+            "to_world": np.asarray(
+                tf.translate([0.0, 0.0, 2.0]) @ tf.rotate([0, 1, 0], 180.0)
+                @ tf.scale(0.2),
+                np.float32,
+            ),
+            "emitter": {"type": "directionalarea", "radiance": 5.0},
+        },
+        "wall": {
+            "type": "rectangle",
+            "bsdf": {"type": "diffuse", "reflectance": 0.8},
+        },
+    }
+    scene, _ = mi.load_dict(scene_dict)
+    # path render: the panel is invisible (delta-direction emission: eval = 0,
+    # no NEE connection) and is the only emitter -> black image
+    img_path = np.asarray(mi.render(scene, spp=16, seed=0))
+    assert img_path.max() == 0.0
+    # ptracer: the wall front (facing the camera at z=4) is lit by the beam
+    img_pt = np.asarray(render_ptracer(scene, n_particles=1 << 14, seed=0,
+                                       cfg=RGB))
+    assert np.all(np.isfinite(img_pt))
+    assert img_pt.max() > 0.0

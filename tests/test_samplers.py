@@ -51,3 +51,53 @@ def test_variance_reduction_ranking():
         est[name] = float(np.std(vals))
     assert est["cmj"] < 0.5 * est["independent"], est
     assert est["halton"] < 0.8 * est["independent"], est
+
+
+def test_orthogonal_oa_properties():
+    """Bose OA strength 2 (orthogonal.cpp:224-252): for square spp, every
+    res x res stratum holds exactly one point and each 1D projection is
+    N-rooks (all spp fine strata distinct)."""
+    from mitsuba3_plt_tpu.core.rng import orthogonal_2d
+
+    spp = 16
+    res = 4
+    for pat in [3, 77, 912]:
+        pts = np.asarray(
+            orthogonal_2d(jnp.arange(spp, dtype=jnp.uint32), spp,
+                          jnp.full(spp, pat, jnp.uint32))
+        )
+        assert pts.min() >= 0.0 and pts.max() < 1.0
+        cx = np.floor(pts[:, 0] * res).astype(int)
+        cy = np.floor(pts[:, 1] * res).astype(int)
+        cells = set(zip(cx.tolist(), cy.tolist()))
+        assert len(cells) == spp, (pat, sorted(cells))
+        fx = np.floor(pts[:, 0] * spp).astype(int)
+        fy = np.floor(pts[:, 1] * spp).astype(int)
+        assert len(set(fx.tolist())) == spp, pat
+        assert len(set(fy.tolist())) == spp, pat
+
+
+def test_orthogonal_variance_beats_independent():
+    from mitsuba3_plt_tpu.core.rng import orthogonal_2d
+
+    f = lambda p: np.sin(6.28 * p[..., 0]) * np.cos(6.28 * p[..., 1]) \
+        + p[..., 0] * p[..., 1]
+    rng = np.random.default_rng(1)
+    spp = 64
+    idx = jnp.arange(spp, dtype=jnp.uint32)
+    vals_oa, vals_ind = [], []
+    for pat in range(120):
+        pts = np.asarray(orthogonal_2d(idx, spp, jnp.full(spp, pat, jnp.uint32)))
+        vals_oa.append(f(pts).mean())
+        vals_ind.append(f(rng.random((spp, 2))).mean())
+    assert np.std(vals_oa) < 0.5 * np.std(vals_ind), \
+        (np.std(vals_oa), np.std(vals_ind))
+
+
+def test_orthogonal_render_smoke():
+    import mitsuba3_plt_tpu as mi
+    from mitsuba3_plt_tpu.scene.presets import cornell_box
+
+    scene, _ = cornell_box(16, 16)
+    img = np.asarray(mi.render(scene, spp=16, seed=0, sampler_type="orthogonal"))
+    assert np.all(np.isfinite(img)) and img.mean() > 0
