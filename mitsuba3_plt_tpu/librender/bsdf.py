@@ -152,6 +152,10 @@ class MaterialTable:
     tex_uv_scale: Any = None  # [M, 2] uv tiling
     tex_color1: Any = None    # [M, 3] checkerboard second color
     tex_stack: Any = None     # [T, R, R, 3] bitmap stack (common resolution)
+    # --- measured materials (reference src/bsdfs/measured.cpp): index into
+    # the scene's MeasuredTables pytree riding in `meas` ---
+    meas_idx: Any = None      # [M] int32 (-1 none)
+    meas: Any = None          # MeasuredTables or None
 
     present_types: Tuple[int, ...] = dataclasses.field(
         default=(), metadata=dict(static=True)
@@ -205,7 +209,7 @@ class MaterialTable:
         widths = []
         dtypes = []
         for f in dataclasses.fields(self):
-            if f.metadata.get("static") or f.name == "tex_stack":
+            if f.metadata.get("static") or f.name in ("tex_stack", "meas"):
                 continue
             arr = getattr(self, f.name)
             if arr is None:

@@ -45,6 +45,7 @@ from .bsdf import (
     BSDF_RETARDER,
     BSDF_CIRCULAR,
     BSDF_PPLASTIC,
+    BSDF_MEASURED,
     BSDF_ROUGH_GRATING,
     BSDF_BLEND,
     BSDF_NORMALMAP,
@@ -1019,6 +1020,184 @@ class Principled:
 
 
 # ---------------------------------------------------------------------------
+# measured (RGL data-driven BRDF) — reference src/bsdfs/measured.cpp.
+# Tables ride on MaterialTable.meas (a MeasuredTables pytree, stashed into
+# the gathered dict as p["_meas"]); p["meas_idx"] selects the material.
+# ---------------------------------------------------------------------------
+
+class Measured:
+    @staticmethod
+    def _folded_wi(meas, k, wi):
+        """Symmetry reduction sign-folding (measured.cpp:411-419)."""
+        red = meas.reduction[k]
+        sy = wi[..., 1]
+        sx = jnp.where(red == 4, wi[..., 0], sy)
+        flip_x = jnp.where((red >= 2) & (sx < 0), -1.0, 1.0)
+        flip_y = jnp.where((red >= 2) & (sy < 0), -1.0, 1.0)
+        flip = jnp.stack([flip_x, flip_y, jnp.ones_like(flip_x)], axis=-1)
+        return wi * flip, flip
+
+    @staticmethod
+    def _common(p, si, wo):
+        from . import measured as meas_mod
+
+        meas = p["_meas"]
+        k = jnp.maximum(p["meas_idx"].astype(jnp.int32), 0)
+        wi, flip = Measured._folded_wi(meas, k, si.wi)
+        wo_f = wo * flip
+        cos_i = fr.cos_theta(wi)
+        cos_o = fr.cos_theta(wo_f)
+        active = (cos_i > 0) & (cos_o > 0)
+        h = fr.normalize(wi + wo_f)
+        theta_i = meas_mod._elevation(wi)
+        phi_i = jnp.arctan2(wi[..., 1], wi[..., 0])
+        theta_m = meas_mod._elevation(h)
+        phi_m = jnp.arctan2(h[..., 1], h[..., 0])
+        iso = meas.isotropic[k]
+        u_x = meas_mod._theta2u(theta_m)
+        u_y = meas_mod._phi2u(jnp.where(iso, phi_m - phi_i, phi_m))
+        u_y = u_y - jnp.floor(u_y)
+        return meas, k, wi, wo_f, h, theta_i, phi_i, u_x, u_y, active
+
+    @staticmethod
+    def _mixture_pdf_and_sample_pos(meas, sl, w, u_x, u_y):
+        """Per-slice vndf inversion at u_m: returns mixture pdf over the
+        unit square (vndf density x luminance density at the inverted
+        position) and the mixture-averaged sample position (x_s, y_s)."""
+        from . import measured as meas_mod
+
+        pdf_acc = 0.0
+        xs_acc = 0.0
+        ys_acc = 0.0
+        for s in range(4):
+            sls = sl[..., s]
+            a, b, pdf_v = meas_mod.warp_invert(
+                sls, u_x, u_y, meas.vndf_d, meas.vndf_row, meas.vndf_marg,
+                meas.vndf_cond,
+            )
+            # vndf input drivers (a, b) = lum output position (y_s, x_s)
+            x_s, y_s = b, a
+            pdf_l = meas_mod.grid_eval(sls, x_s, y_s, meas.lum_d)
+            pdf_acc = pdf_acc + w[..., s] * pdf_v * pdf_l
+            xs_acc = xs_acc + w[..., s] * x_s
+            ys_acc = ys_acc + w[..., s] * y_s
+        return pdf_acc, xs_acc, ys_acc
+
+    @staticmethod
+    def _jacobian(wi, h, u_x):
+        theta_m = jnp.arccos(jnp.clip(fr.cos_theta(h), -1.0, 1.0))
+        return jnp.maximum(
+            2.0 * (jnp.pi ** 2) * u_x * jnp.sin(theta_m), 1e-6
+        ) * 4.0 * jnp.maximum(fr.dot(wi, h), 1e-9)
+
+    @staticmethod
+    def eval(p, si, wo, ctx, cfg, wavelengths):
+        from . import measured as meas_mod
+
+        meas, k, wi, wo_f, h, theta_i, phi_i, u_x, u_y, active = \
+            Measured._common(p, si, wo)
+        sl, w = meas_mod._slice_weights(meas, k, theta_i, phi_i)
+        _, x_s, y_s = Measured._mixture_pdf_and_sample_pos(
+            meas, sl, w, u_x, u_y
+        )
+        spec = meas_mod._spectra_eval(meas, sl, w, x_s, y_s, wavelengths, cfg)
+        # jacobian term: ndf(u_m) / (4 sigma(u_wi)) (measured.cpp:352-355)
+        u_wi_x = meas_mod._theta2u(theta_i)
+        u_wi_y = meas_mod._phi2u(phi_i)
+        ndf_v = meas_mod.grid_eval(k, u_x, u_y, meas.ndf)
+        sigma_v = meas_mod.grid_eval(k, u_wi_x, u_wi_y, meas.sigma)
+        jfac = jnp.where(
+            meas.jacobian[k], ndf_v / jnp.maximum(4.0 * sigma_v, 1e-12), 1.0
+        )
+        out = spec * jfac[..., None]
+        out = jnp.where(active[..., None], out, 0.0)
+        return depolarized(out, cfg)
+
+    @staticmethod
+    def pdf(p, si, wo, ctx, cfg):
+        from . import measured as meas_mod
+
+        meas, k, wi, wo_f, h, theta_i, phi_i, u_x, u_y, active = \
+            Measured._common(p, si, wo)
+        sl, w = meas_mod._slice_weights(meas, k, theta_i, phi_i)
+        pdf_sq, _, _ = Measured._mixture_pdf_and_sample_pos(
+            meas, sl, w, u_x, u_y
+        )
+        pdf = pdf_sq / Measured._jacobian(wi, h, u_x)
+        return jnp.where(active, pdf, 0.0)
+
+    @staticmethod
+    def sample(p, si, u1, u2, ctx, cfg, wavelengths):
+        from . import measured as meas_mod
+
+        meas = p["_meas"]
+        n = si.wi.shape[0]
+        k = jnp.maximum(p["meas_idx"].astype(jnp.int32), 0)
+        wi, flip = Measured._folded_wi(meas, k, si.wi)
+        cos_i = fr.cos_theta(wi)
+        active = cos_i > 0
+        theta_i = meas_mod._elevation(wi)
+        phi_i = jnp.arctan2(wi[..., 1], wi[..., 0])
+        sl, w = meas_mod._slice_weights(meas, k, theta_i, phi_i)
+
+        # stochastic slice pick by bilinear weight (uses u1, which the
+        # reference discards) — realized density = sum_s w_s p_s
+        c1 = w[..., 0]
+        c2 = c1 + w[..., 1]
+        c3 = c2 + w[..., 2]
+        s_pick = (
+            (u1 >= c1).astype(jnp.int32) + (u1 >= c2).astype(jnp.int32)
+            + (u1 >= c3).astype(jnp.int32)
+        )
+        sl_pick = jnp.take_along_axis(sl, s_pick[..., None], -1)[..., 0]
+
+        # luminance warp then vndf warp (measured.cpp:270-276)
+        x_s, y_s, _ = meas_mod.warp_sample(
+            sl_pick, u2[..., 1], u2[..., 0], meas.lum_d, meas.lum_row,
+            meas.lum_marg, meas.lum_cond,
+        )
+        u_x, u_y, _ = meas_mod.warp_sample(
+            sl_pick, y_s, x_s, meas.vndf_d, meas.vndf_row, meas.vndf_marg,
+            meas.vndf_cond,
+        )
+        theta_m = meas_mod._u2theta(u_x)
+        phi_m = meas_mod._u2phi(u_y)
+        iso = meas.isotropic[k]
+        phi_m = jnp.where(iso, phi_m + phi_i, phi_m)
+        st, ct = jnp.sin(theta_m), jnp.cos(theta_m)
+        h = jnp.stack(
+            [jnp.cos(phi_m) * st, jnp.sin(phi_m) * st, ct], axis=-1
+        )
+        wo_f = fr.reflect_n(wi, h)
+        wo = wo_f * flip
+
+        pdf = Measured.pdf(p, si, wo, ctx, cfg)
+        f = Measured.eval(p, si, wo, ctx, cfg, wavelengths)
+        ok = active & (fr.cos_theta(wo_f) > 0) & (pdf > 1e-12)
+        weight = where_value(
+            ok,
+            mul_value(
+                f,
+                jnp.broadcast_to(
+                    (1.0 / jnp.maximum(pdf, 1e-12))[..., None],
+                    (n, cfg.n_channels),
+                ),
+                cfg,
+            ),
+            zeros_value(n, cfg),
+            cfg,
+        )
+        bs = BSDFSample(
+            wo=wo,
+            pdf=pdf,
+            eta=jnp.ones((n,), jnp.float32),
+            sampled_type=jnp.full((n,), jnp.uint32(BSDFFlags.GlossyReflection)),
+            sampled_component=jnp.zeros((n,), jnp.int32),
+        )
+        return bs, weight, ok
+
+
+# ---------------------------------------------------------------------------
 # principledthin — reference src/bsdfs/principledthin.cpp: symmetric thin
 # sheet with 4 lobes (GGX specular reflection, thin specular transmission
 # with Burley's IOR-scaled roughness, Disney diffuse/retro/fake-subsurface/
@@ -1545,6 +1724,7 @@ IMPLS = {
     BSDF_PPLASTIC: PPlastic,
     BSDF_PRINCIPLED: Principled,
     BSDF_PRINCIPLED_THIN: PrincipledThin,
+    BSDF_MEASURED: Measured,
 }
 
 
@@ -1729,9 +1909,11 @@ def _nested_remap(mat, midx, p, si, u1):
     p_a = mat.gather(midx_a)
     p_a["_uv"] = si.uv
     p_a["_tex_stack"] = mat.tex_stack
+    p_a["_meas"] = mat.meas
     p_b = mat.gather(midx_b)
     p_b["_uv"] = si.uv
     p_b["_tex_stack"] = mat.tex_stack
+    p_b["_meas"] = mat.meas
     return p_a, p_b, si_p, (s_, t_, n_), u1_eff, is_blend, w, perturb
 
 
@@ -1758,6 +1940,7 @@ def sample(mat: MaterialTable, midx, si, u1, u2, ctx, cfg, wavelengths=None):
     si_eff, flip = _effective_si(p, si)
     p["_uv"] = si_eff.uv
     p["_tex_stack"] = mat.tex_stack
+    p["_meas"] = mat.meas
 
     if not _has_nested(mat):
         bs_acc, val_acc, ok_acc = _loop_sample(
@@ -1825,6 +2008,7 @@ def eval_(mat: MaterialTable, midx, si, wo, ctx, cfg, wavelengths=None):
     wo_eff = jnp.where(flip[..., None], _flip_z(wo), wo)
     p["_uv"] = si_eff.uv
     p["_tex_stack"] = mat.tex_stack
+    p["_meas"] = mat.meas
 
     if not _has_nested(mat):
         return _loop_eval(mat, p, si_eff, wo_eff, ctx, cfg, wavelengths)
@@ -1855,6 +2039,7 @@ def pdf(mat: MaterialTable, midx, si, wo, ctx, cfg):
     si_eff, flip = _effective_si(p, si)
     p["_uv"] = si_eff.uv
     p["_tex_stack"] = mat.tex_stack
+    p["_meas"] = mat.meas
     wo_eff = jnp.where(flip[..., None], _flip_z(wo), wo)
 
     if not _has_nested(mat):

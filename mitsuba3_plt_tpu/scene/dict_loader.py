@@ -16,6 +16,7 @@ from ..librender.bsdf import (
     BSDF_THIN_DIELECTRIC, BSDF_ROUGH_DIELECTRIC, BSDF_PLASTIC,
     BSDF_ROUGH_PLASTIC, BSDF_MASK, BSDF_POLARIZER, BSDF_RETARDER,
     BSDF_ROUGH_GRATING, BSDF_NULL, BSDF_PRINCIPLED, BSDF_PRINCIPLED_THIN,
+    BSDF_MEASURED,
 )
 from ..librender.sensor import Sensor
 from . import shape as shp
@@ -37,6 +38,7 @@ BSDF_TYPE_MAP = {
     "null": BSDF_NULL,
     "principled": BSDF_PRINCIPLED,
     "principledthin": BSDF_PRINCIPLED_THIN,
+    "measured": BSDF_MEASURED,
 }
 
 
@@ -116,6 +118,11 @@ def _parse_bsdf_dict(d: dict) -> LoadedBSDF:
             float(d.get("sheen_tint", 0.5)), float(d.get("flatness", 0.0)),
             0.0, float(d.get("anisotropic", 0.0)),
         )
+    if bt == BSDF_MEASURED:
+        if "filename" in d:
+            kw["filename"] = d["filename"]
+        if "data" in d:
+            kw["meas_data"] = d["data"]  # parsed tensor dict (tests)
     if "opacity" in d:
         kw["weight"] = float(d["opacity"]) if np.isscalar(d["opacity"]) else 0.5
     if "theta" in d:

@@ -22,7 +22,7 @@ from ..librender.bsdf import (
     BSDF_NULL, BSDF_DIFFUSE, BSDF_CONDUCTOR, BSDF_ROUGH_CONDUCTOR,
     BSDF_DIELECTRIC, BSDF_THIN_DIELECTRIC, BSDF_ROUGH_GRATING,
     BSDF_BLEND, BSDF_NORMALMAP, BSDF_BUMPMAP, BSDF_PRINCIPLED,
-    BSDF_PRINCIPLED_THIN,
+    BSDF_PRINCIPLED_THIN, BSDF_MEASURED,
 )
 from ..librender.sensor import Sensor
 from .emitters import (
@@ -308,6 +308,11 @@ def _parse_bsdf(elem, defaults) -> LoadedBSDF:
             ),
             **kw,
         )
+    if btype == "measured":
+        fn = p.get("filename", "")
+        if not os.path.isabs(fn):
+            fn = os.path.join(defaults.get("__base_dir", "."), fn)
+        return LoadedBSDF(BSDF_MEASURED, filename=fn)
     if btype == "null":
         return LoadedBSDF(BSDF_NULL)
     if btype == "mask":
@@ -686,6 +691,7 @@ def build_material_table(bsdf_list: List[LoadedBSDF]) -> MaterialTable:
             | BSDFFlags.DiffuseReflection | BSDFFlags.DiffuseTransmission
             | BSDFFlags.FrontSide | BSDFFlags.BackSide
         ),
+        BSDF_MEASURED: BSDFFlags.GlossyReflection | BSDFFlags.FrontSide,
     }
 
     for i, lb in enumerate(bsdf_list):
@@ -799,10 +805,38 @@ def build_material_table(bsdf_list: List[LoadedBSDF]) -> MaterialTable:
             ),
         )
 
+    # --- measured materials: load tensor files, stack into MeasuredTables --
+    meas_kw = {}
+    meas_rows = [
+        (i, lb) for i, lb in enumerate(bsdf_list)
+        if lb.btype == BSDF_MEASURED
+    ]
+    if meas_rows:
+        from ..librender.measured import (
+            read_tensor_file, build_measured_tables,
+        )
+
+        meas_idx = np.full(m_count, -1, np.int32)
+        datasets = []
+        file_cache = {}
+        for i, lb in meas_rows:
+            src = lb.params.get("meas_data")
+            if src is None:
+                fn = lb.params["filename"]
+                if fn not in file_cache:
+                    file_cache[fn] = read_tensor_file(fn)
+                src = file_cache[fn]
+            meas_idx[i] = len(datasets)
+            datasets.append(src)
+        meas_kw = dict(
+            meas_idx=jnp.asarray(meas_idx),
+            meas=build_measured_tables(datasets),
+        )
+
     from ..librender.bsdf import finalize_grating_meta
 
     return finalize_grating_meta(dc.replace(
-        tab, base_color_coeff=jnp.asarray(coeffs), **upd, **tex_kw,
+        tab, base_color_coeff=jnp.asarray(coeffs), **upd, **tex_kw, **meas_kw,
         present_types=tuple(present),
     ))
 
