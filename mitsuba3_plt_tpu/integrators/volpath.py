@@ -86,9 +86,9 @@ class VolPathIntegrator:
             else:
                 tr = medium.transmittance(ds.dist)[..., :C]
 
-            # scattering kernel value toward the light
-            cos_sc = fr.dot(ds.d, -wi_world)
-            ph = med.phase_eval(medium, cos_sc)
+            # scattering kernel value toward the light (full directions —
+            # SGGX is azimuth-dependent)
+            ph = med.phase_eval_dir(medium, wi_world, ds.d)
             sigma_s = (medium.albedo * medium.sigma_t)[None, :C]
             f_medium = sigma_s * ph[..., None] / jnp.maximum(
                 medium.sigma_t[None, :C], 1e-8

@@ -23,6 +23,9 @@ from ..core import frame as fr
 PHASE_ISOTROPIC = 0
 PHASE_HG = 1
 PHASE_RAYLEIGH = 2
+PHASE_SGGX = 3      # specular SGGX microflakes (src/phase/sggx.cpp)
+PHASE_TAB = 4       # tabulated over cos(theta) (src/phase/tabphase.cpp)
+PHASE_BLEND = 5     # weight-blend of two phases (src/phase/blendphase.cpp)
 
 # fixed null-collision sweep length: majorant-normalized free paths per
 # lane; enough for optical depths ~ tens (masked lanes idle, XLA-friendly)
@@ -46,15 +49,40 @@ class Medium:
     heterogeneous: bool = dataclasses.field(
         default=False, metadata=dict(static=True)
     )
+    # SGGX microflake matrix S, 6 components (Sxx, Syy, Szz, Sxy, Sxz, Syz)
+    sggx_S: Any = None
+    # tabulated phase over cos(theta) in [-1, 1]: normalized node pdf values
+    # + cumulative trapezoids (physics convention, tabphase.cpp:59-66)
+    tab_pdf: Any = None   # [K]
+    tab_cdf: Any = None   # [K-1]
+    # blendphase: second phase type + blend weight (weight = probability of
+    # the SECOND phase, matching blendphase.cpp semantics)
+    phase2_type: int = dataclasses.field(
+        default=PHASE_ISOTROPIC, metadata=dict(static=True)
+    )
+    blend_weight: Any = None
+    g2: Any = None        # HG asymmetry of the second blended phase
 
     @staticmethod
     def create(sigma_t=(0.5, 0.5, 0.5), albedo=(0.8, 0.8, 0.8), g=0.0,
-               phase_type=PHASE_HG):
+               phase_type=PHASE_HG, sggx_S=None, tab_values=None,
+               phase2_type=PHASE_ISOTROPIC, blend_weight=0.5, g2=0.0):
+        kw = {}
+        if sggx_S is not None:
+            kw["sggx_S"] = jnp.asarray(sggx_S, jnp.float32)
+        if tab_values is not None:
+            pdf, cdf = build_tab_tables(tab_values)
+            kw["tab_pdf"] = pdf
+            kw["tab_cdf"] = cdf
         return Medium(
             sigma_t=jnp.asarray(sigma_t, jnp.float32),
             albedo=jnp.asarray(albedo, jnp.float32),
             g=jnp.asarray(g, jnp.float32),
             phase_type=phase_type,
+            phase2_type=phase2_type,
+            blend_weight=jnp.asarray(blend_weight, jnp.float32),
+            g2=jnp.asarray(g2, jnp.float32),
+            **kw,
         )
 
     @staticmethod
@@ -232,29 +260,264 @@ def rayleigh_eval(cos_theta):
     return (3.0 / (16.0 * m.Pi)) * (1.0 + cos_theta * cos_theta)
 
 
-def phase_eval(medium: Medium, cos_theta):
-    if medium.phase_type == PHASE_HG:
-        return hg_eval(medium.g, cos_theta)
-    if medium.phase_type == PHASE_RAYLEIGH:
+# --- SGGX specular microflakes (reference src/phase/sggx.cpp; Heitz et al.
+# 2015 "The SGGX Microflake Distribution") -----------------------------------
+
+def _sggx_mat(S6):
+    """Symmetric matrix from (Sxx, Syy, Szz, Sxy, Sxz, Syz)."""
+    sxx, syy, szz, sxy, sxz, syz = (S6[..., i] for i in range(6))
+    return jnp.stack(
+        [
+            jnp.stack([sxx, sxy, sxz], -1),
+            jnp.stack([sxy, syy, syz], -1),
+            jnp.stack([sxz, syz, szz], -1),
+        ],
+        axis=-2,
+    )
+
+
+def sggx_projected_area(wi, S6):
+    """sigma(wi) = sqrt(wi^T S wi)."""
+    S = _sggx_mat(S6)
+    Swi = jnp.einsum("...ij,...j->...i", S, wi)
+    return jnp.sqrt(jnp.maximum(jnp.sum(wi * Swi, -1), 1e-12))
+
+
+def sggx_ndf(m_vec, S6):
+    """D(m) = 1 / (pi sqrt|S| (m^T S^-1 m)^2)."""
+    S = _sggx_mat(S6)
+    det = jnp.linalg.det(S)
+    Sinv = jnp.linalg.inv(S + 1e-9 * jnp.eye(3))
+    q = jnp.einsum("...i,...ij,...j->...", m_vec, Sinv, m_vec)
+    return 1.0 / jnp.maximum(
+        m.Pi * jnp.sqrt(jnp.maximum(det, 1e-18)) * q * q, 1e-12
+    )
+
+
+def sggx_sample_vn(wi, u2, S6):
+    """Sample a visible microflake normal around wi (paper supplemental
+    'sample_VNDF'): disk sample lifted through the Cholesky-like factor of
+    S projected into an orthonormal basis (wk, wj, wi)."""
+    r = jnp.sqrt(u2[..., 0])
+    phi = 2.0 * m.Pi * u2[..., 1]
+    u = r * jnp.cos(phi)
+    v = r * jnp.sin(phi)
+    w = jnp.sqrt(jnp.maximum(1.0 - u * u - v * v, 0.0))
+
+    wk, wj = fr.coordinate_system(wi)
+    S = _sggx_mat(S6)
+
+    def q(a, b):
+        return jnp.einsum(
+            "...i,...i->...", a, jnp.einsum("...ij,...j->...i", S, b)
+        )
+
+    S_kk = q(wk, wk)
+    S_jj = q(wj, wj)
+    S_ii = q(wi, wi)
+    S_kj = q(wk, wj)
+    S_ki = q(wk, wi)
+    S_ji = q(wj, wi)
+
+    det = (
+        S_kk * S_jj * S_ii - S_kj * S_kj * S_ii - S_ki * S_ki * S_jj
+        - S_ji * S_ji * S_kk + 2.0 * S_kj * S_ki * S_ji
+    )
+    sqrt_det = jnp.sqrt(jnp.maximum(jnp.abs(det), 1e-18))
+    inv_sqrt_Sii = 1.0 / jnp.sqrt(jnp.maximum(S_ii, 1e-12))
+    tmp = jnp.sqrt(jnp.maximum(S_jj * S_ii - S_ji * S_ji, 1e-12))
+    Mk = jnp.stack([sqrt_det / tmp, jnp.zeros_like(tmp), jnp.zeros_like(tmp)], -1)
+    Mj = jnp.stack(
+        [
+            -inv_sqrt_Sii * (S_ki * S_ji - S_kj * S_ii) / tmp,
+            inv_sqrt_Sii * tmp,
+            jnp.zeros_like(tmp),
+        ],
+        -1,
+    )
+    Mi = jnp.stack(
+        [inv_sqrt_Sii * S_ki, inv_sqrt_Sii * S_ji, inv_sqrt_Sii * S_ii], -1
+    )
+    wm_kji = fr.normalize(
+        u[..., None] * Mk + v[..., None] * Mj + w[..., None] * Mi
+    )
+    return (
+        wk * wm_kji[..., 0:1] + wj * wm_kji[..., 1:2] + wi * wm_kji[..., 2:3]
+    )
+
+
+def sggx_pdf_wo(wi, wo, S6):
+    """Phase value/pdf of the specular SGGX: wo = reflect(wi, m) with m a
+    visible normal => p(wo) = D(h) / (4 sigma(wi)) with h = |wi + wo| hat
+    (sggx.cpp sample(): 0.25 * sggx_pdf / projected_area)."""
+    h = fr.normalize(wi + wo)
+    return 0.25 * sggx_ndf(h, S6) / sggx_projected_area(wi, S6)
+
+
+# --- tabulated phase over cos(theta) (reference src/phase/tabphase.cpp) ----
+
+def build_tab_tables(values):
+    """Host: normalized node pdf over the cos grid [-1, 1] + cumulative
+    trapezoids (K-1 bands). Normalization: 2*pi * integral d(cos) = 1."""
+    import numpy as np
+
+    v = np.asarray(values, np.float64)
+    K = len(v)
+    dc = 2.0 / (K - 1)
+    band = 0.5 * (v[:-1] + v[1:]) * dc
+    total = band.sum() * 2.0 * np.pi
+    total = total if total > 0 else 1.0
+    pdf = (v / total).astype(np.float32)           # per-steradian at node
+    cdf = np.cumsum(band / band.sum()).astype(np.float32)
+    cdf[-1] = 1.0
+    return jnp.asarray(pdf), jnp.asarray(cdf)
+
+
+def tab_eval(medium, cos_theta):
+    """Phase value at cos(theta) against the propagation direction. The
+    reference tabulates in physics convention (theta' = pi - theta,
+    tabphase.cpp:85-99): eval at cos_theta' = -cos_theta."""
+    pdf = medium.tab_pdf
+    K = pdf.shape[0]
+    tpos = (-cos_theta + 1.0) * 0.5 * (K - 1)
+    i = jnp.clip(jnp.floor(tpos).astype(jnp.int32), 0, K - 2)
+    f = tpos - i
+    return pdf[i] * (1.0 - f) + pdf[i + 1] * f
+
+
+def tab_sample_cos(medium, u1):
+    """Inverse-CDF sample of cos_theta' (physics), returns cos_theta
+    (graphics, against propagation)."""
+    pdf = medium.tab_pdf
+    cdf = medium.tab_cdf
+    K = pdf.shape[0]
+    dc = 2.0 / (K - 1)
+    i = jnp.clip(
+        jnp.sum((cdf < u1[..., None]).astype(jnp.int32), -1), 0, K - 2
+    )
+    prev = jnp.where(i > 0, cdf[jnp.maximum(i - 1, 0)], 0.0)
+    # band mass in the normalized-cdf domain -> convert via total band mass
+    d0 = pdf[i]
+    d1 = pdf[i + 1]
+    band = 0.5 * (d0 + d1)
+    xi = jnp.maximum(u1 - prev, 0.0) / jnp.maximum(
+        cdf[i] - prev, 1e-12
+    ) * band  # rescaled mass within the band (linear density d0->d1)
+    disc = jnp.maximum(d0 * d0 + 2.0 * (d1 - d0) * xi, 0.0)
+    t = jnp.where(
+        jnp.abs(d1 - d0) > 1e-9,
+        (jnp.sqrt(disc) - d0) / jnp.where(jnp.abs(d1 - d0) > 1e-9, d1 - d0, 1.0),
+        xi / jnp.maximum(d0, 1e-12),
+    )
+    t = jnp.clip(t, 0.0, 1.0)
+    cos_prime = -1.0 + (i.astype(jnp.float32) + t) * dc
+    return -cos_prime  # physics -> graphics convention
+
+
+# --- dispatch ---------------------------------------------------------------
+
+def _phase_eval_single(ptype, medium, g, wi_world, wo_world):
+    """Phase value for one analytic type; wi_world points TOWARD the
+    incident source, wo_world is the outgoing scattering direction."""
+    cos_theta = fr.dot(wo_world, -wi_world)
+    if ptype == PHASE_HG:
+        return hg_eval(g, cos_theta)
+    if ptype == PHASE_RAYLEIGH:
         return rayleigh_eval(cos_theta)
+    if ptype == PHASE_SGGX:
+        return sggx_pdf_wo(wi_world, wo_world, medium.sggx_S)
+    if ptype == PHASE_TAB:
+        return tab_eval(medium, cos_theta)
     return jnp.full_like(cos_theta, m.InvFourPi)
 
 
-def phase_sample(medium: Medium, wi_world, u2):
-    """Sample a world-space scattering direction about the propagation
-    direction d = -wi_world. Returns (wo_world, pdf)."""
+def _phase_sample_single(ptype, medium, g, wi_world, u2):
     d = -wi_world  # propagation direction
-    if medium.phase_type == PHASE_HG:
-        wo_local, pdf = hg_sample(medium.g, u2)
+    if ptype == PHASE_HG:
+        wo_local, pdf = hg_sample(g, u2)
+    elif ptype == PHASE_SGGX:
+        mvec = sggx_sample_vn(wi_world, u2, medium.sggx_S)
+        wo = fr.normalize(fr.reflect_n(wi_world, mvec))
+        return wo, sggx_pdf_wo(wi_world, wo, medium.sggx_S)
+    elif ptype == PHASE_TAB:
+        cos_theta = tab_sample_cos(medium, u2[..., 0])
+        sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 0.0))
+        phi = 2.0 * m.Pi * u2[..., 1]
+        wo_local = jnp.stack(
+            [sin_theta * jnp.cos(phi), sin_theta * jnp.sin(phi), cos_theta],
+            axis=-1,
+        )
+        pdf = tab_eval(medium, cos_theta)
     else:
         from ..core import warp
 
         wo_local = warp.square_to_uniform_sphere(u2)
         pdf = jnp.full(wo_local.shape[:-1], m.InvFourPi)
-        if medium.phase_type == PHASE_RAYLEIGH:
+        if ptype == PHASE_RAYLEIGH:
             pdf = rayleigh_eval(wo_local[..., 2])  # approximate via reuse
     s, t = fr.coordinate_system(d)
     wo_world = (
         s * wo_local[..., 0:1] + t * wo_local[..., 1:2] + d * wo_local[..., 2:3]
     )
     return wo_world, pdf
+
+
+def phase_eval_dir(medium: Medium, wi_world, wo_world):
+    """Phase value/pdf for scattering wi -> wo (full directions; SGGX is
+    anisotropic so a cosine alone is not enough)."""
+    if medium.phase_type == PHASE_BLEND:
+        w = medium.blend_weight
+        v0 = _phase_eval_single(PHASE_HG, medium, medium.g, wi_world, wo_world)
+        v1 = _phase_eval_single(
+            medium.phase2_type, medium, medium.g2, wi_world, wo_world
+        )
+        return (1.0 - w) * v0 + w * v1
+    return _phase_eval_single(
+        medium.phase_type, medium, medium.g, wi_world, wo_world
+    )
+
+
+def phase_eval(medium: Medium, cos_theta):
+    """Legacy cosine-only entry (isotropic-in-azimuth phases). Kept for
+    callers that precompute cos(theta) against the propagation direction."""
+    if medium.phase_type == PHASE_HG:
+        return hg_eval(medium.g, cos_theta)
+    if medium.phase_type == PHASE_RAYLEIGH:
+        return rayleigh_eval(cos_theta)
+    if medium.phase_type == PHASE_TAB:
+        return tab_eval(medium, cos_theta)
+    if medium.phase_type == PHASE_BLEND:
+        w = medium.blend_weight
+        v0 = hg_eval(medium.g, cos_theta)
+        if medium.phase2_type == PHASE_HG:
+            v1 = hg_eval(medium.g2, cos_theta)
+        elif medium.phase2_type == PHASE_RAYLEIGH:
+            v1 = rayleigh_eval(cos_theta)
+        elif medium.phase2_type == PHASE_TAB:
+            v1 = tab_eval(medium, cos_theta)
+        else:
+            v1 = jnp.full_like(cos_theta, m.InvFourPi)
+        return (1.0 - w) * v0 + w * v1
+    return jnp.full_like(cos_theta, m.InvFourPi)
+
+
+def phase_sample(medium: Medium, wi_world, u2):
+    """Sample a world-space scattering direction about the propagation
+    direction d = -wi_world. Returns (wo_world, pdf)."""
+    if medium.phase_type == PHASE_BLEND:
+        w = medium.blend_weight
+        pick2 = u2[..., 0] < w
+        u0 = jnp.where(
+            pick2, u2[..., 0] / jnp.maximum(w, 1e-9),
+            (u2[..., 0] - w) / jnp.maximum(1.0 - w, 1e-9),
+        )
+        u2r = jnp.stack([u0, u2[..., 1]], -1)
+        wo0, _ = _phase_sample_single(PHASE_HG, medium, medium.g, wi_world, u2r)
+        wo1, _ = _phase_sample_single(
+            medium.phase2_type, medium, medium.g2, wi_world, u2r
+        )
+        wo = jnp.where(pick2[..., None], wo1, wo0)
+        return wo, phase_eval_dir(medium, wi_world, wo)
+    return _phase_sample_single(
+        medium.phase_type, medium, medium.g, wi_world, u2
+    )
