@@ -156,6 +156,10 @@ class MaterialTable:
     # the scene's MeasuredTables pytree riding in `meas` ---
     meas_idx: Any = None      # [M] int32 (-1 none)
     meas: Any = None          # MeasuredTables or None
+    # --- spectral conductor IOR curves on core.ior.IOR_WAVELENGTHS
+    # (role of resources/data/ior/*.spd; None -> RGB eta/k only) ---
+    eta_spec: Any = None      # [M, N_IOR]
+    k_spec: Any = None        # [M, N_IOR]
 
     present_types: Tuple[int, ...] = dataclasses.field(
         default=(), metadata=dict(static=True)

@@ -234,6 +234,35 @@ class Diffuse:
 # smooth conductor  (reference: src/bsdfs/conductor.cpp)
 # ---------------------------------------------------------------------------
 
+
+def spectral_eta(p, cfg, wavelengths, n):
+    """Per-lane conductor (eta, k) in [N, C]: spectral variants interpolate
+    the embedded IOR curves (core/ior.py, the resources/data/ior role) at
+    the hero wavelengths; RGB variants use the RGB triples directly."""
+    if not cfg.spectral or wavelengths is None:
+        return (
+            p["eta_re"][..., : cfg.n_channels],
+            p["eta_im"][..., : cfg.n_channels],
+        )
+    es = p.get("eta_spec")
+    if es is None:
+        # no curves in this scene: flat average (dispersive data absent)
+        return (
+            jnp.broadcast_to(
+                jnp.mean(p["eta_re"], -1, keepdims=True), (n, cfg.n_channels)
+            ),
+            jnp.broadcast_to(
+                jnp.mean(p["eta_im"], -1, keepdims=True), (n, cfg.n_channels)
+            ),
+        )
+    from ..core import ior as ior_mod
+
+    return (
+        ior_mod.interp_ior(es, wavelengths),
+        ior_mod.interp_ior(p["k_spec"], wavelengths),
+    )
+
+
 class Conductor:
     @staticmethod
     def sample(p, si, u1, u2, ctx, cfg, wavelengths):
@@ -249,17 +278,7 @@ class Conductor:
             sampled_component=jnp.zeros((n,), jnp.int32),
         )
         refl = eval_color(p, "base_color", cfg, wavelengths)
-        eta_re = p["eta_re"][..., : cfg.n_channels] if not cfg.spectral else p["eta_re"]
-        eta_im = p["eta_im"][..., : cfg.n_channels] if not cfg.spectral else p["eta_im"]
-        if cfg.spectral:
-            # use RGB eta/k averaged — proper spectral IOR curves arrive with
-            # the ior database module
-            eta_re = jnp.broadcast_to(
-                jnp.mean(p["eta_re"], -1, keepdims=True), (n, cfg.n_channels)
-            )
-            eta_im = jnp.broadcast_to(
-                jnp.mean(p["eta_im"], -1, keepdims=True), (n, cfg.n_channels)
-            )
+        eta_re, eta_im = spectral_eta(p, cfg, wavelengths, n)
 
         if cfg.polarized:
             wo_hat = wo if ctx.mode == TransportMode.Radiance else si.wi
@@ -300,14 +319,7 @@ class RoughConductor:
     def _fresnel_value(p, si, wo, mvec, ctx, cfg, wavelengths):
         n = si.wi.shape[0]
         refl = eval_color(p, "base_color", cfg, wavelengths)
-        eta_re, eta_im = p["eta_re"], p["eta_im"]
-        if cfg.spectral:
-            eta_re = jnp.broadcast_to(
-                jnp.mean(eta_re, -1, keepdims=True), (n, cfg.n_channels)
-            )
-            eta_im = jnp.broadcast_to(
-                jnp.mean(eta_im, -1, keepdims=True), (n, cfg.n_channels)
-            )
+        eta_re, eta_im = spectral_eta(p, cfg, wavelengths, n)
         if cfg.polarized:
             wo_hat = wo if ctx.mode == TransportMode.Radiance else si.wi
             wi_hat = si.wi if ctx.mode == TransportMode.Radiance else wo

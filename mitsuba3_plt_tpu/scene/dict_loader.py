@@ -78,6 +78,7 @@ def _parse_bsdf_dict(d: dict) -> LoadedBSDF:
     if "material" in d and d["material"] in CONDUCTOR_PRESETS:
         e, k = CONDUCTOR_PRESETS[d["material"].lower()]
         kw["eta_re"], kw["eta_im"] = e, k
+        kw["ior_name"] = d["material"].lower()
     if "eta" in d:
         kw["eta_re"] = _color(d["eta"])
     if "k" in d:

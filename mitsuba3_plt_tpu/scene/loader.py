@@ -212,6 +212,7 @@ def _parse_bsdf(elem, defaults) -> LoadedBSDF:
             BSDF_CONDUCTOR,
             base_color=p.get("specular_reflectance", (1.0, 1.0, 1.0)),
             eta_re=eta, eta_im=k,
+            ior_name=str(mat).lower() if "eta" not in p else None,
         )
     if btype == "roughconductor":
         mat = p.get("material", "none")
@@ -227,6 +228,7 @@ def _parse_bsdf(elem, defaults) -> LoadedBSDF:
             BSDF_ROUGH_CONDUCTOR,
             base_color=p.get("specular_reflectance", (1.0, 1.0, 1.0)),
             eta_re=eta, eta_im=k, alpha=(au, av),
+            ior_name=str(mat).lower() if "eta" not in p else None,
             mf_type=0 if p.get("distribution", "beckmann") == "ggx" else 1,
         )
     if btype in ("dielectric", "thindielectric"):
@@ -805,6 +807,29 @@ def build_material_table(bsdf_list: List[LoadedBSDF]) -> MaterialTable:
             ),
         )
 
+    # --- spectral conductor IOR curves (core/ior.py embedded database) ----
+    ior_kw = {}
+    if any("ior_name" in lb.params or "eta_re" in lb.params
+           for lb in bsdf_list):
+        from ..core import ior as ior_mod
+
+        eta_spec = np.zeros((m_count, ior_mod.N_IOR), np.float32)
+        k_spec = np.ones((m_count, ior_mod.N_IOR), np.float32)
+        for i, lb in enumerate(bsdf_list):
+            name = lb.params.get("ior_name")
+            curve = ior_mod.curve_for_material(name) if name else None
+            if curve is None and "eta_re" in lb.params:
+                e = lb.params["eta_re"]
+                kk = lb.params.get("eta_im", (1.0, 1.0, 1.0))
+                e = (e,) * 3 if np.isscalar(e) else tuple(e)
+                kk = (kk,) * 3 if np.isscalar(kk) else tuple(kk)
+                curve = ior_mod.curve_from_rgb(e, kk)
+            if curve is not None:
+                eta_spec[i], k_spec[i] = curve
+        ior_kw = dict(
+            eta_spec=jnp.asarray(eta_spec), k_spec=jnp.asarray(k_spec)
+        )
+
     # --- measured materials: load tensor files, stack into MeasuredTables --
     meas_kw = {}
     meas_rows = [
@@ -837,6 +862,7 @@ def build_material_table(bsdf_list: List[LoadedBSDF]) -> MaterialTable:
 
     return finalize_grating_meta(dc.replace(
         tab, base_color_coeff=jnp.asarray(coeffs), **upd, **tex_kw, **meas_kw,
+        **ior_kw,
         present_types=tuple(present),
     ))
 

@@ -103,3 +103,30 @@ def test_continuous_distribution():
     assert np.abs(x - np.sqrt(np.asarray(u))).max() < 5e-3
     pdf = np.asarray(d.pdf_normalized(jnp.asarray([0.5])))
     assert abs(pdf[0] - 1.0) < 0.05  # normalized ramp density at 0.5 is 2*0.5
+
+
+def test_spectral_conductor_ior_dispersion():
+    """Conductor Fresnel disperses with wavelength in spectral mode
+    (core/ior.py curves, the resources/data/ior role). Gold must be
+    markedly more reflective at 650 nm than at 450 nm at normal
+    incidence (F ~ 0.96 vs ~0.4)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from mitsuba3_plt_tpu.core import ior as ior_mod
+    from mitsuba3_plt_tpu.librender import fresnel as fres
+
+    eta_au, k_au = ior_mod.curve_for_material("au")
+    curve_e = jnp.asarray(eta_au)[None, :]
+    curve_k = jnp.asarray(k_au)[None, :]
+    wl = jnp.asarray([[450.0, 650.0]])
+    e = ior_mod.interp_ior(curve_e, wl)
+    k = ior_mod.interp_ior(curve_k, wl)
+    F = np.asarray(fres.fresnel_conductor(jnp.ones((1, 2)), e, k))
+    assert F[0, 1] > 0.9, F          # red: strongly reflective
+    assert F[0, 0] < 0.55, F         # blue: absorbing
+    assert F[0, 1] - F[0, 0] > 0.3
+
+    # curve_from_rgb is exact for constant triples
+    ce, ck = ior_mod.curve_from_rgb((0.2, 0.2, 0.2), (3.0, 3.0, 3.0))
+    np.testing.assert_allclose(ce, 0.2, rtol=1e-6)
+    np.testing.assert_allclose(ck, 3.0, rtol=1e-6)
