@@ -230,12 +230,70 @@ def load_dict(scene_dict: Dict):
     MAKERS = {
         "rectangle": shp.make_rectangle, "cube": shp.make_cube,
         "sphere": shp.make_sphere, "disk": shp.make_disk,
+        "cylinder": shp.make_cylinder,
     }
+    disks = []
+    cylinders = []
+
+    def _shape_mat(obj):
+        for v in obj.values():
+            if not isinstance(v, dict):
+                continue
+            vt = v.get("type")
+            if vt == "ref" and v.get("id") in named_bsdfs:
+                return named_bsdfs[v["id"]]
+            if vt in BSDF_TYPE_MAP or vt == "twosided":
+                return add_bsdf(_parse_bsdf_dict(v))
+        return add_bsdf(LoadedBSDF(BSDF_DIFFUSE, base_color=(0.5,) * 3))
+
     for name, obj in items:
         t = obj["type"]
-        if t not in ("rectangle", "cube", "sphere", "disk", "ply", "obj",
-                     "mesh"):
+        if t not in ("rectangle", "cube", "sphere", "disk", "cylinder",
+                     "ply", "obj", "mesh"):
             continue
+        has_emitter = any(
+            isinstance(v, dict) and v.get("type") in ("area", "directionalarea")
+            for v in obj.values()
+        )
+        if t in ("disk", "cylinder") and not has_emitter:
+            # analytic primitives (disk.cpp / cylinder.cpp) when uniformly
+            # scaled; tessellated fallback otherwise
+            M = np.asarray(_to_world(obj), np.float64)
+            R = M[:3, :3]
+            sx = float(np.linalg.norm(R[:, 0]))
+            sy = float(np.linalg.norm(R[:, 1]))
+            if abs(sx - sy) < 1e-5 * max(sx, sy, 1e-9):
+                mat_idx = _shape_mat(obj)
+                if t == "disk":
+                    disks.append({
+                        "center": M[:3, 3].astype(np.float32),
+                        "n": (R[:, 2] / max(np.linalg.norm(R[:, 2]), 1e-12)
+                              ).astype(np.float32),
+                        "s": (R[:, 0] / max(sx, 1e-12)).astype(np.float32),
+                        "radius": sx * float(obj.get("radius", 1.0)),
+                        "mat": mat_idx, "emitter": -1,
+                        "shape": 20000 + len(disks),
+                    })
+                else:
+                    p0l = np.append(
+                        np.asarray(obj.get("p0", (0, 0, 0)), np.float64), 1.0
+                    )
+                    p1l = np.append(
+                        np.asarray(obj.get("p1", (0, 0, 1)), np.float64), 1.0
+                    )
+                    p0w = (M @ p0l)[:3]
+                    p1w = (M @ p1l)[:3]
+                    axis = p1w - p0w
+                    length = float(np.linalg.norm(axis))
+                    cylinders.append({
+                        "p0": p0w.astype(np.float32),
+                        "axis": (axis / max(length, 1e-12)).astype(np.float32),
+                        "length": length,
+                        "radius": sx * float(obj.get("radius", 1.0)),
+                        "mat": mat_idx, "emitter": -1,
+                        "shape": 30000 + len(cylinders),
+                    })
+                continue
         if t == "mesh":
             mesh = obj["mesh"]  # in-memory HostMesh (bench/tests)
         elif t == "ply":
@@ -279,5 +337,5 @@ def load_dict(scene_dict: Dict):
 
     return assemble_scene(
         meshes, mesh_mat, mesh_emitter, bsdf_list, emitters, sensor,
-        integrator_cfg, spp,
+        integrator_cfg, spp, disks=disks, cylinders=cylinders,
     )

@@ -505,6 +505,8 @@ def _build_scene_from_xml(root, defaults, base_dir):
 
     # --- shapes ---
     spheres = []
+    disks = []
+    cylinders = []
     for sh in root.findall("shape"):
         stype = sh.get("type")
         p = _props(sh, defaults)
@@ -547,6 +549,63 @@ def _build_scene_from_xml(root, defaults, base_dir):
             )
             continue
 
+        if stype in ("disk", "cylinder") and sh.find("emitter") is None:
+            # (emissive disks/cylinders use the tessellated path so area
+            # emitter triangle sampling applies)
+            M = np.asarray(to_world, np.float64)
+            R = M[:3, :3]
+            sx = np.linalg.norm(R[:, 0])
+            sy = np.linalg.norm(R[:, 1])
+            uniform_xy = abs(sx - sy) < 1e-5 * max(sx, sy, 1e-9)
+            mat_idx = None
+            ref = sh.find("ref")
+            if ref is not None and ref.get("id") in named_bsdfs:
+                mat_idx = named_bsdfs[ref.get("id")]
+            inline = sh.find("bsdf")
+            if inline is not None:
+                mat_idx = add_bsdf(_parse_bsdf(inline, defaults))
+            if mat_idx is None:
+                mat_idx = add_bsdf(default_bsdf())
+            if stype == "disk" and uniform_xy:
+                # analytic disk (disk.cpp): unit disk in the xy-plane
+                center = M[:3, 3]
+                n_ax = R[:, 2] / max(np.linalg.norm(R[:, 2]), 1e-12)
+                s_ax = R[:, 0] / max(sx, 1e-12)
+                disks.append(
+                    {"center": center.astype(np.float32),
+                     "n": n_ax.astype(np.float32),
+                     "s": s_ax.astype(np.float32),
+                     "radius": float(sx * float(p.get("radius", 1.0))),
+                     "mat": mat_idx, "emitter": -1,
+                     "shape": 20000 + len(disks)}
+                )
+                continue
+            if stype == "cylinder" and uniform_xy:
+                # analytic open cylinder (cylinder.cpp): p0->p1, radius
+                p0l = np.append(np.asarray(p.get("p0", (0, 0, 0)), np.float64), 1.0)
+                p1l = np.append(np.asarray(p.get("p1", (0, 0, 1)), np.float64), 1.0)
+                p0w = (M @ p0l)[:3]
+                p1w = (M @ p1l)[:3]
+                axis = p1w - p0w
+                length = float(np.linalg.norm(axis))
+                cylinders.append(
+                    {"p0": p0w.astype(np.float32),
+                     "axis": (axis / max(length, 1e-12)).astype(np.float32),
+                     "length": length,
+                     "radius": float(sx * float(p.get("radius", 1.0))),
+                     "mat": mat_idx, "emitter": -1,
+                     "shape": 30000 + len(cylinders)}
+                )
+                continue
+            # non-uniform scale: tessellated fallback
+            mesh = shp.make_disk() if stype == "disk" else shp.make_cylinder()
+            mesh = mesh.transformed(np.asarray(to_world, np.float32))
+            em_idx = -1
+            meshes.append(mesh)
+            mesh_mat.append(mat_idx)
+            mesh_emitter.append(em_idx)
+            continue
+
         if stype == "ply":
             mesh = shp.load_ply(os.path.join(base_dir, p["filename"]))
         elif stype == "obj":
@@ -555,8 +614,6 @@ def _build_scene_from_xml(root, defaults, base_dir):
             mesh = shp.make_rectangle()
         elif stype == "cube":
             mesh = shp.make_cube()
-        elif stype == "disk":
-            mesh = shp.make_disk()
         else:
             continue
 
@@ -596,13 +653,14 @@ def _build_scene_from_xml(root, defaults, base_dir):
     return assemble_scene(
         meshes, mesh_mat, mesh_emitter, bsdf_list, emitters, sensor,
         integrator_cfg, spp, rfilter=rfilter_name, spheres=spheres,
+        disks=disks, cylinders=cylinders,
         sampler=sampler_name,
     )
 
 
 def assemble_scene(meshes, mesh_mat, mesh_emitter, bsdf_list, emitters, sensor,
                    integrator_cfg, spp, rfilter="gaussian", spheres=None,
-                   sampler="independent"):
+                   disks=None, cylinders=None, sampler="independent"):
     if sensor is None:
         sensor = Sensor.perspective(
             tf.look_at([0, 0, 4], [0, 0, 0], [0, 1, 0]), 45.0, 256, 256
@@ -613,7 +671,8 @@ def assemble_scene(meshes, mesh_mat, mesh_emitter, bsdf_list, emitters, sensor,
         meshes = [shp.make_rectangle().transformed(
             np.diag([1e-6, 1e-6, 1e-6, 1.0]).astype(np.float32))]
         mesh_mat, mesh_emitter = [0], [-1]
-    geo, bvh = build_geometry(meshes, mesh_mat, mesh_emitter, spheres=spheres)
+    geo, bvh = build_geometry(meshes, mesh_mat, mesh_emitter, spheres=spheres,
+                              disks=disks, cylinders=cylinders)
     mat_table = build_material_table(bsdf_list)
     em_table, env_idx = build_emitter_table(emitters, meshes, geo)
 

@@ -57,6 +57,19 @@ class Geometry:
     sph_center: Any = None  # [S, 3]
     sph_radius: Any = None  # [S]
     sph_attr: Any = None    # [S, 3] (mat, emitter, shape) as f32
+    # --- analytic disks (reference src/shapes/disk.cpp): plane hit clipped
+    # to radius; frame (n, s) carries the uv orientation ---
+    dsk_center: Any = None  # [D, 3]
+    dsk_n: Any = None       # [D, 3]
+    dsk_s: Any = None       # [D, 3] in-plane u axis
+    dsk_radius: Any = None  # [D]
+    dsk_attr: Any = None    # [D, 3]
+    # --- analytic open cylinders (reference src/shapes/cylinder.cpp) ---
+    cyl_p0: Any = None      # [C, 3]
+    cyl_axis: Any = None    # [C, 3] unit
+    cyl_len: Any = None     # [C]
+    cyl_radius: Any = None  # [C]
+    cyl_attr: Any = None    # [C, 3]
 
     @property
     def n_faces(self):
@@ -65,6 +78,14 @@ class Geometry:
     @property
     def n_spheres(self):
         return 0 if self.sph_center is None else self.sph_center.shape[0]
+
+    @property
+    def n_disks(self):
+        return 0 if self.dsk_center is None else self.dsk_center.shape[0]
+
+    @property
+    def n_cylinders(self):
+        return 0 if self.cyl_p0 is None else self.cyl_p0.shape[0]
 
 
 @jax.tree_util.register_dataclass
@@ -155,6 +176,97 @@ class Scene:
         idx = jnp.where(jnp.isfinite(t_best), best.astype(jnp.int32), -1)
         return t_best, idx
 
+    def _disk_intersect(self, ray: Ray):
+        """Nearest analytic disk hit (disk.cpp:200-260): plane intersection
+        clipped to the radius. Vectorized [N, D]."""
+        geo = self.geo
+        c = geo.dsk_center
+        nrm = geo.dsk_n
+        r = geo.dsk_radius
+        dn = jnp.sum(ray.d[:, None, :] * nrm[None, :, :], axis=-1)  # [N, D]
+        t = jnp.sum((c[None, :, :] - ray.o[:, None, :]) * nrm[None, :, :],
+                    axis=-1) / jnp.where(jnp.abs(dn) > 1e-9, dn, 1e-9)
+        p = ray.o[:, None, :] + ray.d[:, None, :] * t[..., None]
+        rel = p - c[None, :, :]
+        r2 = jnp.sum(rel * rel, axis=-1)
+        eps = 1e-4
+        ok = (jnp.abs(dn) > 1e-9) & (t > eps) & (r2 <= (r * r)[None, :])
+        t_hit = jnp.where(ok & (t < ray.maxt[:, None]), t, jnp.inf)
+        best = jnp.argmin(t_hit, axis=-1)
+        t_best = jnp.min(t_hit, axis=-1)
+        idx = jnp.where(jnp.isfinite(t_best), best.astype(jnp.int32), -1)
+        return t_best, idx
+
+    def _cyl_intersect(self, ray: Ray):
+        """Nearest analytic open-cylinder hit (cylinder.cpp:240-320):
+        quadratic against the infinite cylinder, clipped to [0, len] along
+        the axis. Vectorized [N, C]."""
+        geo = self.geo
+        p0 = geo.cyl_p0
+        ax = geo.cyl_axis
+        ln = geo.cyl_len
+        r = geo.cyl_radius
+        oc = ray.o[:, None, :] - p0[None, :, :]            # [N, C, 3]
+        d_a = jnp.sum(ray.d[:, None, :] * ax[None, :, :], -1)
+        oc_a = jnp.sum(oc * ax[None, :, :], -1)
+        d_perp = ray.d[:, None, :] - d_a[..., None] * ax[None, :, :]
+        oc_perp = oc - oc_a[..., None] * ax[None, :, :]
+        A = jnp.sum(d_perp * d_perp, -1)
+        B = jnp.sum(d_perp * oc_perp, -1)
+        Cc = jnp.sum(oc_perp * oc_perp, -1) - (r * r)[None, :]
+        disc = B * B - A * Cc
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        A_safe = jnp.where(A > 1e-12, A, 1e-12)
+        t0 = (-B - sq) / A_safe
+        t1 = (-B + sq) / A_safe
+        eps = 1e-4
+
+        def clipped(t):
+            h = oc_a + t * d_a
+            return jnp.where(
+                (t > eps) & (h >= 0.0) & (h <= ln[None, :]), t, jnp.inf
+            )
+
+        t_hit = jnp.minimum(clipped(t0), clipped(t1))
+        t_hit = jnp.where((disc >= 0) & (A > 1e-12), t_hit, jnp.inf)
+        t_hit = jnp.where(t_hit < ray.maxt[:, None], t_hit, jnp.inf)
+        best = jnp.argmin(t_hit, axis=-1)
+        t_best = jnp.min(t_hit, axis=-1)
+        idx = jnp.where(jnp.isfinite(t_best), best.astype(jnp.int32), -1)
+        return t_best, idx
+
+    def _analytic_intersect(self, ray: Ray):
+        """Merge all analytic primitive families: returns (t, flat_idx) with
+        flat_idx in the extended-prim numbering starting at n_faces:
+        [spheres | disks | cylinders]; -1 = no analytic hit."""
+        geo = self.geo
+        t_best = jnp.full(ray.o.shape[0], jnp.inf)
+        idx_best = jnp.full(ray.o.shape[0], -1, jnp.int32)
+        off = 0
+        if geo.n_spheres:
+            t_s, i_s = self._sphere_intersect(ray)
+            win = (i_s >= 0) & (t_s < t_best)
+            t_best = jnp.where(win, t_s, t_best)
+            idx_best = jnp.where(win, i_s + off, idx_best)
+        off += geo.n_spheres
+        if geo.n_disks:
+            t_d, i_d = self._disk_intersect(ray)
+            win = (i_d >= 0) & (t_d < t_best)
+            t_best = jnp.where(win, t_d, t_best)
+            idx_best = jnp.where(win, i_d + off, idx_best)
+        off += geo.n_disks
+        if geo.n_cylinders:
+            t_c, i_c = self._cyl_intersect(ray)
+            win = (i_c >= 0) & (t_c < t_best)
+            t_best = jnp.where(win, t_c, t_best)
+            idx_best = jnp.where(win, i_c + off, idx_best)
+        return t_best, idx_best
+
+    @property
+    def _n_analytic(self):
+        g = self.geo
+        return g.n_spheres + g.n_disks + g.n_cylinders
+
     # ------------------------------------------------------------------
     def ray_intersect(self, ray: Ray, brute_force: bool = False) -> SurfaceInteraction:
         geo = self.geo
@@ -172,15 +284,14 @@ class Scene:
             t, prim, u, v = isect.bvh_intersect(
                 self.bvh, geo.tri_p0, geo.tri_p1, geo.tri_p2, ray.o, ray.d, ray.maxt
             )
-        sph_idx = None
-        if geo.n_spheres:
-            t_s, sph_idx = self._sphere_intersect(ray)
+        if self._n_analytic:
+            t_a, a_idx = self._analytic_intersect(ray)
             tri_valid = prim >= 0
-            sph_wins = (sph_idx >= 0) & (
-                ~tri_valid | (t_s < jnp.where(tri_valid, t, jnp.inf))
+            a_wins = (a_idx >= 0) & (
+                ~tri_valid | (t_a < jnp.where(tri_valid, t, jnp.inf))
             )
-            t = jnp.where(sph_wins, t_s, t)
-            prim = jnp.where(sph_wins, geo.n_faces + jnp.maximum(sph_idx, 0),
+            t = jnp.where(a_wins, t_a, t)
+            prim = jnp.where(a_wins, geo.n_faces + jnp.maximum(a_idx, 0),
                              prim)
         valid = prim >= 0
         prim_c = jnp.maximum(prim, 0)
@@ -211,8 +322,10 @@ class Scene:
 
         if geo.n_spheres:
             # analytic-sphere overrides (exact normal/uv, sphere.cpp:290-330)
-            is_sph = valid & (prim >= geo.n_faces)
-            s_c = jnp.maximum(prim - geo.n_faces, 0)
+            is_sph = valid & (prim >= geo.n_faces) & (
+                prim < geo.n_faces + geo.n_spheres
+            )
+            s_c = jnp.clip(prim - geo.n_faces, 0, geo.n_spheres - 1)
             center = m.small_gather(geo.sph_center, s_c)
             n_sph = fr.normalize(p - center)
             phi = jnp.arctan2(n_sph[..., 1], n_sph[..., 0])
@@ -230,6 +343,62 @@ class Scene:
             )
             a_shape = jnp.where(
                 is_sph, sattr[..., 2].astype(jnp.int32), a_shape
+            )
+        if geo.n_disks:
+            # analytic-disk overrides (disk.cpp:260-300): exact frame + polar uv
+            base = geo.n_faces + geo.n_spheres
+            is_dsk = valid & (prim >= base) & (prim < base + geo.n_disks)
+            d_c = jnp.clip(prim - base, 0, geo.n_disks - 1)
+            c_d = m.small_gather(geo.dsk_center, d_c)
+            n_d = m.small_gather(geo.dsk_n, d_c)
+            s_d = m.small_gather(geo.dsk_s, d_c)
+            r_d = m.small_gather(geo.dsk_radius[:, None], d_c)[..., 0]
+            rel = p - c_d
+            xloc = fr.dot(rel, s_d)
+            yloc = fr.dot(rel, fr.cross(n_d, s_d))
+            r_frac = jnp.sqrt(jnp.maximum(xloc * xloc + yloc * yloc, 0.0)) \
+                / jnp.maximum(r_d, 1e-9)
+            phi_d = jnp.arctan2(yloc, xloc) * (0.5 / jnp.pi) + 0.5
+            uv_d = jnp.stack([r_frac, phi_d], axis=-1)
+            dattr = m.small_gather(geo.dsk_attr, d_c)
+            ng = jnp.where(is_dsk[..., None], n_d, ng)
+            ns = jnp.where(is_dsk[..., None], n_d, ns)
+            uv = jnp.where(is_dsk[..., None], uv_d, uv)
+            a_mat = jnp.where(is_dsk, dattr[..., 0].astype(jnp.int32), a_mat)
+            a_emitter = jnp.where(
+                is_dsk, dattr[..., 1].astype(jnp.int32), a_emitter
+            )
+            a_shape = jnp.where(
+                is_dsk, dattr[..., 2].astype(jnp.int32), a_shape
+            )
+        if geo.n_cylinders:
+            # analytic-cylinder overrides (cylinder.cpp:320-360): radial
+            # normal + (phi, h) uv
+            base = geo.n_faces + geo.n_spheres + geo.n_disks
+            is_cyl = valid & (prim >= base)
+            c_i = jnp.clip(prim - base, 0, geo.n_cylinders - 1)
+            p0_c = m.small_gather(geo.cyl_p0, c_i)
+            ax_c = m.small_gather(geo.cyl_axis, c_i)
+            ln_c = m.small_gather(geo.cyl_len[:, None], c_i)[..., 0]
+            rel = p - p0_c
+            h = fr.dot(rel, ax_c)
+            n_c = fr.normalize(rel - h[..., None] * ax_c)
+            s_ax, t_ax = fr.coordinate_system(ax_c)
+            phi_c = jnp.arctan2(fr.dot(n_c, t_ax), fr.dot(n_c, s_ax))
+            uv_c = jnp.stack(
+                [phi_c * (0.5 / jnp.pi) + 0.5,
+                 h / jnp.maximum(ln_c, 1e-9)], axis=-1
+            )
+            cattr = m.small_gather(geo.cyl_attr, c_i)
+            ng = jnp.where(is_cyl[..., None], n_c, ng)
+            ns = jnp.where(is_cyl[..., None], n_c, ns)
+            uv = jnp.where(is_cyl[..., None], uv_c, uv)
+            a_mat = jnp.where(is_cyl, cattr[..., 0].astype(jnp.int32), a_mat)
+            a_emitter = jnp.where(
+                is_cyl, cattr[..., 1].astype(jnp.int32), a_emitter
+            )
+            a_shape = jnp.where(
+                is_cyl, cattr[..., 2].astype(jnp.int32), a_shape
             )
 
         sh_s, sh_t = fr.coordinate_system(ns)
@@ -282,9 +451,9 @@ class Scene:
                 self.bvh, geo.tri_p0, geo.tri_p1, geo.tri_p2, ray.o, ray.d,
                 ray.maxt,
             )
-        if geo.n_spheres:
-            _, sph_idx = self._sphere_intersect(ray)
-            occ = occ | (sph_idx >= 0)
+        if self._n_analytic:
+            _, a_idx = self._analytic_intersect(ray)
+            occ = occ | (a_idx >= 0)
         return occ
 
 
@@ -293,11 +462,14 @@ class Scene:
 # ---------------------------------------------------------------------------
 
 def build_geometry(
-    meshes, mat_ids, emitter_ids, shape_ids=None, spheres=None
+    meshes, mat_ids, emitter_ids, shape_ids=None, spheres=None, disks=None,
+    cylinders=None,
 ) -> Tuple[Geometry, BVH]:
     """meshes: list[HostMesh] (already transformed to world); mat_ids /
-    emitter_ids: per-mesh ints (-1 = no emitter); spheres: optional list of
-    dicts {center, radius, mat, emitter, shape} intersected analytically."""
+    emitter_ids: per-mesh ints (-1 = no emitter); spheres / disks /
+    cylinders: optional lists of analytic-primitive dicts (exact
+    intersections, no tessellation bias — sphere.cpp / disk.cpp /
+    cylinder.cpp roles)."""
     P0, P1, P2, N0, N1, N2, U0, U1, U2 = [], [], [], [], [], [], [], [], []
     FN, MAT, EMI, SHP = [], [], [], []
 
@@ -390,6 +562,59 @@ def build_geometry(
             if spheres
             else {}
         ),
+        **(
+            dict(
+                dsk_center=jnp.asarray(
+                    np.stack([np.asarray(d["center"], np.float32)
+                              for d in disks])
+                ),
+                dsk_n=jnp.asarray(
+                    np.stack([np.asarray(d["n"], np.float32) for d in disks])
+                ),
+                dsk_s=jnp.asarray(
+                    np.stack([np.asarray(d["s"], np.float32) for d in disks])
+                ),
+                dsk_radius=jnp.asarray(
+                    np.asarray([d["radius"] for d in disks], np.float32)
+                ),
+                dsk_attr=jnp.asarray(
+                    np.asarray(
+                        [[d.get("mat", 0), d.get("emitter", -1),
+                          d.get("shape", -1)] for d in disks],
+                        np.float32,
+                    )
+                ),
+            )
+            if disks
+            else {}
+        ),
+        **(
+            dict(
+                cyl_p0=jnp.asarray(
+                    np.stack([np.asarray(c["p0"], np.float32)
+                              for c in cylinders])
+                ),
+                cyl_axis=jnp.asarray(
+                    np.stack([np.asarray(c["axis"], np.float32)
+                              for c in cylinders])
+                ),
+                cyl_len=jnp.asarray(
+                    np.asarray([c["length"] for c in cylinders], np.float32)
+                ),
+                cyl_radius=jnp.asarray(
+                    np.asarray([c["radius"] for c in cylinders], np.float32)
+                ),
+                cyl_attr=jnp.asarray(
+                    np.asarray(
+                        [[c.get("mat", 0), c.get("emitter", -1),
+                          c.get("shape", -1)] for c in cylinders],
+                        np.float32,
+                    )
+                ),
+            )
+            if cylinders
+            else {}
+        ),
     )
 
     # BVH build over the concatenated soup
@@ -417,6 +642,17 @@ def scene_bounds(geo: Geometry):
         r = np.asarray(geo.sph_radius)[:, None]
         lo = np.minimum(lo, (c - r).min(0))
         hi = np.maximum(hi, (c + r).max(0))
+    if geo.dsk_center is not None:
+        c = np.asarray(geo.dsk_center)
+        r = np.asarray(geo.dsk_radius)[:, None]
+        lo = np.minimum(lo, (c - r).min(0))
+        hi = np.maximum(hi, (c + r).max(0))
+    if geo.cyl_p0 is not None:
+        a = np.asarray(geo.cyl_p0)
+        b = a + np.asarray(geo.cyl_axis) * np.asarray(geo.cyl_len)[:, None]
+        r = np.asarray(geo.cyl_radius)[:, None]
+        lo = np.minimum(lo, np.minimum(a, b).min(0) - r.max())
+        hi = np.maximum(hi, np.maximum(a, b).max(0) + r.max())
     center = (lo + hi) / 2
     radius = float(np.linalg.norm(hi - lo) / 2)
     return center.astype(np.float32), radius

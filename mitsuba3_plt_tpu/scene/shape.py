@@ -327,3 +327,31 @@ def make_disk(segments: int = 64) -> HostMesh:
     )
     n = np.tile(np.array([[0, 0, 1]], np.float32), (len(v), 1))
     return HostMesh(vertices=v, faces=f, normals=n)
+
+
+def make_cylinder(n_seg: int = 64):
+    """Tessellated open cylinder along +z, radius 1, length 1 (fallback for
+    non-uniformly scaled cylinder shapes; the analytic path handles the
+    uniform case exactly — reference src/shapes/cylinder.cpp)."""
+    import numpy as np
+
+    ang = np.arange(n_seg) / n_seg * 2.0 * np.pi
+    ring = np.stack([np.cos(ang), np.sin(ang)], axis=-1)
+    v0 = np.concatenate([ring, np.zeros((n_seg, 1))], axis=-1)
+    v1 = np.concatenate([ring, np.ones((n_seg, 1))], axis=-1)
+    verts = np.concatenate([v0, v1], axis=0).astype(np.float32)
+    faces = []
+    for i in range(n_seg):
+        j = (i + 1) % n_seg
+        faces.append([i, j, n_seg + i])
+        faces.append([j, n_seg + j, n_seg + i])
+    nrm = np.concatenate([ring, np.zeros((n_seg, 1))], axis=-1)
+    normals = np.concatenate([nrm, nrm], axis=0).astype(np.float32)
+    uv = np.stack(
+        [np.concatenate([ang, ang]) / (2.0 * np.pi),
+         np.concatenate([np.zeros(n_seg), np.ones(n_seg)])], axis=-1
+    ).astype(np.float32)
+    return HostMesh(
+        vertices=verts, faces=np.asarray(faces, np.int32), normals=normals,
+        uvs=uv,
+    )
