@@ -507,6 +507,12 @@ def _build_scene_from_xml(root, defaults, base_dir):
     spheres = []
     disks = []
     cylinders = []
+    # shapegroup definitions: id -> list of (HostMesh local-space, mat_idx)
+    # (reference src/shapes/{shapegroup,instance}.cpp; the TPU-native choice
+    # is FLATTENING — each instance bakes a transformed copy into the soup,
+    # trading memory for a single-level gather-free BVH instead of the
+    # reference's two-level acceleration)
+    shape_groups = {}
     for sh in root.findall("shape"):
         stype = sh.get("type")
         p = _props(sh, defaults)
@@ -606,10 +612,49 @@ def _build_scene_from_xml(root, defaults, base_dir):
             mesh_emitter.append(em_idx)
             continue
 
+        if stype == "shapegroup":
+            gid = sh.get("id")
+            group = []
+            for child in sh.findall("shape"):
+                cm = _load_simple_mesh(child, defaults, base_dir)
+                if cm is None:
+                    continue
+                c_mat = None
+                c_ref = child.find("ref")
+                if c_ref is not None and c_ref.get("id") in named_bsdfs:
+                    c_mat = named_bsdfs[c_ref.get("id")]
+                c_inline = child.find("bsdf")
+                if c_inline is not None:
+                    c_mat = add_bsdf(_parse_bsdf(c_inline, defaults))
+                if c_mat is None:
+                    c_mat = add_bsdf(default_bsdf())
+                group.append((cm, c_mat))
+            if gid:
+                shape_groups[gid] = group
+            continue
+
+        if stype == "instance":
+            iref = sh.find("ref")
+            gid = iref.get("id") if iref is not None else None
+            group = shape_groups.get(gid)
+            if not group:
+                continue
+            M = np.asarray(to_world, np.float32)
+            for cm, c_mat in group:
+                meshes.append(cm.transformed(M))
+                mesh_mat.append(c_mat)
+                mesh_emitter.append(-1)
+            continue
+
         if stype == "ply":
             mesh = shp.load_ply(os.path.join(base_dir, p["filename"]))
         elif stype == "obj":
             mesh = shp.load_obj(os.path.join(base_dir, p["filename"]))
+        elif stype == "serialized":
+            mesh = shp.load_serialized(
+                os.path.join(base_dir, p["filename"]),
+                int(p.get("shape_index", 0)),
+            )
         elif stype == "rectangle":
             mesh = shp.make_rectangle()
         elif stype == "cube":
@@ -656,6 +701,43 @@ def _build_scene_from_xml(root, defaults, base_dir):
         disks=disks, cylinders=cylinders,
         sampler=sampler_name,
     )
+
+
+def _load_simple_mesh(sh, defaults, base_dir):
+    """HostMesh for a mesh-like child shape (shapegroup members), in the
+    child's LOCAL space (its own to_world applied; the instance transform
+    composes later)."""
+    stype = sh.get("type")
+    p = _props(sh, defaults)
+    if stype == "ply":
+        mesh = shp.load_ply(os.path.join(base_dir, p["filename"]))
+    elif stype == "obj":
+        mesh = shp.load_obj(os.path.join(base_dir, p["filename"]))
+    elif stype == "serialized":
+        mesh = shp.load_serialized(
+            os.path.join(base_dir, p["filename"]), int(p.get("shape_index", 0))
+        )
+    elif stype == "rectangle":
+        mesh = shp.make_rectangle()
+    elif stype == "cube":
+        mesh = shp.make_cube()
+    elif stype == "disk":
+        mesh = shp.make_disk()
+    elif stype == "cylinder":
+        mesh = shp.make_cylinder()
+    elif stype == "sphere":
+        mesh = shp.make_sphere()
+    else:
+        return None
+    if p.get("face_normals", False):
+        mesh = shp.HostMesh(
+            vertices=mesh.vertices, faces=mesh.faces, normals=None,
+            uvs=mesh.uvs, face_normals=True,
+        )
+    tw = p.get("to_world")
+    if tw is not None:
+        mesh = mesh.transformed(np.asarray(tw, np.float32))
+    return mesh
 
 
 def assemble_scene(meshes, mesh_mat, mesh_emitter, bsdf_list, emitters, sensor,

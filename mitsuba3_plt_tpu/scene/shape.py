@@ -355,3 +355,101 @@ def make_cylinder(n_seg: int = 64):
         vertices=verts, faces=np.asarray(faces, np.int32), normals=normals,
         uvs=uv,
     )
+
+
+def load_serialized(path: str, shape_index: int = 0) -> HostMesh:
+    """Mitsuba .serialized mesh loader (reference src/shapes/serialized.cpp:
+    0x041C header, zlib-compressed per-mesh streams, trailing offset table).
+    Supports format versions 3 and 4, single/double precision, normals and
+    texcoords (colors skipped)."""
+    import struct
+    import zlib
+
+    with open(path, "rb") as f:
+        raw = f.read()
+    fmt, version = struct.unpack_from("<hh", raw, 0)
+    if fmt != 0x041C:
+        raise ValueError(f"{path}: not a .serialized mesh (format {fmt:#x})")
+    if version not in (3, 4):
+        raise ValueError(f"{path}: unsupported .serialized version {version}")
+
+    start = 4
+    if shape_index != 0:
+        (count,) = struct.unpack_from("<I", raw, len(raw) - 4)
+        if shape_index >= count:
+            raise ValueError(f"shape_index {shape_index} out of range 0..{count-1}")
+        if version == 4:
+            off_pos = len(raw) - 8 * (count - shape_index) - 4
+            (offset,) = struct.unpack_from("<Q", raw, off_pos)
+        else:
+            off_pos = len(raw) - 4 * (count - shape_index + 1)
+            (offset,) = struct.unpack_from("<I", raw, off_pos)
+        start = offset + 4  # skip the per-mesh copy of the header
+
+    data = zlib.decompress(raw[start:])
+    pos = 0
+    (flags,) = struct.unpack_from("<I", data, pos)
+    pos += 4
+    if version == 4:
+        end = data.index(b"\x00", pos)
+        pos = end + 1
+    v_count, f_count = struct.unpack_from("<QQ", data, pos)
+    pos += 16
+
+    double_precision = bool(flags & 0x2000)
+    has_normals = bool(flags & 0x0001)
+    has_texcoords = bool(flags & 0x0002)
+    has_colors = bool(flags & 0x0008)
+    face_normals = bool(flags & 0x0010)
+    ftype = np.float64 if double_precision else np.float32
+    fsize = 8 if double_precision else 4
+
+    def read_f(n):
+        nonlocal pos
+        arr = np.frombuffer(data, ftype, n, pos)
+        pos += n * fsize
+        return arr.astype(np.float32)
+
+    verts = read_f(v_count * 3).reshape(-1, 3)
+    normals = None
+    if has_normals:
+        normals = read_f(v_count * 3).reshape(-1, 3)
+    uvs = None
+    if has_texcoords:
+        uvs = read_f(v_count * 2).reshape(-1, 2)
+    if has_colors:
+        read_f(v_count * 3)
+    faces = np.frombuffer(data, np.uint32, f_count * 3, pos).astype(
+        np.int32
+    ).reshape(-1, 3)
+    return HostMesh(
+        vertices=verts, faces=faces, normals=normals, uvs=uvs,
+        face_normals=face_normals,
+    )
+
+
+def save_serialized(path: str, mesh: HostMesh):
+    """Write a single-mesh v3 .serialized file (tests + tooling)."""
+    import struct
+    import zlib
+
+    flags = 0x1000  # single precision
+    if mesh.normals is not None:
+        flags |= 0x0001
+    if mesh.uvs is not None:
+        flags |= 0x0002
+    if mesh.face_normals:
+        flags |= 0x0010
+    body = struct.pack("<I", flags)
+    body += struct.pack("<QQ", len(mesh.vertices), len(mesh.faces))
+    body += np.asarray(mesh.vertices, np.float32).tobytes()
+    if mesh.normals is not None:
+        body += np.asarray(mesh.normals, np.float32).tobytes()
+    if mesh.uvs is not None:
+        body += np.asarray(mesh.uvs, np.float32).tobytes()
+    body += np.asarray(mesh.faces, np.uint32).tobytes()
+    out = struct.pack("<hh", 0x041C, 3) + zlib.compress(body)
+    out += struct.pack("<I", 0)       # offset of mesh 0
+    out += struct.pack("<I", 1)       # mesh count
+    with open(path, "wb") as f:
+        f.write(out)
