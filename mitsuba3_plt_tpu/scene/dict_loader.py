@@ -234,6 +234,7 @@ def load_dict(scene_dict: Dict):
     }
     disks = []
     cylinders = []
+    sdf_shapes = []
 
     def _shape_mat(obj):
         for v in obj.values():
@@ -248,6 +249,19 @@ def load_dict(scene_dict: Dict):
 
     for name, obj in items:
         t = obj["type"]
+        if t == "sdfgrid":
+            g = obj.get("grid")
+            if g is None and "filename" in obj:
+                from ..utils.io import read_vol
+
+                g, _, _ = read_vol(obj["filename"])
+                g = g[..., 0]
+            sdf_shapes.append({
+                "grid": np.asarray(g, np.float32),
+                "to_world": np.asarray(_to_world(obj), np.float32),
+                "mat": _shape_mat(obj),
+            })
+            continue
         if t not in ("rectangle", "cube", "sphere", "disk", "cylinder",
                      "ply", "obj", "mesh"):
             continue
@@ -338,4 +352,5 @@ def load_dict(scene_dict: Dict):
     return assemble_scene(
         meshes, mesh_mat, mesh_emitter, bsdf_list, emitters, sensor,
         integrator_cfg, spp, disks=disks, cylinders=cylinders,
+        sdf_shapes=sdf_shapes,
     )

@@ -513,6 +513,7 @@ def _build_scene_from_xml(root, defaults, base_dir):
     # trading memory for a single-level gather-free BVH instead of the
     # reference's two-level acceleration)
     shape_groups = {}
+    sdf_shapes = []
     for sh in root.findall("shape"):
         stype = sh.get("type")
         p = _props(sh, defaults)
@@ -612,6 +613,30 @@ def _build_scene_from_xml(root, defaults, base_dir):
             mesh_emitter.append(em_idx)
             continue
 
+        if stype == "sdfgrid":
+            # sphere-traced SDF grid (sdfgrid.cpp role, scene/sdf.py)
+            from ..utils.io import read_vol
+
+            if "filename" in p:
+                g, _, _ = read_vol(os.path.join(base_dir, p["filename"]))
+                g = g[..., 0]
+            else:
+                g = np.asarray(p.get("grid"), np.float32)
+            mat_idx = None
+            ref = sh.find("ref")
+            if ref is not None and ref.get("id") in named_bsdfs:
+                mat_idx = named_bsdfs[ref.get("id")]
+            inline = sh.find("bsdf")
+            if inline is not None:
+                mat_idx = add_bsdf(_parse_bsdf(inline, defaults))
+            if mat_idx is None:
+                mat_idx = add_bsdf(default_bsdf())
+            sdf_shapes.append(
+                {"grid": g, "to_world": np.asarray(to_world, np.float32),
+                 "mat": mat_idx}
+            )
+            continue
+
         if stype == "shapegroup":
             gid = sh.get("id")
             group = []
@@ -698,7 +723,7 @@ def _build_scene_from_xml(root, defaults, base_dir):
     return assemble_scene(
         meshes, mesh_mat, mesh_emitter, bsdf_list, emitters, sensor,
         integrator_cfg, spp, rfilter=rfilter_name, spheres=spheres,
-        disks=disks, cylinders=cylinders,
+        disks=disks, cylinders=cylinders, sdf_shapes=sdf_shapes,
         sampler=sampler_name,
     )
 
@@ -742,7 +767,8 @@ def _load_simple_mesh(sh, defaults, base_dir):
 
 def assemble_scene(meshes, mesh_mat, mesh_emitter, bsdf_list, emitters, sensor,
                    integrator_cfg, spp, rfilter="gaussian", spheres=None,
-                   disks=None, cylinders=None, sampler="independent"):
+                   disks=None, cylinders=None, sdf_shapes=None,
+                   sampler="independent"):
     if sensor is None:
         sensor = Sensor.perspective(
             tf.look_at([0, 0, 4], [0, 0, 0], [0, 1, 0]), 45.0, 256, 256
@@ -763,9 +789,20 @@ def assemble_scene(meshes, mesh_mat, mesh_emitter, bsdf_list, emitters, sensor,
         from .bvh import pack_packet_bvh
 
         pbvh = pack_packet_bvh(bvh, geo.tri_p0, geo.tri_p1, geo.tri_p2)
+    sdf_tuple = ()
+    if sdf_shapes:
+        from .sdf import SDFGrid
+
+        sdf_tuple = tuple(
+            SDFGrid.create(
+                d["grid"], d.get("to_world"), mat=d.get("mat", 0),
+                shape_id=40000 + i,
+            )
+            for i, d in enumerate(sdf_shapes)
+        )
     scene = Scene(
         geo=geo, bvh=bvh, materials=mat_table, emitters=em_table,
-        sensor=sensor, env_emitter=env_idx, pbvh=pbvh,
+        sensor=sensor, env_emitter=env_idx, pbvh=pbvh, sdfs=sdf_tuple,
     )
     meta = {"integrator": integrator_cfg, "spp": spp, "rfilter": rfilter,
             "sampler": sampler}

@@ -99,6 +99,7 @@ class Scene:
     medium: Any = None  # optional global homogeneous medium (scene/media.py)
     pbvh: Any = None    # PacketBVH for the Pallas packet traversal (built by
                         # assemble_scene for scenes above the brute-force cap)
+    sdfs: Any = ()      # tuple of SDFGrid shapes (scene/sdf.py, sphere-traced)
     env_emitter: int = dataclasses.field(default=-1, metadata=dict(static=True))
 
     # Below this face count, gather-free brute force (Pallas kernel on TPU)
@@ -293,6 +294,28 @@ class Scene:
             t = jnp.where(a_wins, t_a, t)
             prim = jnp.where(a_wins, geo.n_faces + jnp.maximum(a_idx, 0),
                              prim)
+        sdf_n = sdf_uv = sdf_attr = None
+        if self.sdfs:
+            from .sdf import sdf_intersect
+
+            n_lanes = ray.o.shape[0]
+            base_sdf = geo.n_faces + self._n_analytic
+            sdf_n = jnp.zeros((n_lanes, 3), jnp.float32)
+            sdf_uv = jnp.zeros((n_lanes, 2), jnp.float32)
+            sdf_attr = jnp.zeros((n_lanes, 3), jnp.float32)
+            for s_i, sdf in enumerate(self.sdfs):
+                t_s, hit_s, n_s, uv_s = sdf_intersect(
+                    sdf, ray.o, ray.d, ray.maxt
+                )
+                cur_valid = prim >= 0
+                win = hit_s & (
+                    ~cur_valid | (t_s < jnp.where(cur_valid, t, jnp.inf))
+                )
+                t = jnp.where(win, t_s, t)
+                prim = jnp.where(win, base_sdf + s_i, prim)
+                sdf_n = jnp.where(win[..., None], n_s, sdf_n)
+                sdf_uv = jnp.where(win[..., None], uv_s, sdf_uv)
+                sdf_attr = jnp.where(win[..., None], sdf.attr[None, :], sdf_attr)
         valid = prim >= 0
         prim_c = jnp.maximum(prim, 0)
 
@@ -375,7 +398,7 @@ class Scene:
             # analytic-cylinder overrides (cylinder.cpp:320-360): radial
             # normal + (phi, h) uv
             base = geo.n_faces + geo.n_spheres + geo.n_disks
-            is_cyl = valid & (prim >= base)
+            is_cyl = valid & (prim >= base) & (prim < base + geo.n_cylinders)
             c_i = jnp.clip(prim - base, 0, geo.n_cylinders - 1)
             p0_c = m.small_gather(geo.cyl_p0, c_i)
             ax_c = m.small_gather(geo.cyl_axis, c_i)
@@ -399,6 +422,20 @@ class Scene:
             )
             a_shape = jnp.where(
                 is_cyl, cattr[..., 2].astype(jnp.int32), a_shape
+            )
+
+        if self.sdfs:
+            base_sdf = geo.n_faces + self._n_analytic
+            is_sdf = valid & (prim >= base_sdf)
+            ng = jnp.where(is_sdf[..., None], sdf_n, ng)
+            ns = jnp.where(is_sdf[..., None], sdf_n, ns)
+            uv = jnp.where(is_sdf[..., None], sdf_uv, uv)
+            a_mat = jnp.where(is_sdf, sdf_attr[..., 0].astype(jnp.int32), a_mat)
+            a_emitter = jnp.where(
+                is_sdf, sdf_attr[..., 1].astype(jnp.int32), a_emitter
+            )
+            a_shape = jnp.where(
+                is_sdf, sdf_attr[..., 2].astype(jnp.int32), a_shape
             )
 
         sh_s, sh_t = fr.coordinate_system(ns)
@@ -454,6 +491,12 @@ class Scene:
         if self._n_analytic:
             _, a_idx = self._analytic_intersect(ray)
             occ = occ | (a_idx >= 0)
+        if self.sdfs:
+            from .sdf import sdf_intersect
+
+            for sdf in self.sdfs:
+                _, hit_s, _, _ = sdf_intersect(sdf, ray.o, ray.d, ray.maxt)
+                occ = occ | hit_s
         return occ
 
 
