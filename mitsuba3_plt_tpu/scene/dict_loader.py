@@ -263,7 +263,7 @@ def load_dict(scene_dict: Dict):
             })
             continue
         if t not in ("rectangle", "cube", "sphere", "disk", "cylinder",
-                     "ply", "obj", "mesh"):
+                     "ply", "obj", "mesh", "bsplinecurve", "linearcurve"):
             continue
         has_emitter = any(
             isinstance(v, dict) and v.get("type") in ("area", "directionalarea")
@@ -310,6 +310,10 @@ def load_dict(scene_dict: Dict):
                 continue
         if t == "mesh":
             mesh = obj["mesh"]  # in-memory HostMesh (bench/tests)
+        elif t in ("bsplinecurve", "linearcurve"):
+            mesh = shp.load_curve_mesh(
+                obj["filename"], bspline=(t == "bsplinecurve")
+            )
         elif t == "ply":
             mesh = shp.load_ply(obj["filename"])
         elif t == "obj":

@@ -680,6 +680,11 @@ def _build_scene_from_xml(root, defaults, base_dir):
                 os.path.join(base_dir, p["filename"]),
                 int(p.get("shape_index", 0)),
             )
+        elif stype in ("bsplinecurve", "linearcurve"):
+            mesh = shp.load_curve_mesh(
+                os.path.join(base_dir, p["filename"]),
+                bspline=(stype == "bsplinecurve"),
+            )
         elif stype == "rectangle":
             mesh = shp.make_rectangle()
         elif stype == "cube":

@@ -453,3 +453,141 @@ def save_serialized(path: str, mesh: HostMesh):
     out += struct.pack("<I", 1)       # mesh count
     with open(path, "wb") as f:
         f.write(out)
+
+
+def load_curves(path: str):
+    """Parse a Mitsuba curves .txt file (reference src/shapes/
+    bsplinecurve.cpp:82-95: one 'x y z radius' control point per line,
+    blank lines separate curves). Returns list of [K, 4] arrays."""
+    curves = []
+    cur = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                if cur:
+                    curves.append(np.asarray(cur, np.float32))
+                    cur = []
+                continue
+            parts = line.split()
+            cur.append([float(parts[0]), float(parts[1]), float(parts[2]),
+                        float(parts[3]) if len(parts) > 3 else 0.01])
+    if cur:
+        curves.append(np.asarray(cur, np.float32))
+    return curves
+
+
+def _bspline_eval(cp, t):
+    """Uniform cubic B-spline point+radius at parameter t in [0, n_spans):
+    cp [K, 4] control points; standard basis (bsplinecurve.cpp kernel)."""
+    n_spans = len(cp) - 3
+    span = np.clip(np.floor(t).astype(int), 0, n_spans - 1)
+    u = t - span
+    b0 = (1 - u) ** 3 / 6.0
+    b1 = (3 * u ** 3 - 6 * u ** 2 + 4) / 6.0
+    b2 = (-3 * u ** 3 + 3 * u ** 2 + 3 * u + 1) / 6.0
+    b3 = u ** 3 / 6.0
+    return (
+        cp[span] * b0[..., None] + cp[span + 1] * b1[..., None]
+        + cp[span + 2] * b2[..., None] + cp[span + 3] * b3[..., None]
+    )
+
+
+def tessellate_curve(cp, bspline=True, seg_per_span=8, n_phi=8):
+    """Sweep a circular cross-section along one curve -> HostMesh tube.
+
+    TPU-native stance: the reference ray-traces curve primitives
+    analytically on the GPU (bsplinecurve.cpp / linearcurve.cpp +
+    optix); here curves tessellate at load time into the same flat
+    triangle soup every other shape uses — one BVH, no per-type
+    traversal branches. seg_per_span/n_phi control the fidelity."""
+    cp = np.asarray(cp, np.float32)
+    if bspline and len(cp) >= 4:
+        n_spans = len(cp) - 3
+        t = np.linspace(0, n_spans - 1e-4, n_spans * seg_per_span + 1)
+        pts = _bspline_eval(cp, t)
+    else:
+        # linear: interpolate straight segments (linearcurve.cpp)
+        k = len(cp)
+        t = np.linspace(0, k - 1 - 1e-4, (k - 1) * seg_per_span + 1)
+        i = np.clip(np.floor(t).astype(int), 0, k - 2)
+        u = (t - i)[..., None]
+        pts = cp[i] * (1 - u) + cp[i + 1] * u
+
+    centers = pts[:, :3]
+    radii = np.maximum(pts[:, 3], 1e-5)
+    # parallel-transported frames along the curve
+    tangents = np.gradient(centers, axis=0)
+    tangents /= np.maximum(
+        np.linalg.norm(tangents, axis=-1, keepdims=True), 1e-9
+    )
+    normal = np.array([1.0, 0.0, 0.0])
+    if abs(np.dot(normal, tangents[0])) > 0.9:
+        normal = np.array([0.0, 1.0, 0.0])
+    frames = []
+    for tg in tangents:
+        normal = normal - tg * np.dot(normal, tg)
+        nn = np.linalg.norm(normal)
+        if nn < 1e-6:
+            normal = np.array([1.0, 0.0, 0.0])
+            normal = normal - tg * np.dot(normal, tg)
+            nn = np.linalg.norm(normal)
+        normal = normal / nn
+        frames.append((normal.copy(), np.cross(tg, normal)))
+
+    ang = np.arange(n_phi) / n_phi * 2 * np.pi
+    ca, sa = np.cos(ang), np.sin(ang)
+    verts = []
+    norms = []
+    for c, r, (nv, bv) in zip(centers, radii, frames):
+        ring_n = nv[None, :] * ca[:, None] + bv[None, :] * sa[:, None]
+        verts.append(c[None, :] + ring_n * r)
+        norms.append(ring_n)
+    verts = np.concatenate(verts, 0).astype(np.float32)
+    norms = np.concatenate(norms, 0).astype(np.float32)
+
+    faces = []
+    n_rings = len(centers)
+    for i in range(n_rings - 1):
+        for j in range(n_phi):
+            j2 = (j + 1) % n_phi
+            a = i * n_phi + j
+            b = i * n_phi + j2
+            c = (i + 1) * n_phi + j
+            d = (i + 1) * n_phi + j2
+            faces.append([a, b, c])
+            faces.append([b, d, c])
+    uv = np.stack(
+        [np.tile(ang / (2 * np.pi), n_rings),
+         np.repeat(np.linspace(0, 1, n_rings), n_phi)], axis=-1
+    ).astype(np.float32)
+    return HostMesh(
+        vertices=verts, faces=np.asarray(faces, np.int32), normals=norms,
+        uvs=uv,
+    )
+
+
+def load_curve_mesh(path: str, bspline=True, seg_per_span=8, n_phi=8):
+    """All curves in a file merged into one HostMesh."""
+    parts = [
+        tessellate_curve(cp, bspline=bspline, seg_per_span=seg_per_span,
+                         n_phi=n_phi)
+        for cp in load_curves(path)
+        if len(cp) >= (4 if bspline else 2)
+    ]
+    if not parts:
+        raise ValueError(f"{path}: no usable curves")
+    v_off = 0
+    verts, faces, norms, uvs = [], [], [], []
+    for pm in parts:
+        verts.append(pm.vertices)
+        faces.append(pm.faces + v_off)
+        norms.append(pm.normals)
+        uvs.append(pm.uvs)
+        v_off += len(pm.vertices)
+    return HostMesh(
+        vertices=np.concatenate(verts, 0),
+        faces=np.concatenate(faces, 0),
+        normals=np.concatenate(norms, 0),
+        uvs=np.concatenate(uvs, 0),
+    )
