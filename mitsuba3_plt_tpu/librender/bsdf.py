@@ -84,6 +84,7 @@ BSDF_BUMPMAP = 17
 BSDF_CIRCULAR = 18
 BSDF_PRINCIPLED = 19
 BSDF_PRINCIPLED_THIN = 20
+BSDF_HAIR = 21
 
 BSDF_TYPE_NAMES = {
     BSDF_NULL: "null",
@@ -107,6 +108,7 @@ BSDF_TYPE_NAMES = {
     BSDF_CIRCULAR: "circular",
     BSDF_PRINCIPLED: "principled",
     BSDF_PRINCIPLED_THIN: "principledthin",
+    BSDF_HAIR: "hair",
 }
 
 

@@ -52,6 +52,7 @@ from .bsdf import (
     BSDF_BUMPMAP,
     BSDF_PRINCIPLED,
     BSDF_PRINCIPLED_THIN,
+    BSDF_HAIR,
 )
 
 
@@ -1484,6 +1485,50 @@ class PrincipledThin:
 
 
 # ---------------------------------------------------------------------------
+# hair (Chiang fiber model) — reference src/bsdfs/hair.cpp; algebra lives in
+# librender/hair.py. Full-sphere scattering: no upper-hemisphere gating.
+# ---------------------------------------------------------------------------
+
+class Hair:
+    @staticmethod
+    def eval(p, si, wo, ctx, cfg, wavelengths):
+        from . import hair as hair_mod
+
+        return depolarized(
+            hair_mod.hair_eval(p, si.wi, wo, cfg, wavelengths), cfg
+        )
+
+    @staticmethod
+    def pdf(p, si, wo, ctx, cfg):
+        from . import hair as hair_mod
+
+        return hair_mod.hair_pdf(p, si.wi, wo, cfg)
+
+    @staticmethod
+    def sample(p, si, u1, u2, ctx, cfg, wavelengths):
+        from . import hair as hair_mod
+
+        n = si.wi.shape[0]
+        wo, pdf = hair_mod.hair_sample(p, si.wi, u1, u2, cfg, wavelengths)
+        f = hair_mod.hair_eval(p, si.wi, wo, cfg, wavelengths)
+        ok = pdf > 1e-9
+        weight = jnp.where(
+            ok[..., None], f / jnp.maximum(pdf, 1e-9)[..., None], 0.0
+        )
+        bs = BSDFSample(
+            wo=wo,
+            pdf=pdf,
+            eta=jnp.ones((n,), jnp.float32),
+            sampled_type=jnp.full(
+                (n,), jnp.uint32(BSDFFlags.GlossyReflection
+                                 | BSDFFlags.GlossyTransmission)
+            ),
+            sampled_component=jnp.zeros((n,), jnp.int32),
+        )
+        return bs, depolarized(weight, cfg), ok
+
+
+# ---------------------------------------------------------------------------
 # mask (opacity blend with null transmission) — reference src/bsdfs/mask.cpp
 # nested BSDF rides in `nested_idx`; opacity in `weight`.
 # ---------------------------------------------------------------------------
@@ -1737,6 +1782,7 @@ IMPLS = {
     BSDF_PRINCIPLED: Principled,
     BSDF_PRINCIPLED_THIN: PrincipledThin,
     BSDF_MEASURED: Measured,
+    BSDF_HAIR: Hair,
 }
 
 

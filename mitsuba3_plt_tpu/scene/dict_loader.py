@@ -16,7 +16,7 @@ from ..librender.bsdf import (
     BSDF_THIN_DIELECTRIC, BSDF_ROUGH_DIELECTRIC, BSDF_PLASTIC,
     BSDF_ROUGH_PLASTIC, BSDF_MASK, BSDF_POLARIZER, BSDF_RETARDER,
     BSDF_ROUGH_GRATING, BSDF_NULL, BSDF_PRINCIPLED, BSDF_PRINCIPLED_THIN,
-    BSDF_MEASURED,
+    BSDF_MEASURED, BSDF_HAIR,
 )
 from ..librender.sensor import Sensor
 from . import shape as shp
@@ -39,6 +39,7 @@ BSDF_TYPE_MAP = {
     "principled": BSDF_PRINCIPLED,
     "principledthin": BSDF_PRINCIPLED_THIN,
     "measured": BSDF_MEASURED,
+    "hair": BSDF_HAIR,
 }
 
 
@@ -118,6 +119,17 @@ def _parse_bsdf_dict(d: dict) -> LoadedBSDF:
             float(d.get("spec_tint", 0.0)), float(d.get("sheen", 0.0)),
             float(d.get("sheen_tint", 0.5)), float(d.get("flatness", 0.0)),
             0.0, float(d.get("anisotropic", 0.0)),
+        )
+    if bt == BSDF_HAIR:
+        sig = d.get("sigma_a")
+        use_sig = sig is not None
+        kw["base_color"] = _color(sig) if use_sig else (0.42, 0.42, 0.42)
+        kw["eta_re"] = (float(d.get("int_ior", 1.55)),) * 3
+        kw["pr_params"] = (
+            float(d.get("beta_m", 0.3)), float(d.get("beta_n", 0.3)),
+            float(d.get("alpha", 2.0)), float(d.get("eumelanin", 1.3)),
+            float(d.get("pheomelanin", 0.0)), 1.0 if use_sig else 0.0,
+            0.0, 0.0,
         )
     if bt == BSDF_MEASURED:
         if "filename" in d:

@@ -22,7 +22,7 @@ from ..librender.bsdf import (
     BSDF_NULL, BSDF_DIFFUSE, BSDF_CONDUCTOR, BSDF_ROUGH_CONDUCTOR,
     BSDF_DIELECTRIC, BSDF_THIN_DIELECTRIC, BSDF_ROUGH_GRATING,
     BSDF_BLEND, BSDF_NORMALMAP, BSDF_BUMPMAP, BSDF_PRINCIPLED,
-    BSDF_PRINCIPLED_THIN, BSDF_MEASURED,
+    BSDF_PRINCIPLED_THIN, BSDF_MEASURED, BSDF_HAIR,
 )
 from ..librender.sensor import Sensor
 from .emitters import (
@@ -309,6 +309,25 @@ def _parse_bsdf(elem, defaults) -> LoadedBSDF:
                 _scalar("clearcoat_gloss", 0.0), _scalar("anisotropic", 0.0),
             ),
             **kw,
+        )
+    if btype == "hair":
+        # hair.cpp props: sigma_a OR eumelanin/pheomelanin concentrations,
+        # beta_m/beta_n roughness, alpha scale tilt (deg), int_ior
+        sig = p.get("sigma_a")
+        use_sig = sig is not None
+        if np.isscalar(sig):
+            sig = (float(sig),) * 3
+        return LoadedBSDF(
+            BSDF_HAIR,
+            base_color=tuple(sig) if use_sig else (0.42, 0.42, 0.42),
+            eta_re=(float(p.get("int_ior", 1.55)),) * 3,
+            pr_params=(
+                float(p.get("beta_m", 0.3)), float(p.get("beta_n", 0.3)),
+                float(p.get("alpha", 2.0)),
+                float(p.get("eumelanin", 1.3)),
+                float(p.get("pheomelanin", 0.0)),
+                1.0 if use_sig else 0.0, 0.0, 0.0,
+            ),
         )
     if btype == "measured":
         fn = p.get("filename", "")
@@ -877,6 +896,10 @@ def build_material_table(bsdf_list: List[LoadedBSDF]) -> MaterialTable:
             | BSDFFlags.FrontSide | BSDFFlags.BackSide
         ),
         BSDF_MEASURED: BSDFFlags.GlossyReflection | BSDFFlags.FrontSide,
+        BSDF_HAIR: (
+            BSDFFlags.GlossyReflection | BSDFFlags.GlossyTransmission
+            | BSDFFlags.FrontSide | BSDFFlags.BackSide | BSDFFlags.Anisotropic
+        ),
     }
 
     for i, lb in enumerate(bsdf_list):

@@ -335,6 +335,7 @@ class Scene:
         a_mat = attr[..., 18].astype(jnp.int32)
         a_emitter = attr[..., 19].astype(jnp.int32)
         a_shape = attr[..., 20].astype(jnp.int32)
+        a_tan = attr[..., 21:24]
         w = 1.0 - u - v
         ns = fr.normalize(
             n0 * w[..., None] + n1 * u[..., None] + n2 * v[..., None]
@@ -438,7 +439,22 @@ class Scene:
                 is_sdf, sdf_attr[..., 2].astype(jnp.int32), a_shape
             )
 
+        # tangent-aligned shading frame when the mesh carries fiber/uv
+        # tangents (hair fibers need sh_s along the fiber axis); zero
+        # tangent rows keep the default arbitrary frame
         sh_s, sh_t = fr.coordinate_system(ns)
+        tan_len2 = jnp.sum(a_tan * a_tan, axis=-1)
+        has_tan = tan_len2 > 0.25
+        t_proj = a_tan - fr.dot(a_tan, ns)[..., None] * ns
+        t_ok = fr.squared_norm(t_proj) > 1e-12
+        t_unit = fr.normalize(
+            jnp.where(t_ok[..., None], t_proj, sh_s)
+        )
+        use_tan = has_tan & t_ok
+        sh_s = jnp.where(use_tan[..., None], t_unit, sh_s)
+        sh_t = jnp.where(
+            use_tan[..., None], fr.cross(ns, t_unit), sh_t
+        )
         wi_world = -ray.d
         wi_local = jnp.stack(
             [
@@ -514,7 +530,7 @@ def build_geometry(
     intersections, no tessellation bias — sphere.cpp / disk.cpp /
     cylinder.cpp roles)."""
     P0, P1, P2, N0, N1, N2, U0, U1, U2 = [], [], [], [], [], [], [], [], []
-    FN, MAT, EMI, SHP = [], [], [], []
+    FN, MAT, EMI, SHP, TAN = [], [], [], [], []
 
     for k, mesh in enumerate(meshes):
         f = mesh.faces
@@ -540,6 +556,15 @@ def build_geometry(
         N0.append(n0); N1.append(n1); N2.append(n2)
         U0.append(u0); U1.append(u1); U2.append(u2)
         FN.append(fn)
+        if mesh.tangents is not None:
+            tg = (
+                mesh.tangents[f[:, 0]] + mesh.tangents[f[:, 1]]
+                + mesh.tangents[f[:, 2]]
+            )
+            tg /= np.maximum(np.linalg.norm(tg, axis=-1, keepdims=True), 1e-9)
+            TAN.append(tg)
+        else:
+            TAN.append(np.zeros((len(f), 3), np.float32))
         MAT.append(np.full(len(f), mat_ids[k], np.int32))
         EMI.append(np.full(len(f), emitter_ids[k], np.int32))
         SHP.append(np.full(len(f), k if shape_ids is None else shape_ids[k], np.int32))
@@ -571,6 +596,9 @@ def build_geometry(
     attr[:, 18] = cati(MAT)
     attr[:, 19] = cati(EMI)
     attr[:, 20] = cati(SHP)
+    # fiber/uv tangent (zero = no tangent; frame falls back to
+    # coordinate_system). Consumed by the hair BSDF's fiber frame.
+    attr[:, 21:24] = cat(TAN)
 
     geo = Geometry(
         tri_p0=jnp.asarray(p0c), tri_p1=jnp.asarray(p1c),

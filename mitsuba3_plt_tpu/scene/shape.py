@@ -22,9 +22,16 @@ class HostMesh:
     normals: Optional[np.ndarray] = None   # [V, 3] f32 (vertex normals)
     uvs: Optional[np.ndarray] = None       # [V, 2] f32
     face_normals: bool = False      # force flat shading
+    tangents: Optional[np.ndarray] = None  # [V, 3] f32 (fiber/uv tangents)
 
     def transformed(self, to_world: np.ndarray) -> "HostMesh":
         v = self.vertices @ to_world[:3, :3].T + to_world[:3, 3]
+        tg = None
+        if self.tangents is not None:
+            tg = self.tangents @ to_world[:3, :3].T
+            tg = tg / np.maximum(
+                np.linalg.norm(tg, axis=-1, keepdims=True), 1e-9
+            )
         n = None
         if self.normals is not None:
             inv = np.linalg.inv(to_world[:3, :3])
@@ -37,6 +44,7 @@ class HostMesh:
             normals=None if n is None else n.astype(np.float32),
             uvs=self.uvs,
             face_normals=self.face_normals,
+            tangents=None if tg is None else tg.astype(np.float32),
         )
 
     def surface_areas(self) -> np.ndarray:
@@ -539,12 +547,15 @@ def tessellate_curve(cp, bspline=True, seg_per_span=8, n_phi=8):
     ca, sa = np.cos(ang), np.sin(ang)
     verts = []
     norms = []
-    for c, r, (nv, bv) in zip(centers, radii, frames):
+    tangs = []
+    for c, r, tg, (nv, bv) in zip(centers, radii, tangents, frames):
         ring_n = nv[None, :] * ca[:, None] + bv[None, :] * sa[:, None]
         verts.append(c[None, :] + ring_n * r)
         norms.append(ring_n)
+        tangs.append(np.tile(tg[None, :], (len(ca), 1)))
     verts = np.concatenate(verts, 0).astype(np.float32)
     norms = np.concatenate(norms, 0).astype(np.float32)
+    tangs = np.concatenate(tangs, 0).astype(np.float32)
 
     faces = []
     n_rings = len(centers)
@@ -563,7 +574,7 @@ def tessellate_curve(cp, bspline=True, seg_per_span=8, n_phi=8):
     ).astype(np.float32)
     return HostMesh(
         vertices=verts, faces=np.asarray(faces, np.int32), normals=norms,
-        uvs=uv,
+        uvs=uv, tangents=tangs,
     )
 
 
@@ -578,16 +589,18 @@ def load_curve_mesh(path: str, bspline=True, seg_per_span=8, n_phi=8):
     if not parts:
         raise ValueError(f"{path}: no usable curves")
     v_off = 0
-    verts, faces, norms, uvs = [], [], [], []
+    verts, faces, norms, uvs, tangs = [], [], [], [], []
     for pm in parts:
         verts.append(pm.vertices)
         faces.append(pm.faces + v_off)
         norms.append(pm.normals)
         uvs.append(pm.uvs)
+        tangs.append(pm.tangents)
         v_off += len(pm.vertices)
     return HostMesh(
         vertices=np.concatenate(verts, 0),
         faces=np.concatenate(faces, 0),
         normals=np.concatenate(norms, 0),
         uvs=np.concatenate(uvs, 0),
+        tangents=np.concatenate(tangs, 0),
     )
