@@ -85,6 +85,7 @@ BSDF_CIRCULAR = 18
 BSDF_PRINCIPLED = 19
 BSDF_PRINCIPLED_THIN = 20
 BSDF_HAIR = 21
+BSDF_MEASURED_POLARIZED = 22
 
 BSDF_TYPE_NAMES = {
     BSDF_NULL: "null",
@@ -109,6 +110,7 @@ BSDF_TYPE_NAMES = {
     BSDF_PRINCIPLED: "principled",
     BSDF_PRINCIPLED_THIN: "principledthin",
     BSDF_HAIR: "hair",
+    BSDF_MEASURED_POLARIZED: "measured_polarized",
 }
 
 
@@ -158,6 +160,10 @@ class MaterialTable:
     # the scene's MeasuredTables pytree riding in `meas` ---
     meas_idx: Any = None      # [M] int32 (-1 none)
     meas: Any = None          # MeasuredTables or None
+    # polarized measured pBSDF (measured_polarized.cpp); ONE dataset per
+    # scene (the tensor is 6-D; stacking differently-sized measurements is
+    # not supported — matching typical usage)
+    mpol: Any = None          # PolarizedMeasurement or None
     # --- spectral conductor IOR curves on core.ior.IOR_WAVELENGTHS
     # (role of resources/data/ior/*.spd; None -> RGB eta/k only) ---
     eta_spec: Any = None      # [M, N_IOR]
@@ -215,7 +221,9 @@ class MaterialTable:
         widths = []
         dtypes = []
         for f in dataclasses.fields(self):
-            if f.metadata.get("static") or f.name in ("tex_stack", "meas"):
+            if f.metadata.get("static") or f.name in (
+                "tex_stack", "meas", "mpol"
+            ):
                 continue
             arr = getattr(self, f.name)
             if arr is None:

@@ -53,6 +53,7 @@ from .bsdf import (
     BSDF_PRINCIPLED,
     BSDF_PRINCIPLED_THIN,
     BSDF_HAIR,
+    BSDF_MEASURED_POLARIZED,
 )
 
 
@@ -1485,6 +1486,53 @@ class PrincipledThin:
 
 
 # ---------------------------------------------------------------------------
+# measured_polarized (Mueller pBSDF tensor) — reference
+# src/bsdfs/measured_polarized.cpp; algebra in librender/measured_polarized.py
+# ---------------------------------------------------------------------------
+
+class MeasuredPolarized:
+    @staticmethod
+    def eval(p, si, wo, ctx, cfg, wavelengths):
+        from . import measured_polarized as mp_mod
+
+        tab = p["_mpol"]
+        return mp_mod.eval_pbsdf(
+            tab, si.wi, wo, ctx.mode == TransportMode.Radiance, cfg,
+            wavelengths,
+        )
+
+    @staticmethod
+    def pdf(p, si, wo, ctx, cfg):
+        from . import measured_polarized as mp_mod
+
+        return mp_mod.pdf_pbsdf(p["_mpol"], si.wi, wo)
+
+    @staticmethod
+    def sample(p, si, u1, u2, ctx, cfg, wavelengths):
+        from . import measured_polarized as mp_mod
+
+        n = si.wi.shape[0]
+        tab = p["_mpol"]
+        wo, pdf = mp_mod.sample_pbsdf(tab, si.wi, u1, u2)
+        f = MeasuredPolarized.eval(p, si, wo, ctx, cfg, wavelengths)
+        ok = pdf > 1e-9
+        inv = jnp.where(ok, 1.0 / jnp.maximum(pdf, 1e-9), 0.0)
+        weight = mul_value(
+            f, jnp.broadcast_to(inv[..., None], (n, cfg.n_channels)), cfg
+        )
+        bs = BSDFSample(
+            wo=wo,
+            pdf=pdf,
+            eta=jnp.ones((n,), jnp.float32),
+            sampled_type=jnp.full(
+                (n,), jnp.uint32(BSDFFlags.GlossyReflection)
+            ),
+            sampled_component=jnp.zeros((n,), jnp.int32),
+        )
+        return bs, weight, ok
+
+
+# ---------------------------------------------------------------------------
 # hair (Chiang fiber model) — reference src/bsdfs/hair.cpp; algebra lives in
 # librender/hair.py. Full-sphere scattering: no upper-hemisphere gating.
 # ---------------------------------------------------------------------------
@@ -1783,6 +1831,7 @@ IMPLS = {
     BSDF_PRINCIPLED_THIN: PrincipledThin,
     BSDF_MEASURED: Measured,
     BSDF_HAIR: Hair,
+    BSDF_MEASURED_POLARIZED: MeasuredPolarized,
 }
 
 
@@ -1968,10 +2017,12 @@ def _nested_remap(mat, midx, p, si, u1):
     p_a["_uv"] = si.uv
     p_a["_tex_stack"] = mat.tex_stack
     p_a["_meas"] = mat.meas
+    p_a["_mpol"] = mat.mpol
     p_b = mat.gather(midx_b)
     p_b["_uv"] = si.uv
     p_b["_tex_stack"] = mat.tex_stack
     p_b["_meas"] = mat.meas
+    p_b["_mpol"] = mat.mpol
     return p_a, p_b, si_p, (s_, t_, n_), u1_eff, is_blend, w, perturb
 
 
@@ -1999,6 +2050,7 @@ def sample(mat: MaterialTable, midx, si, u1, u2, ctx, cfg, wavelengths=None):
     p["_uv"] = si_eff.uv
     p["_tex_stack"] = mat.tex_stack
     p["_meas"] = mat.meas
+    p["_mpol"] = mat.mpol
 
     if not _has_nested(mat):
         bs_acc, val_acc, ok_acc = _loop_sample(
@@ -2067,6 +2119,7 @@ def eval_(mat: MaterialTable, midx, si, wo, ctx, cfg, wavelengths=None):
     p["_uv"] = si_eff.uv
     p["_tex_stack"] = mat.tex_stack
     p["_meas"] = mat.meas
+    p["_mpol"] = mat.mpol
 
     if not _has_nested(mat):
         return _loop_eval(mat, p, si_eff, wo_eff, ctx, cfg, wavelengths)
@@ -2098,6 +2151,7 @@ def pdf(mat: MaterialTable, midx, si, wo, ctx, cfg):
     p["_uv"] = si_eff.uv
     p["_tex_stack"] = mat.tex_stack
     p["_meas"] = mat.meas
+    p["_mpol"] = mat.mpol
     wo_eff = jnp.where(flip[..., None], _flip_z(wo), wo)
 
     if not _has_nested(mat):

@@ -16,7 +16,7 @@ from ..librender.bsdf import (
     BSDF_THIN_DIELECTRIC, BSDF_ROUGH_DIELECTRIC, BSDF_PLASTIC,
     BSDF_ROUGH_PLASTIC, BSDF_MASK, BSDF_POLARIZER, BSDF_RETARDER,
     BSDF_ROUGH_GRATING, BSDF_NULL, BSDF_PRINCIPLED, BSDF_PRINCIPLED_THIN,
-    BSDF_MEASURED, BSDF_HAIR,
+    BSDF_MEASURED, BSDF_HAIR, BSDF_MEASURED_POLARIZED,
 )
 from ..librender.sensor import Sensor
 from . import shape as shp
@@ -40,6 +40,7 @@ BSDF_TYPE_MAP = {
     "principledthin": BSDF_PRINCIPLED_THIN,
     "measured": BSDF_MEASURED,
     "hair": BSDF_HAIR,
+    "measured_polarized": BSDF_MEASURED_POLARIZED,
 }
 
 
@@ -131,6 +132,12 @@ def _parse_bsdf_dict(d: dict) -> LoadedBSDF:
             float(d.get("pheomelanin", 0.0)), 1.0 if use_sig else 0.0,
             0.0, 0.0,
         )
+    if bt == BSDF_MEASURED_POLARIZED:
+        if "filename" in d:
+            kw["filename"] = d["filename"]
+        if "data" in d:
+            kw["mpol_data"] = d["data"]
+        kw["alpha"] = (float(d.get("alpha_sample", 0.3)),) * 2
     if bt == BSDF_MEASURED:
         if "filename" in d:
             kw["filename"] = d["filename"]

@@ -23,6 +23,7 @@ from ..librender.bsdf import (
     BSDF_DIELECTRIC, BSDF_THIN_DIELECTRIC, BSDF_ROUGH_GRATING,
     BSDF_BLEND, BSDF_NORMALMAP, BSDF_BUMPMAP, BSDF_PRINCIPLED,
     BSDF_PRINCIPLED_THIN, BSDF_MEASURED, BSDF_HAIR,
+    BSDF_MEASURED_POLARIZED,
 )
 from ..librender.sensor import Sensor
 from .emitters import (
@@ -328,6 +329,14 @@ def _parse_bsdf(elem, defaults) -> LoadedBSDF:
                 float(p.get("pheomelanin", 0.0)),
                 1.0 if use_sig else 0.0, 0.0, 0.0,
             ),
+        )
+    if btype == "measured_polarized":
+        fn = p.get("filename", "")
+        if fn and not os.path.isabs(fn):
+            fn = os.path.join(defaults.get("__base_dir", "."), fn)
+        return LoadedBSDF(
+            BSDF_MEASURED_POLARIZED, filename=fn,
+            alpha=(float(p.get("alpha_sample", 0.3)),) * 2,
         )
     if btype == "measured":
         fn = p.get("filename", "")
@@ -896,6 +905,10 @@ def build_material_table(bsdf_list: List[LoadedBSDF]) -> MaterialTable:
             | BSDFFlags.FrontSide | BSDFFlags.BackSide
         ),
         BSDF_MEASURED: BSDFFlags.GlossyReflection | BSDFFlags.FrontSide,
+        BSDF_MEASURED_POLARIZED: (
+            BSDFFlags.GlossyReflection | BSDFFlags.DiffuseReflection
+            | BSDFFlags.FrontSide
+        ),
         BSDF_HAIR: (
             BSDFFlags.GlossyReflection | BSDFFlags.GlossyTransmission
             | BSDFFlags.FrontSide | BSDFFlags.BackSide | BSDFFlags.Anisotropic
@@ -1036,6 +1049,32 @@ def build_material_table(bsdf_list: List[LoadedBSDF]) -> MaterialTable:
             eta_spec=jnp.asarray(eta_spec), k_spec=jnp.asarray(k_spec)
         )
 
+    # --- polarized measured pBSDF (one dataset per scene) ------------------
+    mpol_kw = {}
+    mpol_rows = [
+        (i, lb) for i, lb in enumerate(bsdf_list)
+        if lb.btype == BSDF_MEASURED_POLARIZED
+    ]
+    if mpol_rows:
+        from ..librender.measured import read_tensor_file
+        from ..librender.measured_polarized import PolarizedMeasurement
+
+        i0, lb0 = mpol_rows[0]
+        src = lb0.params.get("mpol_data")
+        if src is None:
+            src = read_tensor_file(lb0.params["filename"])
+        alpha_s = float(lb0.params.get("alpha", (0.3, 0.3))[0])
+        mpol_kw = dict(
+            mpol=PolarizedMeasurement.from_tensors(src, alpha_s)
+        )
+        if len(mpol_rows) > 1:
+            import warnings
+
+            warnings.warn(
+                "multiple measured_polarized materials: all share the "
+                "first dataset (single-tensor limitation)"
+            )
+
     # --- measured materials: load tensor files, stack into MeasuredTables --
     meas_kw = {}
     meas_rows = [
@@ -1068,7 +1107,7 @@ def build_material_table(bsdf_list: List[LoadedBSDF]) -> MaterialTable:
 
     return finalize_grating_meta(dc.replace(
         tab, base_color_coeff=jnp.asarray(coeffs), **upd, **tex_kw, **meas_kw,
-        **ior_kw,
+        **ior_kw, **mpol_kw,
         present_types=tuple(present),
     ))
 
