@@ -164,6 +164,11 @@ class MaterialTable:
     # scene (the tensor is 6-D; stacking differently-sized measurements is
     # not supported — matching typical usage)
     mpol: Any = None          # PolarizedMeasurement or None
+    # volume texture (src/textures/volume.cpp): ONE 3D RGB grid per scene,
+    # sampled at the world-space hit point inside [vtex_min, vtex_max]
+    vtex_grid: Any = None     # [Dz, Dy, Dx, 3]
+    vtex_min: Any = None      # [3]
+    vtex_max: Any = None      # [3]
     # --- spectral conductor IOR curves on core.ior.IOR_WAVELENGTHS
     # (role of resources/data/ior/*.spd; None -> RGB eta/k only) ---
     eta_spec: Any = None      # [M, N_IOR]
@@ -222,7 +227,8 @@ class MaterialTable:
         dtypes = []
         for f in dataclasses.fields(self):
             if f.metadata.get("static") or f.name in (
-                "tex_stack", "meas", "mpol"
+                "tex_stack", "meas", "mpol", "vtex_grid", "vtex_min",
+                "vtex_max",
             ):
                 continue
             arr = getattr(self, f.name)

@@ -78,6 +78,31 @@ def eval_color(p, key: str, cfg: RenderConfig, wavelengths):
             ti = jnp.clip(p["tex_idx"], 0, tex_stack.shape[0] - 1)
             c = _bitmap_bilinear(tex_stack, ti, uv)
             rgb = jnp.where((mode == 1)[..., None], c, rgb)
+        # mesh_attribute: interpolated vertex color (mesh_attribute.cpp)
+        vcol = p.get("_vcol")
+        if vcol is not None:
+            rgb = jnp.where((mode == 3)[..., None], vcol, rgb)
+        # volume texture: 3D grid sampled at the world hit point
+        # (src/textures/volume.cpp)
+        vgrid = p.get("_vtex_grid")
+        if vgrid is not None and "_p" in p:
+            lo = p["_vtex_min"]
+            hi = p["_vtex_max"]
+            q = jnp.clip(
+                (p["_p"] - lo) / jnp.maximum(hi - lo, 1e-9), 0.0, 1.0
+            )
+            dz, dy, dx = vgrid.shape[:3]
+            xi = jnp.clip(
+                jnp.round(q[..., 0] * (dx - 1)).astype(jnp.int32), 0, dx - 1
+            )
+            yi = jnp.clip(
+                jnp.round(q[..., 1] * (dy - 1)).astype(jnp.int32), 0, dy - 1
+            )
+            zi = jnp.clip(
+                jnp.round(q[..., 2] * (dz - 1)).astype(jnp.int32), 0, dz - 1
+            )
+            vc = vgrid[zi, yi, xi]
+            rgb = jnp.where((mode == 4)[..., None], vc, rgb)
     if cfg.spectral:
         coeff = p.get(key + "_coeff")
         flat = jnp.broadcast_to(
@@ -2018,11 +2043,21 @@ def _nested_remap(mat, midx, p, si, u1):
     p_a["_tex_stack"] = mat.tex_stack
     p_a["_meas"] = mat.meas
     p_a["_mpol"] = mat.mpol
+    p_a["_vcol"] = getattr(si, "vcol", None)
+    p_a["_p"] = si.p
+    p_a["_vtex_grid"] = mat.vtex_grid
+    p_a["_vtex_min"] = mat.vtex_min
+    p_a["_vtex_max"] = mat.vtex_max
     p_b = mat.gather(midx_b)
     p_b["_uv"] = si.uv
     p_b["_tex_stack"] = mat.tex_stack
     p_b["_meas"] = mat.meas
     p_b["_mpol"] = mat.mpol
+    p_b["_vcol"] = getattr(si, "vcol", None)
+    p_b["_p"] = si.p
+    p_b["_vtex_grid"] = mat.vtex_grid
+    p_b["_vtex_min"] = mat.vtex_min
+    p_b["_vtex_max"] = mat.vtex_max
     return p_a, p_b, si_p, (s_, t_, n_), u1_eff, is_blend, w, perturb
 
 
@@ -2051,6 +2086,11 @@ def sample(mat: MaterialTable, midx, si, u1, u2, ctx, cfg, wavelengths=None):
     p["_tex_stack"] = mat.tex_stack
     p["_meas"] = mat.meas
     p["_mpol"] = mat.mpol
+    p["_vcol"] = getattr(si_eff, "vcol", None)
+    p["_p"] = si_eff.p
+    p["_vtex_grid"] = mat.vtex_grid
+    p["_vtex_min"] = mat.vtex_min
+    p["_vtex_max"] = mat.vtex_max
 
     if not _has_nested(mat):
         bs_acc, val_acc, ok_acc = _loop_sample(
@@ -2120,6 +2160,11 @@ def eval_(mat: MaterialTable, midx, si, wo, ctx, cfg, wavelengths=None):
     p["_tex_stack"] = mat.tex_stack
     p["_meas"] = mat.meas
     p["_mpol"] = mat.mpol
+    p["_vcol"] = getattr(si_eff, "vcol", None)
+    p["_p"] = si_eff.p
+    p["_vtex_grid"] = mat.vtex_grid
+    p["_vtex_min"] = mat.vtex_min
+    p["_vtex_max"] = mat.vtex_max
 
     if not _has_nested(mat):
         return _loop_eval(mat, p, si_eff, wo_eff, ctx, cfg, wavelengths)
@@ -2152,6 +2197,11 @@ def pdf(mat: MaterialTable, midx, si, wo, ctx, cfg):
     p["_tex_stack"] = mat.tex_stack
     p["_meas"] = mat.meas
     p["_mpol"] = mat.mpol
+    p["_vcol"] = getattr(si_eff, "vcol", None)
+    p["_p"] = si_eff.p
+    p["_vtex_grid"] = mat.vtex_grid
+    p["_vtex_min"] = mat.vtex_min
+    p["_vtex_max"] = mat.vtex_max
     wo_eff = jnp.where(flip[..., None], _flip_z(wo), wo)
 
     if not _has_nested(mat):

@@ -57,6 +57,10 @@ class SurfaceInteraction:
     mat_idx: Any    # [N] int32 material index
     emitter_idx: Any  # [N] int32 emitter index, -1 if none
     shape_idx: Any  # [N] int32
+    # interpolated per-vertex color (mesh_attribute texture role,
+    # src/textures/mesh_attribute.cpp); None when the scene has no
+    # vertex-color meshes
+    vcol: Any = None
 
     def frame(self):
         return (self.sh_s, self.sh_t, self.sh_n)

@@ -69,7 +69,12 @@ def _parse_bsdf_dict(d: dict) -> LoadedBSDF:
     bt = BSDF_TYPE_MAP.get(t, BSDF_DIFFUSE)
     kw = {"twosided": twosided}
 
-    if "reflectance" in d:
+    refl = d.get("reflectance")
+    if isinstance(refl, dict) and refl.get("type") == "mesh_attribute":
+        kw["mesh_attribute"] = True
+    elif isinstance(refl, dict) and refl.get("type") == "volume":
+        kw["volume_tex"] = refl.get("grid", refl.get("filename"))
+    elif "reflectance" in d:
         kw["base_color"] = _color(d["reflectance"])
     if "diffuse_reflectance" in d:
         kw["base_color"] = _color(d["diffuse_reflectance"])

@@ -178,6 +178,22 @@ def _parse_bsdf(elem, defaults) -> LoadedBSDF:
     # p["texture"] (resolved against the scene dir)
     for tex_elem in elem.findall("texture"):
         tp = _props(tex_elem, defaults)
+        ttype = tex_elem.get("type", "bitmap")
+        if ttype == "mesh_attribute":
+            # per-vertex color attribute (src/textures/mesh_attribute.cpp)
+            p["mesh_attribute"] = True
+            continue
+        if ttype == "volume":
+            vol = tex_elem.find("volume")
+            fn = tp.get("filename")
+            if vol is not None:
+                vp = _props(vol, defaults)
+                fn = vp.get("filename", fn)
+            if fn:
+                p["volume_tex"] = os.path.join(
+                    defaults.get("__base_dir", "."), fn
+                )
+            continue
         if "filename" in tp:
             fn = os.path.join(defaults.get("__base_dir", "."), tp["filename"])
             if tex_elem.get("name") in ("reflectance", "base_color", None):
@@ -194,6 +210,10 @@ def _parse_bsdf(elem, defaults) -> LoadedBSDF:
 
     if btype == "diffuse":
         kw = {}
+        if "mesh_attribute" in p:
+            kw["mesh_attribute"] = True
+        if "volume_tex" in p:
+            kw["volume_tex"] = p["volume_tex"]
         if "texture" in p:
             kw["texture"] = p["texture"]
         if "uv_scale" in p:
@@ -1009,6 +1029,10 @@ def build_material_table(bsdf_list: List[LoadedBSDF]) -> MaterialTable:
             tex_mode[i] = 2
             if "color1" in p:
                 tex_color1[i] = np.asarray(p["color1"], np.float32)
+        elif p.get("mesh_attribute"):
+            tex_mode[i] = 3  # interpolated vertex color
+        elif p.get("volume_tex") is not None:
+            tex_mode[i] = 4  # 3D grid at the hit point
         if "uv_scale" in p:
             tex_uv_scale[i] = np.broadcast_to(
                 np.asarray(p["uv_scale"], np.float32), (2,)
@@ -1047,6 +1071,29 @@ def build_material_table(bsdf_list: List[LoadedBSDF]) -> MaterialTable:
                 eta_spec[i], k_spec[i] = curve
         ior_kw = dict(
             eta_spec=jnp.asarray(eta_spec), k_spec=jnp.asarray(k_spec)
+        )
+
+    # --- volume texture grid (one per scene) -------------------------------
+    vtex_kw = {}
+    vt_rows = [lb for lb in bsdf_list if lb.params.get("volume_tex") is not None]
+    if vt_rows:
+        vt = vt_rows[0].params["volume_tex"]
+        if isinstance(vt, str):
+            from ..utils.io import read_vol
+
+            g, lo, hi = read_vol(vt)
+            if g.shape[-1] == 1:
+                g = np.repeat(g, 3, axis=-1)
+        else:
+            g = np.asarray(vt, np.float32)
+            lo = np.zeros(3, np.float32)
+            hi = np.ones(3, np.float32)
+            if g.ndim == 3:
+                g = g[..., None].repeat(3, -1)
+        vtex_kw = dict(
+            vtex_grid=jnp.asarray(g[..., :3]),
+            vtex_min=jnp.asarray(lo),
+            vtex_max=jnp.asarray(hi),
         )
 
     # --- polarized measured pBSDF (one dataset per scene) ------------------
@@ -1107,7 +1154,7 @@ def build_material_table(bsdf_list: List[LoadedBSDF]) -> MaterialTable:
 
     return finalize_grating_meta(dc.replace(
         tab, base_color_coeff=jnp.asarray(coeffs), **upd, **tex_kw, **meas_kw,
-        **ior_kw, **mpol_kw,
+        **ior_kw, **mpol_kw, **vtex_kw,
         present_types=tuple(present),
     ))
 

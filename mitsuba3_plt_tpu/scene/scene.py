@@ -50,7 +50,7 @@ class Geometry:
     tri_emitter: Any  # [F] int32 emitter index (-1)
     tri_shape: Any    # [F] int32 source shape id
     tri_isect: Any  # [F_pad, 9] packed (p0, e1, e2) for chunked intersection
-    tri_attr: Any   # [F, 32] packed shading attributes (see pack_attributes)
+    tri_attr: Any   # [F, 40] packed shading attributes (see pack_attributes)
     # --- analytic spheres (reference src/shapes/sphere.cpp:240-330) -------
     # intersected exactly (no tessellation bias); S is small so the test is
     # a vectorized [N, S] broadcast merged with the triangle result
@@ -337,6 +337,10 @@ class Scene:
         a_shape = attr[..., 20].astype(jnp.int32)
         a_tan = attr[..., 21:24]
         w = 1.0 - u - v
+        c0 = attr[..., 24:27]
+        c1 = attr[..., 27:30]
+        c2 = attr[..., 30:33]
+        vcol = c0 * w[..., None] + c1 * u[..., None] + c2 * v[..., None]
         ns = fr.normalize(
             n0 * w[..., None] + n1 * u[..., None] + n2 * v[..., None]
         )
@@ -478,6 +482,7 @@ class Scene:
             mat_idx=jnp.where(valid, a_mat, -1),
             emitter_idx=jnp.where(valid, a_emitter, -1),
             shape_idx=jnp.where(valid, a_shape, -1),
+            vcol=vcol,
         )
 
     def ray_test(self, ray: Ray) -> Any:
@@ -530,7 +535,7 @@ def build_geometry(
     intersections, no tessellation bias — sphere.cpp / disk.cpp /
     cylinder.cpp roles)."""
     P0, P1, P2, N0, N1, N2, U0, U1, U2 = [], [], [], [], [], [], [], [], []
-    FN, MAT, EMI, SHP, TAN = [], [], [], [], []
+    FN, MAT, EMI, SHP, TAN, VC = [], [], [], [], [], []
 
     for k, mesh in enumerate(meshes):
         f = mesh.faces
@@ -565,6 +570,13 @@ def build_geometry(
             TAN.append(tg)
         else:
             TAN.append(np.zeros((len(f), 3), np.float32))
+        if mesh.colors is not None:
+            VC.append(np.concatenate(
+                [mesh.colors[f[:, 0]], mesh.colors[f[:, 1]],
+                 mesh.colors[f[:, 2]]], axis=-1
+            ))
+        else:
+            VC.append(np.zeros((len(f), 9), np.float32))
         MAT.append(np.full(len(f), mat_ids[k], np.int32))
         EMI.append(np.full(len(f), emitter_ids[k], np.int32))
         SHP.append(np.full(len(f), k if shape_ids is None else shape_ids[k], np.int32))
@@ -585,7 +597,7 @@ def build_geometry(
 
     # packed shading attributes [F, 32]: ng(3) n0(3) n1(3) n2(3) uv0(2)
     # uv1(2) uv2(2) mat(1) emitter(1) shape(1) pad->32
-    attr = np.zeros((nf_total, 32), np.float32)
+    attr = np.zeros((nf_total, 40), np.float32)
     attr[:, 0:3] = cat(FN)
     attr[:, 3:6] = cat(N0)
     attr[:, 6:9] = cat(N1)
@@ -599,6 +611,8 @@ def build_geometry(
     # fiber/uv tangent (zero = no tangent; frame falls back to
     # coordinate_system). Consumed by the hair BSDF's fiber frame.
     attr[:, 21:24] = cat(TAN)
+    # per-corner vertex colors (mesh_attribute texture role)
+    attr[:, 24:33] = cat(VC)
 
     geo = Geometry(
         tri_p0=jnp.asarray(p0c), tri_p1=jnp.asarray(p1c),

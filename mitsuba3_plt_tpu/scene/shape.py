@@ -23,6 +23,7 @@ class HostMesh:
     uvs: Optional[np.ndarray] = None       # [V, 2] f32
     face_normals: bool = False      # force flat shading
     tangents: Optional[np.ndarray] = None  # [V, 3] f32 (fiber/uv tangents)
+    colors: Optional[np.ndarray] = None    # [V, 3] f32 vertex colors
 
     def transformed(self, to_world: np.ndarray) -> "HostMesh":
         v = self.vertices @ to_world[:3, :3].T + to_world[:3, 3]
@@ -45,6 +46,7 @@ class HostMesh:
             uvs=self.uvs,
             face_normals=self.face_normals,
             tangents=None if tg is None else tg.astype(np.float32),
+            colors=self.colors,
         )
 
     def surface_areas(self) -> np.ndarray:
@@ -98,7 +100,7 @@ def load_ply(path: str) -> HostMesh:
             else:
                 elements[-1][2].append((tok[1], tok[2]))
 
-    verts = normals = uvs = None
+    verts = normals = uvs = vcolors = None
     faces = []
 
     if fmt == "ascii":
@@ -111,7 +113,7 @@ def load_ply(path: str) -> HostMesh:
                 )
                 li += count
                 cols = [p[1] for p in props]
-                verts, normals, uvs = _extract_vertex_data(rows, cols)
+                verts, normals, uvs, vcolors = _extract_vertex_data(rows, cols)
             elif name == "face":
                 for i in range(count):
                     tok = lines[li + i].split()
@@ -137,7 +139,7 @@ def load_ply(path: str) -> HostMesh:
                 rows = np.stack(
                     [arr[c].astype(np.float64) for c in cols], axis=-1
                 )
-                verts, normals, uvs = _extract_vertex_data(rows, cols)
+                verts, normals, uvs, vcolors = _extract_vertex_data(rows, cols)
             elif name == "face":
                 lp = props[0]
                 cnt_fmt, cnt_sz = _PLY_TYPES[lp[1]]
@@ -173,6 +175,7 @@ def load_ply(path: str) -> HostMesh:
         faces=np.asarray(faces, np.int32).reshape(-1, 3),
         normals=None if normals is None else np.asarray(normals, np.float32),
         uvs=None if uvs is None else np.asarray(uvs, np.float32),
+        colors=None if vcolors is None else np.asarray(vcolors, np.float32),
     )
 
 
@@ -189,7 +192,12 @@ def _extract_vertex_data(rows, cols):
         if uname in cols:
             uvs = np.stack([col(uname), col(vname)], -1)
             break
-    return verts, normals, uvs
+    colors = None
+    if "red" in cols:
+        colors = np.stack([col("red"), col("green"), col("blue")], -1)
+        if colors.max() > 1.0:  # 8-bit colors
+            colors = colors / 255.0
+    return verts, normals, uvs, colors
 
 
 def load_obj(path: str) -> HostMesh:
