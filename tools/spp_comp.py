@@ -53,17 +53,36 @@ def main(argv=None):
         mi.render((scene, meta), integrator=integ, spp=args.ref_spp, seed=999)
     )
 
+    # one fixed spp_per_pass across all runs -> ONE compiled pass shape;
+    # compile time is reported once, steady-state timing excludes it
+    # (bench-methodology parity with bench.py: compile and steady-state
+    # must never be conflated)
+    mw = getattr(integ, "max_wavefront", None) or (1 << 21)
+    spp_per_pass = max(1, min(min(args.spps), mw // (args.resx * args.resy)
+                              or 1))
+
     rows = []
     for spp in args.spps:
+        stats = {}
         t0 = time.perf_counter()
         img = np.asarray(
-            mi.render((scene, meta), integrator=integ, spp=spp, seed=0)
+            mi.render((scene, meta), integrator=integ, spp=spp, seed=0,
+                      spp_per_pass=spp_per_pass, stats=stats)
         )
         dt = time.perf_counter() - t0
+        compile_s = stats.get("compile_s") or 0.0
+        steady_s = max(dt - compile_s, 1e-9)
+        # after the first spp value the pass function is cached; compile_s
+        # then measures only the first-pass dispatch
         rows.append({
             "spp": spp,
             "time_s": round(dt, 3),
-            "time_per_sample_ms": round(dt / spp * 1e3, 3),
+            "compile_s": round(compile_s, 3),
+            "steady_s": round(steady_s, 3),
+            "steady_ms_per_spp": round(steady_s / spp * 1e3, 3),
+            "camera_samples_per_s": round(
+                args.resx * args.resy * spp / steady_s, 1
+            ),
             "rmse": round(rmse(img, ref), 6),
             "rel_mse": round(rel_mse(img, ref), 6),
         })
