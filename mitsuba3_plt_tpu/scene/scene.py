@@ -335,12 +335,17 @@ class Scene:
         a_mat = attr[..., 18].astype(jnp.int32)
         a_emitter = attr[..., 19].astype(jnp.int32)
         a_shape = attr[..., 20].astype(jnp.int32)
-        a_tan = attr[..., 21:24]
+        has_extra = geo.tri_attr.shape[1] >= 40  # static
         w = 1.0 - u - v
-        c0 = attr[..., 24:27]
-        c1 = attr[..., 27:30]
-        c2 = attr[..., 30:33]
-        vcol = c0 * w[..., None] + c1 * u[..., None] + c2 * v[..., None]
+        if has_extra:
+            a_tan = attr[..., 21:24]
+            c0 = attr[..., 24:27]
+            c1 = attr[..., 27:30]
+            c2 = attr[..., 30:33]
+            vcol = c0 * w[..., None] + c1 * u[..., None] + c2 * v[..., None]
+        else:
+            a_tan = None
+            vcol = None
         ns = fr.normalize(
             n0 * w[..., None] + n1 * u[..., None] + n2 * v[..., None]
         )
@@ -447,18 +452,19 @@ class Scene:
         # tangents (hair fibers need sh_s along the fiber axis); zero
         # tangent rows keep the default arbitrary frame
         sh_s, sh_t = fr.coordinate_system(ns)
-        tan_len2 = jnp.sum(a_tan * a_tan, axis=-1)
-        has_tan = tan_len2 > 0.25
-        t_proj = a_tan - fr.dot(a_tan, ns)[..., None] * ns
-        t_ok = fr.squared_norm(t_proj) > 1e-12
-        t_unit = fr.normalize(
-            jnp.where(t_ok[..., None], t_proj, sh_s)
-        )
-        use_tan = has_tan & t_ok
-        sh_s = jnp.where(use_tan[..., None], t_unit, sh_s)
-        sh_t = jnp.where(
-            use_tan[..., None], fr.cross(ns, t_unit), sh_t
-        )
+        if has_extra:
+            tan_len2 = jnp.sum(a_tan * a_tan, axis=-1)
+            has_tan = tan_len2 > 0.25
+            t_proj = a_tan - fr.dot(a_tan, ns)[..., None] * ns
+            t_ok = fr.squared_norm(t_proj) > 1e-12
+            t_unit = fr.normalize(
+                jnp.where(t_ok[..., None], t_proj, sh_s)
+            )
+            use_tan = has_tan & t_ok
+            sh_s = jnp.where(use_tan[..., None], t_unit, sh_s)
+            sh_t = jnp.where(
+                use_tan[..., None], fr.cross(ns, t_unit), sh_t
+            )
         wi_world = -ray.d
         wi_local = jnp.stack(
             [
@@ -595,9 +601,15 @@ def build_geometry(
         [isect_rows, np.zeros((pad, 9), np.float32)], axis=0
     )
 
-    # packed shading attributes [F, 32]: ng(3) n0(3) n1(3) n2(3) uv0(2)
-    # uv1(2) uv2(2) mat(1) emitter(1) shape(1) pad->32
-    attr = np.zeros((nf_total, 40), np.float32)
+    # packed shading attributes: ng(3) n0(3) n1(3) n2(3) uv0(2) uv1(2)
+    # uv2(2) mat(1) emitter(1) shape(1) [tangent(3) corner-colors(9) only
+    # when some mesh carries them — the narrow 24-col layout keeps the
+    # common per-bounce gather small]
+    tan_cat = cat(TAN)
+    vc_cat = cat(VC)
+    has_extra = bool((np.abs(tan_cat).max() if len(tan_cat) else 0.0) > 0
+                     or (np.abs(vc_cat).max() if len(vc_cat) else 0.0) > 0)
+    attr = np.zeros((nf_total, 40 if has_extra else 24), np.float32)
     attr[:, 0:3] = cat(FN)
     attr[:, 3:6] = cat(N0)
     attr[:, 6:9] = cat(N1)
@@ -608,11 +620,12 @@ def build_geometry(
     attr[:, 18] = cati(MAT)
     attr[:, 19] = cati(EMI)
     attr[:, 20] = cati(SHP)
-    # fiber/uv tangent (zero = no tangent; frame falls back to
-    # coordinate_system). Consumed by the hair BSDF's fiber frame.
-    attr[:, 21:24] = cat(TAN)
-    # per-corner vertex colors (mesh_attribute texture role)
-    attr[:, 24:33] = cat(VC)
+    if has_extra:
+        # fiber/uv tangent (zero = no tangent; frame falls back to
+        # coordinate_system), consumed by the hair BSDF's fiber frame +
+        # per-corner vertex colors (mesh_attribute texture role)
+        attr[:, 21:24] = tan_cat
+        attr[:, 24:33] = vc_cat
 
     geo = Geometry(
         tri_p0=jnp.asarray(p0c), tri_p1=jnp.asarray(p1c),
