@@ -685,6 +685,28 @@ def _build_scene_from_xml(root, defaults, base_dir):
             )
             continue
 
+        if stype == "merge":
+            # merge.cpp: a container whose children merge into one shape —
+            # our SoA soup already merges everything, so just flatten the
+            # children in place
+            for child in sh.findall("shape"):
+                cm = _load_simple_mesh(child, defaults, base_dir)
+                if cm is None:
+                    continue
+                c_mat = None
+                c_ref = child.find("ref")
+                if c_ref is not None and c_ref.get("id") in named_bsdfs:
+                    c_mat = named_bsdfs[c_ref.get("id")]
+                c_inline = child.find("bsdf")
+                if c_inline is not None:
+                    c_mat = add_bsdf(_parse_bsdf(c_inline, defaults))
+                if c_mat is None:
+                    c_mat = add_bsdf(default_bsdf())
+                meshes.append(cm)
+                mesh_mat.append(c_mat)
+                mesh_emitter.append(-1)
+            continue
+
         if stype == "shapegroup":
             gid = sh.get("id")
             group = []
