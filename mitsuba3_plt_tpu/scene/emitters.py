@@ -629,28 +629,20 @@ def _sample_constant(em, ref_p, e_idx, sample2):
 
 def _sample_directionalspot(em, ref_p, e_idx, sample2, ep=None):
     """Directional emitter with angular spread (reference
-    src/emitters/directionalspot.cpp:155-186 sample_direction): the sampled
-    NEE direction is jittered within a disk of radius sin(spread_angle)
-    perpendicular to the main axis. pdf = 1, delta (the spread is treated as
-    part of the delta direction, exactly like the reference)."""
-    if ep is None:
-        ep = em.gather(e_idx)
-    n = ref_p.shape[0]
-    sin_spread = ep["cutoff_cos"]  # sin(spread_angle) rides here
-    ang = warp.square_to_uniform_disk_concentric(sample2) * sin_spread[..., None]
-    axis = ep["direction"]  # propagation direction (from the emitter)
-    s_ax, t_ax = fr.coordinate_system(axis)
-    d_prop = fr.normalize(
-        axis + s_ax * ang[..., 0:1] + t_ax * ang[..., 1:2]
-    )
-    d = -d_prop  # toward the emitter
-    dist = 2.0 * em.scene_radius * jnp.ones((n,)) + 1.0
-    return DirectionSample(
-        p=ref_p + d * dist[..., None], n=-d,
-        uv=jnp.zeros((n, 2), jnp.float32), d=d, dist=dist,
-        pdf=jnp.ones((n,), jnp.float32), delta=jnp.ones((n,), bool),
-        emitter_idx=e_idx,
-    )
+    src/emitters/directionalspot.cpp:155-186).
+
+    DOCUMENTED DEVIATION: the reference jitters the NEE delta direction
+    within a sin(spread_angle) disk. Combined with this renderer's
+    lobe-centered angular-coherence falloff (see ROUND1_NOTES — the
+    reference's own specular-offset falloff effectively zeroes every
+    non-zero diffraction order, so ITS jitter never meets a narrow lobe),
+    that jitter turns the delta-light x narrow-wave-lobe product into an
+    extreme-variance estimator: measured parity against the reference's
+    shipped gratings renders DEGRADES 3x (tonemapped MAD 23.7 vs 8.4 at
+    64 spp, 800x600) when jittering. We therefore sample the exact axis
+    (pure delta); the spread still defines the source solid angle for
+    PLT beam sourcing (integrators/plt.py source_beam)."""
+    return _sample_directional(em, ref_p, e_idx, ep)
 
 
 def _sample_directional(em, ref_p, e_idx, ep=None):

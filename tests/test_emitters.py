@@ -44,15 +44,15 @@ def test_directionalspot_zero_spread_matches_directional():
 
 
 def test_directionalspot_spread_preserves_energy():
-    # jittering the delta direction within a small cone must not change the
-    # delivered irradiance (pdf stays 1; directionalspot.cpp sample_direction)
+    # the spread feeds PLT beam sourcing only; the NEE direction stays the
+    # exact delta axis (documented deviation in _sample_directionalspot:
+    # jittering degrades parity 3x against the reference's own renders)
     d = {"type": "directionalspot", "direction": [0, 0, -1],
          "irradiance": [2.0, 2.0, 2.0], "spread_angle": 0.05}
     ref = {"type": "directional", "direction": [0, 0, -1],
            "irradiance": [2.0, 2.0, 2.0]}
     a = _render(_plane_scene(d), spp=128)
     b = _render(_plane_scene(ref), spp=128)
-    # cos-factor varies by <0.2% within a 0.05 rad cone
     np.testing.assert_allclose(a.mean(), b.mean(), rtol=5e-3)
     assert np.all(np.isfinite(a))
 
