@@ -68,3 +68,28 @@ def test_conductor_mueller_vs_analytic():
     Rs, Rp = abs(r_s) ** 2, abs(r_p) ** 2
     assert abs(M[0, 0] - 0.5 * (Rs + Rp)) < 1e-4
     assert abs(abs(M[0, 1]) - 0.5 * (Rs - Rp)) < 1e-4
+
+
+def test_polvis_false_color():
+    """polvis (src/python/python/polvis.py role): DoLP/AoLP false-color
+    maps from a stokes render of a polarizing scene."""
+    import numpy as np
+    from mitsuba3_plt_tpu.utils.polvis import polvis, split_stokes, dolp
+
+    # synthetic stokes image: left half unpolarized, right half fully
+    # horizontally polarized (s1 = s0)
+    H = W = 8
+    img = np.zeros((H, W, 15), np.float32)
+    img[..., 0:3] = 1.0
+    img[..., 3:6] = 1.0           # S0
+    img[:, W // 2:, 6:9] = 1.0    # S1 on the right half
+    d = dolp(*split_stokes(img)[1:])
+    assert d[:, : W // 2].max() < 1e-6
+    np.testing.assert_allclose(d[:, W // 2 :], 1.0, atol=1e-6)
+    vis = polvis(img, "dolp")
+    assert vis.shape == (H, W, 3)
+    vis_aolp = polvis(img, "aolp")
+    assert np.all((vis_aolp >= 0) & (vis_aolp <= 1))
+    vis_s1 = polvis(img, "s1")
+    assert vis_s1[:, W // 2 :, 0].min() > 0.9   # +s1 -> red
+    assert vis_s1[:, : W // 2].max() < 1e-6
