@@ -51,7 +51,12 @@ def make_integrator(cfg: dict):
             rr_depth=_int(cfg, "rr_depth", 5),
             max_wavefront=min(1 << 21, (12 << 20) // max(d, 1)),
         )
-    if t in ("volpath", "volpathmis"):
+    if t in ("volpath", "volpathmis", "prbvolpath"):
+        # prbvolpath: the volumetric detached-sampling AD estimator IS the
+        # volpath sample function (flight distances + event decisions
+        # detached, densities attached — see volpath.py); jax.grad through
+        # ad/render.render_differentiable with jax.checkpoint provides the
+        # O(1)-memory replay role of the reference's prbvolpath.py
         from .volpath import VolPathIntegrator
 
         return VolPathIntegrator(

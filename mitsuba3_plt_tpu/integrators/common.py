@@ -67,10 +67,22 @@ def sample_rays(scene, sampler: Sampler, width, height, spp_pass, cfg: RenderCon
 
 
 def mis_weight(pdf_a, pdf_b):
-    """Power heuristic (beta=2), reference common.py:1304-1312."""
-    a2 = pdf_a * pdf_a
-    w = a2 / jnp.maximum(a2 + pdf_b * pdf_b, 1e-30)
-    return jnp.where(pdf_a > 0, w, 0.0)
+    """Power heuristic (beta=2), reference common.py:1304-1312.
+
+    Scale-invariant ratio form 1/(1 + (b/a)^2): the naive a^2/(a^2+b^2)
+    overflows f32 for pdfs beyond ~1e19, and its VJP produces inf*0 NaNs
+    whenever either pdf carries tangents on degenerate lanes (volumetric
+    NEE vertices depend on the sampled flight distance, so ds.pdf is
+    differentiated there). Non-finite inputs are sanitized — they only
+    occur on masked garbage lanes, whose weight must stay inert."""
+    a = jnp.where(jnp.isfinite(pdf_a), pdf_a, 0.0)
+    b = jnp.where(jnp.isfinite(pdf_b), pdf_b, 0.0)
+    a_ok = a > 0
+    r = jnp.clip(
+        b / jnp.where(a_ok, jnp.maximum(a, 1e-30), 1.0), 0.0, 1e12
+    )
+    w = 1.0 / (1.0 + r * r)
+    return jnp.where(a_ok, w, 0.0)
 
 
 def render(

@@ -37,6 +37,10 @@ class VolPathIntegrator:
     # uniformly and the balance heuristic averages the channel pdfs. For
     # gray media this reduces to the plain estimator.
     spectral_mis: bool = False
+    # diagnostic switches (kept: cheap, static, useful for AD triage)
+    debug_no_nee: bool = False
+    debug_no_hit: bool = False
+    debug_unroll: bool = False
 
     def sample(self, scene, sampler: Sampler, ray: Ray, wavelengths,
                cfg: RenderConfig):
@@ -108,10 +112,18 @@ class VolPathIntegrator:
             )
             if not cfg.spectral:
                 e_val = _to_channels(e_val, cfg)
-            contrib = f * e_val * tr * (
-                mis_em / jnp.maximum(ds.pdf, 1e-20)
-            )[..., None]
-            return jnp.where(vis[..., None], contrib, 0.0)
+            # double-where reciprocal: unlike the path tracer, the NEE
+            # vertex here carries sigma_t tangents (its position comes from
+            # the sampled flight distance), so 1/pdf is differentiated —
+            # and d(1/pdf) = -1/pdf^2 overflows f32 on degenerate lanes
+            # whose vertex lands near the light. Gating BOTH branches keeps
+            # the unselected reciprocal's gradient at exactly zero.
+            pdf_ok = ds.pdf > 1e-12
+            inv_pdf = jnp.where(
+                pdf_ok, 1.0 / jnp.maximum(ds.pdf, 1e-12), 0.0
+            )
+            contrib = f * e_val * tr * (mis_em * inv_pdf)[..., None]
+            return jnp.where((vis & pdf_ok)[..., None], contrib, 0.0)
 
         def body(carry, b):
             ray_o, ray_d, L, beta, active, prev_pdf, prev_delta = carry
@@ -156,29 +168,43 @@ class VolPathIntegrator:
                 pdf_srf = jnp.mean(tr_surf, axis=-1)
                 # sigma_s/sigma_t = albedo applies at the scatter vertex;
                 # the flight weight is Tr * sigma_t / pdf_avg
+                # denominators clamped at 1e-6: the VJP divides by the
+                # SQUARE of these, and 1e-20^2 underflows f32 -> NaN
+                # gradients leak through the masked where branches
                 w_medium = tr_med * medium.sigma_t[None, :] / jnp.maximum(
-                    pdf_med, 1e-20
+                    pdf_med, 1e-6
                 )[..., None]
-                w_surface = tr_surf / jnp.maximum(pdf_srf, 1e-20)[..., None]
+                w_surface = tr_surf / jnp.maximum(pdf_srf, 1e-6)[..., None]
                 beta = beta * jnp.where(
                     is_medium[..., None], w_medium[..., : beta.shape[-1]],
                     jnp.where(hit_surface[..., None],
                               w_surface[..., : beta.shape[-1]], 1.0),
                 )
             else:
+                # DETACHED-SAMPLING estimator (the reference AD stance,
+                # prbvolpath role): the sampled flight distance and every
+                # discrete event decision are detached; gradients flow
+                # through the ATTACHED density/transmittance factors of
+                # the weight w = sigma_c Tr_c(t) / pdf_0_detached(t) =
+                # (s_c/s0_det) exp(-(s_c - s0_det) t_det), evaluated in
+                # log-ratio form (the direct quotient's VJP divides by
+                # Tr_0^2, which underflows f32 and leaks NaNs through
+                # masked where branches). A pathwise (reparameterized)
+                # t(u, sigma) would instead need moving-boundary terms at
+                # the medium/surface event switch — measurably biased.
+                sg = jax.lax.stop_gradient
                 u_t = sampler.next_1d(bounce_dim(b, 7))
-                t_med = medium.sample_distance(u_t, 0)
+                t_med = sg(medium.sample_distance(u_t, 0))
                 is_medium = active & (t_med < t_surf)
                 hit_surface = active & si.valid & ~is_medium
 
-                # throughput update for the flight segment (channel-0 weight)
-                sigma0 = jnp.maximum(medium.sigma_t[0], 1e-8)
-                tr_med = medium.transmittance(t_med)[..., :3]
-                tr_surf = medium.transmittance(t_surf)[..., :3]
-                w_medium = tr_med * medium.sigma_t[None, :] / (
-                    sigma0 * tr_med[..., 0:1]
+                sigma0_det = sg(jnp.maximum(medium.sigma_t[0], 1e-8))
+                ds_c = medium.sigma_t[None, :3] - sigma0_det
+                t_surf_eff = sg(jnp.where(si.valid, si.t, 0.0))
+                w_medium = jnp.exp(-ds_c * t_med[..., None]) * (
+                    medium.sigma_t[None, :3] / sigma0_det
                 )
-                w_surface = tr_surf / jnp.maximum(tr_surf[..., 0:1], 1e-20)
+                w_surface = jnp.exp(-ds_c * t_surf_eff[..., None])
                 beta = beta * jnp.where(
                     is_medium[..., None], w_medium[..., : beta.shape[-1]],
                     jnp.where(hit_surface[..., None],
@@ -209,13 +235,17 @@ class VolPathIntegrator:
             )
             if not cfg.spectral:
                 e_val = _to_channels(e_val, cfg)
-            L = L + beta * e_val * jnp.where(hit_emitter, mis_b, 0.0)[..., None]
+            if not self.debug_no_hit:
+                L = L + beta * e_val * jnp.where(
+                    hit_emitter, mis_b, 0.0
+                )[..., None]
 
             active_next = (is_medium | hit_surface) & (b + 1 < self.max_depth)
 
             # --- NEE from the vertex ------------------------------------
-            L = L + beta * nee(point, si.n, is_medium, -ray_d, si, b) * \
-                active_next[..., None]
+            if not self.debug_no_nee:
+                L = L + beta * nee(point, si.n, is_medium, -ray_d, si, b) * \
+                    active_next[..., None]
 
             # --- continuation sampling ----------------------------------
             u1 = sampler.next_1d(bounce_dim(b, 0))
@@ -269,7 +299,11 @@ class VolPathIntegrator:
             return carry, None
 
         carry = (ray.o, ray.d, L, beta, active, prev_pdf, prev_delta)
-        carry, _ = jax.lax.scan(
-            body, carry, jnp.arange(self.max_depth, dtype=jnp.uint32)
-        )
+        if getattr(self, "debug_unroll", False):
+            for b in range(self.max_depth):
+                carry, _ = body(carry, jnp.uint32(b))
+        else:
+            carry, _ = jax.lax.scan(
+                body, carry, jnp.arange(self.max_depth, dtype=jnp.uint32)
+            )
         return carry[2], jnp.ones((n,), bool)

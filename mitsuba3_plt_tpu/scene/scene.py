@@ -116,7 +116,16 @@ class Scene:
         if jax.default_backend() == "tpu":
             from ..ops.intersect_pallas import pallas_intersect
 
-            return pallas_intersect(geo.tri_isect, ray.o, ray.d, ray.maxt)
+            # Pallas custom calls have no AD rules; the hit SEARCH is
+            # detached (discrete), and downstream differentiable
+            # quantities (p, frames) are rebuilt from ray.o/ray.d, so
+            # texture/emitter/medium gradients are unaffected. Interior
+            # geometry gradients use the CPU differentiable path;
+            # boundary terms come from the silhouette edge sampler.
+            sg = jax.lax.stop_gradient
+            return pallas_intersect(
+                geo.tri_isect, sg(ray.o), sg(ray.d), sg(ray.maxt)
+            )
         return isect.chunked_intersect(geo.tri_isect, ray.o, ray.d, ray.maxt)
 
     def _packet_perm(self, o, d):
@@ -276,9 +285,11 @@ class Scene:
         elif self.pbvh is not None and jax.default_backend() == "tpu":
             from ..ops.intersect_pallas import pallas_bvh_intersect
 
+            sg = jax.lax.stop_gradient
             perm, inv = self._packet_perm(ray.o, ray.d)
             t, prim, u, v = pallas_bvh_intersect(
-                self.pbvh, ray.o[perm], ray.d[perm], ray.maxt[perm]
+                self.pbvh, sg(ray.o[perm]), sg(ray.d[perm]),
+                sg(ray.maxt[perm])
             )
             t, prim, u, v = t[inv], prim[inv], u[inv], v[inv]
         else:
@@ -498,7 +509,10 @@ class Scene:
             if jax.default_backend() == "tpu":
                 from ..ops.intersect_pallas import pallas_occluded
 
-                occ = pallas_occluded(geo.tri_isect, ray.o, ray.d, ray.maxt)
+                sg = jax.lax.stop_gradient
+                occ = pallas_occluded(
+                    geo.tri_isect, sg(ray.o), sg(ray.d), sg(ray.maxt)
+                )
             else:
                 occ = isect.chunked_occluded(
                     geo.tri_isect, ray.o, ray.d, ray.maxt
@@ -506,9 +520,11 @@ class Scene:
         elif self.pbvh is not None and jax.default_backend() == "tpu":
             from ..ops.intersect_pallas import pallas_bvh_occluded
 
+            sg = jax.lax.stop_gradient
             perm, inv = self._packet_perm(ray.o, ray.d)
             occ = pallas_bvh_occluded(
-                self.pbvh, ray.o[perm], ray.d[perm], ray.maxt[perm]
+                self.pbvh, sg(ray.o[perm]), sg(ray.d[perm]),
+                sg(ray.maxt[perm])
             )[inv]
         else:
             occ = isect.bvh_occluded(

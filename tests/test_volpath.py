@@ -94,3 +94,65 @@ def test_volpathmis_agrees_with_volpath():
     c = np.asarray(render(sc, VolPathIntegrator(
         max_depth=4, rr_depth=8, spectral_mis=True).sample, spp=64, cfg=RGB))
     assert np.isfinite(c).all() and 0 < c.mean() < 1.0
+
+
+def test_medium_sigma_grad_vs_fd():
+    """Volumetric detached-sampling gradients (prbvolpath role,
+    reference src/python/python/ad/integrators/prbvolpath.py): d(image)/
+    d(sigma_t) through volpath matches finite differences."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from mitsuba3_plt_tpu.ad.render import render_differentiable
+    from mitsuba3_plt_tpu.scene.media import Medium
+    from mitsuba3_plt_tpu.scene.presets import cornell_box
+    from mitsuba3_plt_tpu.integrators.volpath import VolPathIntegrator
+
+    scene, _ = cornell_box(16, 16)
+    integ = VolPathIntegrator(max_depth=4, rr_depth=99)
+
+    def loss(s, seed=0, spp=96):
+        medium = Medium.create(sigma_t=(s, s, s), albedo=(0.7,) * 3, g=0.2)
+        sc = dataclasses.replace(scene, medium=medium)
+        return jnp.mean(
+            render_differentiable(sc, integ.sample, seed=seed, spp=spp,
+                                  cfg=RGB)
+        )
+
+    g = float(jax.grad(loss)(jnp.float32(0.3)))
+    assert np.isfinite(g)
+    eps = 0.03
+    fd = (float(loss(jnp.float32(0.3 + eps)))
+          - float(loss(jnp.float32(0.3 - eps)))) / (2 * eps)
+    # detached-sampling estimator vs noisy FD: generous but meaningful
+    # (sign + magnitude; a pathwise estimator was 80% off, NaN before that)
+    assert np.sign(g) == np.sign(fd)
+    assert abs(g - fd) / max(abs(fd), 1e-6) < 0.35, (g, fd)
+
+
+def test_medium_albedo_grad_vs_fd():
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from mitsuba3_plt_tpu.ad.render import render_differentiable
+    from mitsuba3_plt_tpu.scene.media import Medium
+    from mitsuba3_plt_tpu.scene.presets import cornell_box
+    from mitsuba3_plt_tpu.integrators.volpath import VolPathIntegrator
+
+    scene, _ = cornell_box(16, 16)
+    integ = VolPathIntegrator(max_depth=4, rr_depth=99)
+
+    def loss(a, seed=0, spp=96):
+        medium = Medium.create(sigma_t=(0.3,) * 3, albedo=(a, a, a), g=0.2)
+        sc = dataclasses.replace(scene, medium=medium)
+        return jnp.mean(
+            render_differentiable(sc, integ.sample, seed=seed, spp=spp,
+                                  cfg=RGB)
+        )
+
+    g = float(jax.grad(loss)(jnp.float32(0.6)))
+    eps = 0.05
+    fd = (float(loss(jnp.float32(0.6 + eps)))
+          - float(loss(jnp.float32(0.6 - eps)))) / (2 * eps)
+    assert np.isfinite(g) and np.sign(g) == np.sign(fd)
+    assert abs(g - fd) / max(abs(fd), 1e-6) < 0.25, (g, fd)
