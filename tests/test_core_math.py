@@ -130,3 +130,37 @@ def test_spectral_conductor_ior_dispersion():
     ce, ck = ior_mod.curve_from_rgb((0.2, 0.2, 0.2), (3.0, 3.0, 3.0))
     np.testing.assert_allclose(ce, 0.2, rtol=1e-6)
     np.testing.assert_allclose(ck, 3.0, rtol=1e-6)
+
+
+def test_srgb_spectral_upsampling_roundtrip():
+    """rgb2spec replacement validation (round-1 review flagged the
+    sigmoid-poly fit as unvalidated): fitted reflectance spectra, pushed
+    through the RENDERER's own spectral pipeline (hero-wavelength sampling
+    -> spectrum_to_xyz -> xyz_to_srgb) under D65, must recover the input
+    sRGB values."""
+    import numpy as np
+    import jax.numpy as jnp
+    from mitsuba3_plt_tpu.core import spectrum as spec
+    from mitsuba3_plt_tpu.core.rng import Sampler
+
+    palette = [
+        (0.8, 0.2, 0.2), (0.2, 0.7, 0.3), (0.15, 0.3, 0.85),
+        (0.9, 0.85, 0.1), (0.5, 0.5, 0.5), (0.05, 0.05, 0.05),
+        (0.95, 0.95, 0.95), (0.6, 0.3, 0.7),
+    ]
+    n = 65536
+    smp = Sampler.create(11, n)
+    wl, wl_w = spec.sample_hero_wavelengths(smp.next_1d(0), 4)
+    d65 = spec.cie_d65(wl)
+    worst = 0.0
+    for rgb in palette:
+        coeff = spec.fit_srgb_to_spectrum(np.asarray(rgb))
+        refl = spec.sigmoid_poly_eval(jnp.asarray(coeff)[None, None, :], wl)
+        assert float(refl.min()) >= 0.0 and float(refl.max()) <= 1.0
+        values = refl * d65
+        xyz = spec.spectrum_to_xyz(values, wl, wl_w)
+        srgb = np.asarray(spec.xyz_to_srgb(xyz)).mean(axis=0)
+        err = float(np.abs(srgb - np.asarray(rgb)).max())
+        worst = max(worst, err)
+    # MC + fit + table-resolution error combined
+    assert worst < 0.05, worst
