@@ -119,8 +119,17 @@ def render(
     n_pass = (spp + spp_per_pass - 1) // spp_per_pass
     ch = n_out_channels or 3
 
-    @jax.jit
-    def render_pass(block_data, pass_idx):
+    # TPU + filtered splat: fusing the 25-tap ordered splat into the
+    # render program wedges the TPU compiler (>9 min, worker crash), and
+    # the scatter fallback costs ~1.3 s per 2M-lane pass. SPLIT-JIT
+    # instead: the render program returns (uv, values, valid) and a
+    # second, separately-compiled program does the segment-sum splat
+    # (compiles in ~9 s standalone, runs in microseconds).
+    split_splat = (
+        rfilter != FILTER_BOX and jax.default_backend() != "cpu"
+    )
+
+    def _compute(pass_idx):
         sampler = Sampler.create(seed, width * height * spp_per_pass)
         sampler = sampler.fork(pass_idx)
         with jax.named_scope("sample_rays"):
@@ -136,6 +145,25 @@ def render(
             # convert hero-wavelength spectral values to RGB via CIE XYZ
             xyz = spec.spectrum_to_xyz(values, wavelengths, wl_weight)
             values = spec.xyz_to_srgb(xyz)
+        return uv, values, valid
+
+    @jax.jit
+    def render_vals(pass_idx):
+        return _compute(pass_idx)
+
+    @jax.jit
+    def splat_filtered(block_data, uv, values, valid):
+        block = ImageBlock(
+            data=block_data, width=width, height=height,
+            n_channels=values.shape[-1], rfilter=rfilter,
+        )
+        return block.put_ordered_filtered(
+            uv, values, valid, spp_per_pass
+        ).data
+
+    @jax.jit
+    def render_pass(block_data, pass_idx):
+        uv, values, valid = _compute(pass_idx)
         block = ImageBlock(
             data=block_data, width=width, height=height,
             n_channels=values.shape[-1], rfilter=rfilter,
@@ -144,15 +172,14 @@ def render(
         # instead of scatter-adds (~170 ms/2M lanes saved on v5e)
         if rfilter == FILTER_BOX:
             block = block.put_ordered(values, valid, spp_per_pass)
-        elif jax.default_backend() == "cpu":
-            block = block.put_ordered_filtered(uv, values, valid, spp_per_pass)
         else:
-            # TPU: the 25-tap ordered splat fused into the render program
-            # wedges the TPU compiler (observed: >9 min, then a worker
-            # crash); fall back to the scatter splat until the film moves
-            # into a Pallas kernel
-            block = block.put(uv, values, valid)
+            block = block.put_ordered_filtered(uv, values, valid, spp_per_pass)
         return block.data
+
+    if split_splat:
+        def render_pass(block_data, pass_idx):  # noqa: F811 — split path
+            uv, values, valid = render_vals(pass_idx)
+            return splat_filtered(block_data, uv, values, valid)
 
     block = ImageBlock.create(width, height, ch, rfilter)
     data = block.data

@@ -97,3 +97,34 @@ if __name__ == "__main__":
             os.path.join(GOLDEN_DIR, f"{name}.npz"), mean=mean, var=var
         )
         print(f"wrote {name}: mean {mean.mean():.4f}")
+
+
+def test_filtered_splat_paths_agree():
+    """put_ordered_filtered (segment-sum, the TPU split-jit path) must
+    match the scatter splat `put` to float precision."""
+    import numpy as np
+    import jax.numpy as jnp
+    from mitsuba3_plt_tpu.librender.film import ImageBlock, FILTER_NAMES
+
+    W, H, spp = 64, 48, 4
+    n = W * H * spp
+    rng = np.random.default_rng(0)
+    lane = np.arange(n) // spp
+    px = lane % W
+    py = lane // W
+    uv = np.stack(
+        [(px + rng.random(n)) / W, (py + rng.random(n)) / H], -1
+    ).astype(np.float32)
+    vals = rng.random((n, 3)).astype(np.float32)
+    ok = rng.random(n) > 0.1
+    for fname in ("gaussian", "mitchell", "tent"):
+        rf = FILTER_NAMES[fname]
+        b0 = ImageBlock.create(W, H, 3, rf)
+        a = b0.put_ordered_filtered(
+            jnp.asarray(uv), jnp.asarray(vals), jnp.asarray(ok), spp
+        )
+        b = b0.put(jnp.asarray(uv), jnp.asarray(vals), jnp.asarray(ok))
+        np.testing.assert_allclose(
+            np.asarray(a.develop()), np.asarray(b.develop()), atol=5e-5,
+            err_msg=fname,
+        )
