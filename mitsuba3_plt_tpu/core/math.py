@@ -325,11 +325,15 @@ def small_gather(table, idx, threshold: int = 128):
     if table.ndim != 2:
         return table[idx]
     if T <= 8:
-        # tiny table: broadcast compare + masked sum — pure VPU, no gather,
-        # no MXU tile padding (both are pathological at this size)
-        iota = jnp.arange(T, dtype=idx.dtype)
-        sel = (idx[:, None, None] == iota[None, :, None])
-        return jnp.sum(jnp.where(sel, table[None, :, :], 0), axis=1)
+        # tiny table: chain of broadcast selects — one fused elementwise
+        # pass over [N, D] with the T rows living in registers. (The
+        # earlier compare+masked-sum materialized a [N, T, D] intermediate:
+        # 1.1 GB / 1.9 ms per fetch at 2M lanes x 24 cols, traced as the
+        # dominant fusion of both render scans.)
+        out = jnp.broadcast_to(table[0], (idx.shape[0], table.shape[1]))
+        for t in range(1, T):
+            out = jnp.where((idx == t)[:, None], table[t], out)
+        return out
     if T > threshold or table.shape[1] < 8:
         return table[idx]
     oh = (idx[:, None] == jnp.arange(T, dtype=idx.dtype)[None, :]).astype(

@@ -60,8 +60,11 @@ class BounceData:
     t: Any              # [N] hit distance (coherence propagation)
     p: Any              # [N, 3]
     n: Any              # [N, 3] geometric normal
-    sh_s: Any           # [N, 3] shading frame
-    sh_t: Any
+    # shading-frame tangents are None for scenes without mesh tangents
+    # (the frame is then the deterministic coordinate_system(sh_n) and is
+    # recomputed at replay — 24 B/lane/bounce less buffer traffic)
+    sh_s: Any           # [N, 3] or None
+    sh_t: Any           # [N, 3] or None
     sh_n: Any
     uv: Any             # [N, 2]
     wi: Any             # [N, 3] local incident dir
@@ -80,9 +83,14 @@ class BounceData:
         """Reconstruct the SurfaceInteraction view of this bounce."""
         from ..librender.records import SurfaceInteraction
 
+        sh_s, sh_t = self.sh_s, self.sh_t
+        if sh_s is None:
+            from ..core import frame as _fr
+
+            sh_s, sh_t = _fr.coordinate_system(self.sh_n)
         return SurfaceInteraction(
             valid=self.valid, t=self.t, p=self.p, n=self.n,
-            sh_s=self.sh_s, sh_t=self.sh_t, sh_n=self.sh_n, uv=self.uv,
+            sh_s=sh_s, sh_t=sh_t, sh_n=self.sh_n, uv=self.uv,
             wi=self.wi, prim_idx=jnp.zeros_like(self.mat_idx),
             mat_idx=self.mat_idx, emitter_idx=self.emitter_idx,
             shape_idx=jnp.zeros_like(self.mat_idx),
@@ -157,9 +165,14 @@ class PLTIntegrator:
 
             is_delta = (bs.sampled_type & jnp.uint32(BSDFFlags.Delta)) != 0
 
+            # scenes without mesh tangents have deterministic frames:
+            # don't ship them through the bounce buffer
+            has_tan_frames = scene.geo.tri_attr.shape[1] >= 40
             bounce = BounceData(
                 valid=si.valid, t=si.t, p=si.p, n=si.n,
-                sh_s=si.sh_s, sh_t=si.sh_t, sh_n=si.sh_n, uv=si.uv,
+                sh_s=si.sh_s if has_tan_frames else None,
+                sh_t=si.sh_t if has_tan_frames else None,
+                sh_n=si.sh_n, uv=si.uv,
                 wi=si.wi, mat_idx=si.mat_idx, emitter_idx=si.emitter_idx,
                 wo=bs.wo, bsdf_flags=bs.sampled_type, rr_rcp=rr_rcp,
                 bsdf_weight=(weight if not cfg.polarized
@@ -237,6 +250,16 @@ class PLTIntegrator:
             [jnp.ones((1, n), bool), prev_delta_flags[:-1]], axis=0
         )
 
+        # hoist the CIE colour interpolation out of the depth loop: the
+        # sampled wavelengths are loop-invariant and cie1931_xyz costs
+        # ~12 ms/2M lanes (one-hot [N*C, 95] MXU contraction) — recomputing
+        # it at every NEE depth was ~30% of the whole solve phase
+        rgb_colour = None
+        if not cfg.spectral:
+            from ..core import spectrum as spec
+
+            rgb_colour = spec.xyz_to_srgb(spec.cie1931_xyz(wavelengths))
+
         # one scan over depth (not a Python unroll: D-fold smaller HLO and
         # the same fused kernels run for every prefix)
         def solve_body(L, xs):
@@ -245,7 +268,8 @@ class PLTIntegrator:
                 scene, b_i, prev_p_i, prev_delta_i, alpha_i, wavelengths, cfg
             )
             L = L + self._nee_term(
-                scene, sampler, b_i, i, alpha_i, wavelengths, cfg
+                scene, sampler, b_i, i, alpha_i, wavelengths, cfg,
+                rgb_colour=rgb_colour,
             )
             return L, None
 
@@ -342,7 +366,8 @@ class PLTIntegrator:
         return Li
 
     # ------------------------------------------------------------------
-    def _nee_term(self, scene, sampler, b_i, i, alpha_i, wavelengths, cfg):
+    def _nee_term(self, scene, sampler, b_i, i, alpha_i, wavelengths, cfg,
+                  rgb_colour=None):
         """NEE replay at bounce i (plt.py:221-300)."""
         em = scene.emitters
         geo = scene.geo
@@ -381,7 +406,7 @@ class PLTIntegrator:
         )
         bsdf_val = wb.wbsdf_eval(
             scene.materials, jnp.maximum(si.mat_idx, 0), si, wo_local, sd,
-            ctx, cfg,
+            ctx, cfg, rgb_colour=rgb_colour,
         )
         if cfg.polarized:
             bsdf_val = bsdf_val[..., 0, 0, :]
@@ -407,18 +432,149 @@ class PLTIntegrator:
         """ADIntegrator-compatible entry (plt.py:493-529). In spectral mode
         the camera-sampled hero wavelengths are used (so the standard
         spectral->XYZ conversion applies); in RGB mode PLT samples its own
-        per-channel wavelengths (plt.py:65-70)."""
-        bounces, wl = self.sample_phase(
-            scene, sampler, ray, cfg,
-            wavelengths=wavelengths if cfg.spectral else None,
-        )
-        # detached-sampling semantics (reference PRB / wbsdf replay): the
-        # recorded path (positions, sampled directions, pdfs) carries no
-        # gradient; parameters differentiate through the solve phase's
-        # attached re-evaluations (wbsdf_weight/eval, emitter values). This
-        # also keeps dead-lane garbage (zeroed diffract directions etc.)
-        # out of the backward pass.
-        bounces = jax.tree.map(jax.lax.stop_gradient, bounces)
-        L = self.solve_phase(scene, sampler, bounces, wl, cfg)
+        per-channel wavelengths (plt.py:65-70).
+
+        FUSED single-scan execution (round-2 perf): because the replay
+        weights are coherence-independent (the same fact that collapsed the
+        O(D^2) replay to one cumprod — see the module docstring), the
+        prefix product alpha_i is a RUNNING product available at bounce
+        time, so the emissive and NEE terms of solve_phase can be
+        accumulated in the SAME scan that samples the path. This removes
+        the stacked [D, N, ...] bounce buffer entirely: no
+        dynamic-update-slice writes (measured 18.6 ms/pass), no solve-side
+        re-reads, no duplicated SurfaceInteraction reconstruction. The
+        math, term order, sampler dimensions, and masking are identical to
+        sample_phase + solve_phase (kept for the spectrograph experiment,
+        which needs the explicit bounce buffer)."""
         n = ray.o.shape[0]
+        C = cfg.n_channels
+        ctx = BSDFContext()
+        sg = jax.lax.stop_gradient
+
+        if cfg.spectral and wavelengths is not None:
+            wl = wavelengths
+        else:
+            u_wl = jnp.stack(
+                [sampler.next_1d(DIM_WAVELENGTH + i) for i in range(C)],
+                axis=-1,
+            )
+            wl = wb.sample_plt_wavelengths(u_wl, C)
+
+        # loop-invariant CIE colour (see solve_phase)
+        rgb_colour = None
+        if not cfg.spectral:
+            from ..core import spectrum as spec
+
+            rgb_colour = spec.xyz_to_srgb(spec.cie1931_xyz(wl))
+
+        has_tan_frames = scene.geo.tri_attr.shape[1] >= 40
+
+        def body(carry, b):
+            (ray_o, ray_d, active, last_nd_pdf, prev_delta, prev_p,
+             alpha, L) = carry
+            ray_b = Ray.create(ray_o, ray_d)
+            # detached-sampling semantics (reference PRB / wbsdf replay):
+            # the sampled path carries no gradient; parameters
+            # differentiate through the attached re-evaluations below.
+            si = jax.tree.map(sg, scene.ray_intersect(ray_b))
+            hit = si.valid & active
+            is_emitter = hit & (si.emitter_idx >= 0)
+            active_next = hit & (b + 1 < self.max_depth)
+
+            u1 = sampler.next_1d(bounce_dim(b, 0))
+            u2 = sampler.next_2d(bounce_dim(b, 1))
+            lobe_u2 = sampler.next_2d(bounce_dim(b, 3))
+            sd, weight, ok = wb.wbsdf_sample(
+                scene.materials, jnp.maximum(si.mat_idx, 0), si,
+                u1, u2, lobe_u2, ctx, cfg, wl,
+            )
+            bs = jax.tree.map(sg, sd.bs)
+            lobe = sg(sd.lobe)
+            weight = sg(weight)
+
+            # Russian roulette (plt.py:133-143)
+            w_max = jnp.max(
+                weight if not cfg.polarized else weight[..., 0, 0, :],
+                axis=-1,
+            )
+            rr_prob = jnp.minimum(jnp.maximum(w_max, 0.05), 0.95)
+            rr_active = (b + 1) >= self.rr_depth
+            u_rr = sampler.next_1d(bounce_dim(b, 6))
+            rr_continue = ~rr_active | (u_rr < rr_prob)
+            rr_rcp = jnp.where(
+                rr_active, 1.0 / jnp.maximum(rr_prob, 1e-6), 1.0
+            )
+
+            active_next = active_next & ok & (bs.pdf > 0) & rr_continue
+            is_delta = (bs.sampled_type & jnp.uint32(BSDFFlags.Delta)) != 0
+
+            b_i = BounceData(
+                valid=si.valid, t=si.t, p=si.p, n=si.n,
+                sh_s=si.sh_s if has_tan_frames else None,
+                sh_t=si.sh_t if has_tan_frames else None,
+                sh_n=si.sh_n, uv=si.uv,
+                wi=si.wi, mat_idx=si.mat_idx, emitter_idx=si.emitter_idx,
+                wo=bs.wo, bsdf_flags=bs.sampled_type, rr_rcp=rr_rcp,
+                bsdf_weight=(weight if not cfg.polarized
+                             else weight[..., 0, 0, :]),
+                is_emitter=is_emitter, last_nd_pdf=last_nd_pdf,
+                lobe=lobe, active=hit,
+            )
+
+            # solve terms for THIS prefix (identical to solve_body)
+            prev_p_eff = jnp.where(
+                (b == 0), si.p + si.to_world(si.wi), prev_p
+            )
+            L = L + self._emissive_term(
+                scene, b_i, prev_p_eff, prev_delta, alpha, wl, cfg
+            )
+            L = L + self._nee_term(
+                scene, sampler, b_i, b, alpha, wl, cfg,
+                rgb_colour=rgb_colour,
+            )
+
+            # running replay weight (solve_phase weight_at)
+            sd_w = wb.PLTSamplePhaseData(
+                bs=None, lobe=lobe,
+                internal_frame=jnp.zeros((n, 3), jnp.float32),
+                coherence=Coherence.isotropic(
+                    jnp.full((n,), 1e-18, jnp.float32),
+                    jnp.zeros((n,), jnp.float32),
+                ),
+                sampling_wavelengths=wl,
+            )
+            w_rep = wb.wbsdf_weight(
+                scene.materials, jnp.maximum(si.mat_idx, 0), si,
+                bs.wo, sd_w, ctx, cfg,
+            )
+            if cfg.polarized:
+                w_rep = w_rep[..., 0, 0, :]
+            w_rep = w_rep * rr_rcp[..., None]
+            alpha = alpha * jnp.where(hit[..., None], w_rep, 1.0)
+
+            wo_world = si.to_world(bs.wo)
+            new_o = si.p + si.n * jnp.where(
+                fr.dot(wo_world, si.n) >= 0, mth.RayEpsilon, -mth.RayEpsilon
+            )[..., None]
+            nd_pdf_next = jnp.where(is_delta, last_nd_pdf, bs.pdf)
+            carry = (
+                new_o, wo_world, active_next,
+                jnp.where(active_next, nd_pdf_next, last_nd_pdf),
+                is_delta,   # solve's prev_delta[i] = flags[i-1] & Delta
+                si.p, alpha, L,
+            )
+            return carry, None
+
+        carry0 = (
+            ray.o, ray.d, jnp.ones((n,), bool),
+            jnp.ones((n,), jnp.float32),
+            jnp.ones((n,), bool),           # sensor vertex counts as delta
+            jnp.zeros((n, 3), jnp.float32),  # prev_p (unused at b = 0)
+            jnp.ones((n, C), jnp.float32),   # alpha
+            jnp.zeros((n, C), jnp.float32),  # L
+        )
+        carry, _ = jax.lax.scan(
+            body, carry0, jnp.arange(self.max_depth, dtype=jnp.uint32)
+        )
+        L = carry[-1]
         return L, jnp.ones((n,), bool)

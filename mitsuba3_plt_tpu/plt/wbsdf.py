@@ -52,6 +52,11 @@ from ..librender.records import BSDFSample
 from . import grating as gr
 from .coherence import Coherence, GeneralizedRadiance
 
+# Fused Pallas lobe-sum kernel for the wave-eval on TPU (see
+# ops/grating_pallas.py). Flip off to force the pure-XLA reference chain
+# (used by the equivalence test and available for debugging).
+_PALLAS_LOBE_SUM = True
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
@@ -185,7 +190,7 @@ class RoughGratingW:
         return sd, weight, ok
 
     @staticmethod
-    def wbsdf_eval(p, si, wo, sd, ctx, cfg):
+    def wbsdf_eval(p, si, wo, sd, ctx, cfg, rgb_colour=None):
         """Exhaustive lobe sum with angular-coherence Gaussian falloff
         (roughgrating.cpp:676-970), vectorized over lanes x lobes^2 x C.
 
@@ -212,6 +217,20 @@ class RoughGratingW:
 
         half, separable = p.get("_grt_static", (gr.MAX_LOBES // 2, 0))
         half = max(int(half), 0)
+
+        # TPU: one fused Pallas pass over the wavefront (Bessel sweep +
+        # lobe sum in registers; the XLA chain below materializes ~100
+        # [N, C, L] intermediates — measured 27 ms -> ~2 ms per call at a
+        # 1.92M-lane wavefront). Same algebra; asin via minimax polynomial.
+        if jax.default_backend() == "tpu" and _PALLAS_LOBE_SUM:
+            per_wl = RoughGratingW._lobe_sum_pallas(
+                p, g, si, wo, wl_nm, half, bool(separable), C
+            )
+            return RoughGratingW._finish_eval(
+                p, si, wo, sd, ctx, cfg, wl_nm, per_wl, active, n,
+                rgb_colour,
+            )
+
         side = np.arange(-half, half + 1)
         if separable:
             # all-1D scene: direction and intensity are ly-independent
@@ -303,13 +322,40 @@ class RoughGratingW:
             )
             contrib = contrib * ny_b + corr
         per_wl = jnp.sum(contrib, axis=-1)  # [N, C] intensity per sampled wl
+        return RoughGratingW._finish_eval(
+            p, si, wo, sd, ctx, cfg, wl_nm, per_wl, active, n, rgb_colour
+        )
 
+    @staticmethod
+    def _lobe_sum_pallas(p, g, si, wo, wl_nm, half, separable, C):
+        """Dispatch the fused Pallas lobe-sum kernel (ops/grating_pallas)."""
+        from ..ops.grating_pallas import grating_lobe_sum
+
+        a_cone = 2.0 * jnp.sqrt(p["alpha"][..., 0] * p["alpha"][..., 1])
+        return grating_lobe_sum(
+            si.wi, wo, wl_nm, g.grating_dir, g.inv_period, g.q, g.lobes,
+            g.gtype & gr.TYPE_MASK, g.multiplier, p["grt_coherence"],
+            a_cone, half=half, separable=separable, n_channels=C,
+        )
+
+    @staticmethod
+    def _finish_eval(p, si, wo, sd, ctx, cfg, wl_nm, per_wl, active, n,
+                     rgb_colour=None):
+        """Common eval tail: spectral/RGB conversion + Fresnel + masking.
+
+        rgb_colour: optional precomputed xyz_to_srgb(cie1931_xyz(wl_nm))
+        [N, C, 3] — the CIE interpolation costs ~12 ms/2M lanes and the
+        wavelengths are loop-invariant across the solve scan, so callers
+        hoist it out of the depth loop (integrators/plt.py solve_phase)."""
         if cfg.spectral:
             result = per_wl
         else:
             # RGB mode: each sampled wavelength contributes its sRGB color
             # (roughgrating.cpp:747-764 "colour = xyz_to_srgb(cie1931_xyz(wl))")
-            colour = spec.xyz_to_srgb(spec.cie1931_xyz(wl_nm))  # [N, C, 3]
+            colour = (
+                spec.xyz_to_srgb(spec.cie1931_xyz(wl_nm))  # [N, C, 3]
+                if rgb_colour is None else rgb_colour
+            )
             # (a [N,3]x[N,3,3] einsum pads to full MXU tiles and loses to
             # the fused elementwise reduce — repo perf notes)
             result = jnp.sum(
@@ -390,7 +436,8 @@ def wbsdf_sample(mat: MaterialTable, midx, si, u1, u2, lobe_u2, ctx, cfg,
     return sd, val, ok
 
 
-def wbsdf_eval(mat: MaterialTable, midx, si, wo, sd, ctx, cfg):
+def wbsdf_eval(mat: MaterialTable, midx, si, wo, sd, ctx, cfg,
+               rgb_colour=None):
     """Wave eval: grating lobe sum; classic eval otherwise (bsdf.cpp:59-71)."""
     p = mat.gather(midx)
     si_eff, flip = bsdfs._effective_si(p, si)
@@ -402,7 +449,9 @@ def wbsdf_eval(mat: MaterialTable, midx, si, wo, sd, ctx, cfg):
     val = bsdfs.eval_(mat, midx, si, wo, ctx, cfg, sd.sampling_wavelengths)
     if BSDF_ROUGH_GRATING in mat.present_types:
         mask = p["mtype"] == BSDF_ROUGH_GRATING
-        val_g = RoughGratingW.wbsdf_eval(p, si_eff, wo_eff, sd, ctx, cfg)
+        val_g = RoughGratingW.wbsdf_eval(
+            p, si_eff, wo_eff, sd, ctx, cfg, rgb_colour
+        )
         val = bsdfs.where_value(mask, val_g, val, cfg)
     return val
 

@@ -124,7 +124,8 @@ class Scene:
             # boundary terms come from the silhouette edge sampler.
             sg = jax.lax.stop_gradient
             return pallas_intersect(
-                geo.tri_isect, sg(ray.o), sg(ray.d), sg(ray.maxt)
+                geo.tri_isect, sg(ray.o), sg(ray.d), sg(ray.maxt),
+                n_tris=geo.n_faces,
             )
         return isect.chunked_intersect(geo.tri_isect, ray.o, ray.d, ray.maxt)
 
@@ -511,7 +512,8 @@ class Scene:
 
                 sg = jax.lax.stop_gradient
                 occ = pallas_occluded(
-                    geo.tri_isect, sg(ray.o), sg(ray.d), sg(ray.maxt)
+                    geo.tri_isect, sg(ray.o), sg(ray.d), sg(ray.maxt),
+                    n_tris=geo.n_faces,
                 )
             else:
                 occ = isect.chunked_occluded(
