@@ -217,14 +217,18 @@ class MaterialTable:
     def gather(self, midx) -> Dict[str, Any]:
         """Per-lane parameter dict for material indices midx [N].
 
-        All fields are packed into one [M, D] f32 matrix and fetched with a
-        SINGLE gather (in-loop gathers cost ~2 ms per 256k lanes on TPU; one
-        packed row fetch replaces ~20 separate ones). Integer fields are
-        exact in f32 (all values < 2^24)."""
-        parts = []
-        names = []
-        widths = []
-        dtypes = []
+        Small tables (M <= 8, the common case): each field is a chain of
+        broadcast selects over the M rows — the rows are trace-time
+        constants living in registers, so every field FUSES INTO ITS
+        CONSUMER and no per-lane buffer materializes at all. (The previous
+        packed [N, 55] one-fetch buffer cost 422 MB at a 2M wavefront, and
+        each downstream column slice re-read full-width tiles — traced as
+        ~4 ms/bounce of pure HBM traffic.)
+
+        Larger tables: one packed [M, D] f32 matrix + a single fetch
+        (in-loop gathers cost ~2 ms per 256k lanes on TPU); integer fields
+        are exact in f32 (all values < 2^24)."""
+        fields = []
         for f in dataclasses.fields(self):
             if f.metadata.get("static") or f.name in (
                 "tex_stack", "meas", "mpol", "vtex_grid", "vtex_min",
@@ -234,9 +238,33 @@ class MaterialTable:
             arr = getattr(self, f.name)
             if arr is None:
                 continue
+            fields.append((f.name, arr))
+
+        M = self.mtype.shape[0]
+        if M <= 8:
+            out = {}
+            for name, arr in fields:
+                if arr.ndim == 1:
+                    res = jnp.broadcast_to(arr[0], midx.shape)
+                    for t in range(1, M):
+                        res = jnp.where(midx == t, arr[t], res)
+                else:
+                    res = jnp.broadcast_to(
+                        arr[0], midx.shape + (arr.shape[1],)
+                    )
+                    for t in range(1, M):
+                        res = jnp.where((midx == t)[..., None], arr[t], res)
+                out[name] = res
+            return out
+
+        parts = []
+        names = []
+        widths = []
+        dtypes = []
+        for name, arr in fields:
             a2 = arr[:, None] if arr.ndim == 1 else arr
             parts.append(a2.astype(jnp.float32))
-            names.append(f.name)
+            names.append(name)
             widths.append(a2.shape[1])
             dtypes.append((arr.dtype, arr.ndim))
         packed = jnp.concatenate(parts, axis=-1)  # [M, D]

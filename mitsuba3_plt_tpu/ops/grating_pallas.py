@@ -117,6 +117,25 @@ def _bessel_sweep(a, half):
     return res
 
 
+def _base_intensities(a, sin_half_a, is_sin, is_rect, half):
+    """Per-order intensities 0..half (grating.order_intensities algebra):
+    sinusoidal J_j(a)^2, rectangular sin(a/2)*sinc(pi j/2), linear
+    1/sqrt(j); order 0 is 1 for every profile."""
+    import math as _math
+
+    J = _bessel_sweep(a, half)
+    base = [None] * (half + 1)
+    base[0] = jnp.ones_like(a)
+    for j in range(1, half + 1):
+        _x = _math.pi * 0.5 * j
+        sc = _math.sin(_x) / _x
+        base[j] = jnp.where(
+            is_sin, J[j] * J[j],
+            jnp.where(is_rect, sin_half_a * sc, 1.0 / float(j) ** 0.5),
+        )
+    return base
+
+
 def _kernel(wix, wiy, wiz, wox, woy, woz,
             gdc, gds, ipx, ipy, q, lobes, gtype, mult, coh, acone,
             *wl_and_out, half: int, separable: bool, n_channels: int):
@@ -156,21 +175,7 @@ def _kernel(wix, wiy, wiz, wox, woy, woz,
 
         # ---- order intensities 0..half (grating.order_intensities) ----
         a = 4.0 * m.Pi * qv / jnp.maximum(wl_um * cos_t, 1e-12)
-        J = _bessel_sweep(a, half)
-        sin_half_a = jnp.sin(a * 0.5)
-        base = [None] * (half + 1)
-        base[0] = jnp.ones_like(a)
-        for j in range(1, half + 1):
-            sin_j = J[j] * J[j]
-            # rect: sin(a/2) * sinc(pi j / 2) — sinc factor is a constant
-            import math as _math
-            _x = _math.pi * 0.5 * j
-            sc = _math.sin(_x) / _x
-            rect_j = sin_half_a * sc
-            lin_j = 1.0 / float(j) ** 0.5
-            base[j] = jnp.where(
-                is_sin, sin_j, jnp.where(is_rect, rect_j, lin_j)
-            )
+        base = _base_intensities(a, jnp.sin(a * 0.5), is_sin, is_rect, half)
 
         # inv coherence det: Coherence.isotropic(coh, 1).inv_coherence_det(k)
         # = (coh * k / (2 pi * 1e3))^2
@@ -270,3 +275,265 @@ def grating_lobe_sum(
         interpret=interpret,
     )(*ins)
     return jnp.stack([o.reshape(npad)[:n] for o in outs], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Fused grating SAMPLE kernel
+#
+# The roughgrating wbsdf_sample chain (VNDF microfacet normal, frame
+# rotation, Bessel order sweep, lobe-CDF walk, grating-equation diffract,
+# Smith G1) compiles to ~40 small XLA fusions per bounce inside the render
+# scan. This kernel runs the whole chain in one pass: inputs are the lane
+# dirs + uniforms + per-lane grating params, outputs everything the
+# dispatcher needs (wo, pdf, lobe, G1*intensity, reflection dir and
+# microfacet normal for the Fresnel evaluated outside on [N, C]).
+# Algebra mirrors plt/wbsdf.py RoughGratingW.wbsdf_sample +
+# plt/grating.py sample_lobe/diffract + librender/microfacet.py VNDF/G1.
+# ---------------------------------------------------------------------------
+
+
+def _g1_ggx(vx, vy, vz, mx, my, mz, au, av):
+    """microfacet.smith_g1 (GGX branch)."""
+    xy2 = (au * vx) ** 2 + (av * vy) ** 2
+    tan2 = xy2 / jnp.maximum(vz * vz, 1e-20)
+    g = 2.0 / (1.0 + jnp.sqrt(1.0 + tan2))
+    g = jnp.where(xy2 == 0.0, 1.0, g)
+    backfacing = (vx * mx + vy * my + vz * mz) * vz <= 0.0
+    return jnp.where(backfacing, 0.0, g)
+
+
+def _sample_kernel(wix, wiy, wiz, ua, ub, la, lb, wlum,
+                   au_r, av_r, gdc, gds, ipx, ipy, q, lobes, gtype, mult,
+                   wox_o, woy_o, woz_o, pdf_o, lx_o, ly_o, wint_o,
+                   rx_o, ry_o, rz_o, mx_o, my_o, mz_o, ok_o, *, half: int):
+    wi_x, wi_y, wi_z = wix[...], wiy[...], wiz[...]
+    u1, u2 = ua[...], ub[...]
+    lu1, lu2 = la[...], lb[...]
+    wl_um = wlum[...]
+    au, av = au_r[...], av_r[...]
+    cg, sg_ = gdc[...], gds[...]
+    ip_x, ip_y = ipx[...], ipy[...]
+    qv, lob, gt, mu_ = q[...], lobes[...], gtype[...], mult[...]
+
+    cos_i = wi_z
+    flip = cos_i < 0
+    wux = jnp.where(flip, -wi_x, wi_x)
+    wuy = jnp.where(flip, -wi_y, wi_y)
+    wuz = jnp.where(flip, -wi_z, wi_z)
+
+    # --- VNDF GGX visible-normal sample (microfacet.sample_vndf_ggx) ---
+    vx, vy, vz = au * wux, av * wuy, wuz
+    inv_n = jax.lax.rsqrt(jnp.maximum(vx * vx + vy * vy + vz * vz, 1e-24))
+    vhx, vhy, vhz = vx * inv_n, vy * inv_n, vz * inv_n
+    lensq = vhx * vhx + vhy * vhy
+    inv_len = jax.lax.rsqrt(jnp.maximum(lensq, 1e-30))  # m.safe_rsqrt
+    big = lensq > 1e-12
+    t1x = jnp.where(big, -vhy * inv_len, 1.0)
+    t1y = jnp.where(big, vhx * inv_len, 0.0)
+    # t1z = 0
+    t2x = vhy * 0.0 - vhz * t1y
+    t2y = vhz * t1x - vhx * 0.0
+    t2z = vhx * t1y - vhy * t1x
+    r = jnp.sqrt(jnp.maximum(u1, 0.0))
+    phi = (2.0 * m.Pi) * u2
+    p1 = r * jnp.cos(phi)
+    p2 = r * jnp.sin(phi)
+    s = 0.5 * (1.0 + vhz)
+    p2 = (1.0 - s) * _safe_sqrt(1.0 - p1 * p1) + s * p2
+    p3 = _safe_sqrt(1.0 - p1 * p1 - p2 * p2)
+    nhx = p1 * t1x + p2 * t2x + p3 * vhx
+    nhy = p1 * t1y + p2 * t2y + p3 * vhy
+    nhz = p1 * 0.0 + p2 * t2z + p3 * vhz
+    mxu, myu, mzu = au * nhx, av * nhy, jnp.maximum(nhz, 1e-6)
+    inv_m = jax.lax.rsqrt(jnp.maximum(mxu * mxu + myu * myu + mzu * mzu,
+                                      1e-24))  # fr.normalize default eps
+    mx, my, mz = mxu * inv_m, myu * inv_m, mzu * inv_m
+
+    # pdf_vndf(wi_up, m) = G1 * |wi.m| * D / |wi_z|   (GGX ndf_eval)
+    ct2 = mz * mz
+    cos4 = ct2 * ct2
+    inv_ct = 1.0 / jnp.maximum(jnp.abs(mz), 1e-12)
+    su = (-mx * inv_ct) / au
+    sv = (-my * inv_ct) / av
+    tmp = 1.0 + su * su + sv * sv
+    d_ndf = 1.0 / (m.Pi * au * av * tmp * tmp * jnp.maximum(cos4, 1e-20))
+    d_ndf = jnp.where(mz > 0, d_ndf, 0.0)
+    g1_wi = _g1_ggx(wux, wuy, wuz, mx, my, mz, au, av)
+    dot_wm = wux * mx + wuy * my + wuz * mz
+    mpdf = g1_wi * jnp.abs(dot_wm) * d_ndf / jnp.maximum(jnp.abs(wuz), 1e-12)
+
+    # reflection of the ORIGINAL wi around m (frame.reflect_n)
+    dwm = wi_x * mx + wi_y * my + wi_z * mz
+    rx = 2.0 * dwm * mx - wi_x
+    ry = 2.0 * dwm * my - wi_y
+    rz = 2.0 * dwm * mz - wi_z
+
+    # coordinate_system(m) (Duff et al., core.frame)
+    sgn = jnp.where(mz >= 0, 1.0, -1.0)
+    a_c = -1.0 / (sgn + mz)
+    b_c = mx * my * a_c
+
+    def _ms(x):  # mulsign(x, mz)
+        return jnp.where(mz >= 0, x, -x)
+
+    msx = _ms(mx * mx * a_c) + 1.0
+    msy = _ms(b_c)
+    msz = jnp.where(mz >= 0, -mx, mx)
+    mtx = b_c
+    mty = my * my * a_c + sgn
+    mtz = -my
+
+    wmx = wi_x * msx + wi_y * msy + wi_z * msz
+    wmy = wi_x * mtx + wi_y * mty + wi_z * mtz
+    wmz = wi_x * mx + wi_y * my + wi_z * mz
+
+    # --- order intensities at the hero wavelength ---
+    is_sin = gt < 0.5
+    is_rect = jnp.abs(gt - 1.0) < 0.5
+    cos_t = jnp.abs(wmz)
+    a_b = 4.0 * m.Pi * qv / jnp.maximum(wl_um * cos_t, 1e-12)
+    base = _base_intensities(a_b, jnp.sin(a_b * 0.5), is_sin, is_rect, half)
+
+    # --- lobe CDF walk (grating.sample_lobe) ---
+    half_lobes = jnp.floor(lob * 0.5)
+    ints = []
+    for j in range(half + 1):
+        v = base[j] * mu_
+        if j == 0:
+            v = v * 0.5
+        ints.append(jnp.where(half_lobes >= float(j), v, 0.0))
+    total = ints[0]
+    for j in range(1, half + 1):
+        total = total + ints[j]
+    inv_tot = 1.0 / jnp.maximum(total, 1e-30)
+    p_ord = [i * inv_tot for i in ints]
+
+    def pick(u):
+        rn = (u - 0.5) * 2.0
+        sgn_r = jnp.where(rn >= 0, 1.0, -1.0)
+        arn = jnp.abs(rn)
+        cdf_excl = jnp.zeros_like(arn)
+        count = jnp.zeros_like(arn)
+        for j in range(half + 1):
+            count = count + jnp.where(arn > cdf_excl, 1.0, 0.0)
+            cdf_excl = cdf_excl + p_ord[j]
+        idx = jnp.clip(count - 1.0, 0.0, float(half))
+        pj = jnp.zeros_like(arn)
+        for j in range(half + 1):
+            pj = jnp.where(idx == float(j), p_ord[j], pj)
+        pj = jnp.where(idx == 0.0, pj, pj * 0.5)
+        return idx, sgn_r, pj
+
+    ix_o, sgx, px = pick(lu1)
+    iy_o, sgy, py = pick(lu2)
+    lx = ix_o * sgx
+    ly = iy_o * sgy
+
+    # intensity (grating.lobe_intensity_xy: mult * I(|lx|) * I(|ly|))
+    bx = jnp.zeros_like(wl_um)
+    by = jnp.zeros_like(wl_um)
+    for j in range(half + 1):
+        bx = jnp.where(ix_o == float(j), base[j], bx)
+        by = jnp.where(iy_o == float(j), base[j], by)
+    is_1d = ip_y < m.Epsilon
+    inten = mu_ * bx * jnp.where(is_1d, bx, by)
+
+    # --- diffract (grating equation, plt/grating.py diffract) ---
+    pxm = jnp.sqrt(wmx * wmx + wmz * wmz)
+    pym = jnp.sqrt(wmy * wmy + wmz * wmz)
+    sin_ix = jnp.where(pxm > m.Epsilon, wmx / jnp.maximum(pxm, 1e-20), 0.0)
+    sin_iy = jnp.where(pym > m.Epsilon, wmy / jnp.maximum(pym, 1e-20), 0.0)
+    lob_rx = cg * lx - sg_ * ly
+    lob_ry = sg_ * lx + cg * ly
+    aa = wl_um * lob_rx * ip_x - sin_ix
+    bb = wl_um * lob_ry * ip_y - sin_iy
+    den = aa * aa * bb * bb - 1.0
+    mm_ = (aa * aa - 1.0) / jnp.where(jnp.abs(den) > 1e-12, den, 1e-12)
+    qq_ = 1.0 - bb * bb * mm_
+    diff_ok = (jnp.abs(aa) <= 1.0) & (jnp.abs(bb) <= 1.0)
+    womx = aa * _safe_sqrt(qq_)
+    womy = bb * _safe_sqrt(mm_)
+    womz = _safe_sqrt(1.0 - aa * aa * qq_ - bb * bb * mm_)
+
+    wox = msx * womx + mtx * womy + mx * womz
+    woy = msy * womx + mty * womy + my * womz
+    woz = msz * womx + mtz * womy + mz * womz
+
+    grating_pdf = px * py
+    dot_rm = rx * mx + ry * my + rz * mz
+    pdf = mpdf * grating_pdf / jnp.maximum(4.0 * jnp.abs(dot_rm), 1e-12)
+
+    ok = (cos_i > 0) & (mpdf > 0) & (woz > 0) & diff_ok
+    g1_r = _g1_ggx(rx, ry, rz, mx, my, mz, au, av)
+
+    wox_o[...] = wox
+    woy_o[...] = woy
+    woz_o[...] = woz
+    pdf_o[...] = pdf
+    lx_o[...] = lx
+    ly_o[...] = ly
+    wint_o[...] = g1_r * inten
+    rx_o[...] = rx
+    ry_o[...] = ry
+    rz_o[...] = rz
+    mx_o[...] = mx
+    my_o[...] = my
+    mz_o[...] = mz
+    ok_o[...] = jnp.where(ok, 1.0, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("half", "interpret"))
+def grating_sample(wi, u2, lobe_u2, wl_um, alpha, grating_dir, inv_period,
+                   q, lobes, gtype, multiplier, half: int,
+                   interpret: bool = False):
+    """Fused roughgrating wbsdf_sample chain.
+
+    wi [N,3] local; u2/lobe_u2 [N,2] uniforms; wl_um [N] hero wavelength
+    (um); alpha [N,2]; grating params per lane. Returns dict with wo [N,3],
+    pdf [N], lobe [N,2] i32, w_g1_int [N] (G1 * lobe intensity),
+    reflection_dir [N,3], mvec [N,3], ok [N] bool.
+    """
+    n = wi.shape[0]
+    pad = (-n) % BLOCK
+    npad = n + pad
+
+    def prep(x):
+        x = jnp.pad(x.astype(jnp.float32), (0, pad))
+        return x.reshape(npad // LANES, LANES)
+
+    ins = [
+        prep(wi[:, 0]), prep(wi[:, 1]), prep(wi[:, 2]),
+        prep(u2[:, 0]), prep(u2[:, 1]),
+        prep(lobe_u2[:, 0]), prep(lobe_u2[:, 1]),
+        prep(wl_um),
+        prep(alpha[:, 0]), prep(alpha[:, 1]),
+        prep(grating_dir[:, 0]), prep(grating_dir[:, 1]),
+        prep(inv_period[:, 0]), prep(inv_period[:, 1]),
+        prep(q), prep(lobes.astype(jnp.float32)),
+        prep(gtype.astype(jnp.float32)), prep(multiplier),
+    ]
+    spec = pl.BlockSpec((SUB, LANES), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    n_out = 14
+    outs = pl.pallas_call(
+        functools.partial(_sample_kernel, half=half),
+        grid=(npad // BLOCK,),
+        in_specs=[spec] * len(ins),
+        out_specs=[spec] * n_out,
+        out_shape=[
+            jax.ShapeDtypeStruct((npad // LANES, LANES), jnp.float32)
+        ] * n_out,
+        interpret=interpret,
+    )(*ins)
+    o = [x.reshape(npad)[:n] for x in outs]
+    return {
+        "wo": jnp.stack(o[0:3], axis=-1),
+        "pdf": o[3],
+        "lobe": jnp.stack(
+            [o[4].astype(jnp.int32), o[5].astype(jnp.int32)], axis=-1
+        ),
+        "w_g1_int": o[6],
+        "reflection_dir": jnp.stack(o[7:10], axis=-1),
+        "mvec": jnp.stack(o[10:13], axis=-1),
+        "ok": o[13] > 0.5,
+    }

@@ -129,44 +129,66 @@ class RoughGratingW:
 
         au = p["alpha"][..., 0]
         av = p["alpha"][..., 1]
-        wi_up = jnp.where((cos_i < 0)[..., None], -si.wi, si.wi)
-        mvec, mpdf = mf.sample_vndf_ggx(wi_up, u2, au, av)
-        reflection_dir = fr.reflect_n(si.wi, mvec)
 
         # hero wavelength for lobe selection (nm -> um)
         wl_nm = sampling_wl[..., 0]
         wl_um = wl_nm * 1e-3
 
         g = _make_grating(p, si.uv)
-        # local frame aligned with the microfacet normal
-        ms, mt = mu.coordinate_system(mvec)
-        wi_m = jnp.stack(
-            [fr.dot(si.wi, ms), fr.dot(si.wi, mt), fr.dot(si.wi, mvec)], axis=-1
-        )
         half = int(p.get("_grt_static", (gr.MAX_LOBES // 2, 0))[0])
-        base = gr.order_intensities(g, wi_m, wl_um, half)  # one Bessel sweep
-        lobe, pdf_xy = gr.sample_lobe(g, lobe_u2, wi_m, wl_um, half, base)
-        intensity = gr.lobe_intensity_xy(g, lobe, wi_m, wl_um, half, base)
-        wo_m, diff_ok = gr.diffract(wi_m, lobe, wl_um) if False else gr.diffract(
-            g, wi_m, lobe, wl_um
-        )
-        wo = ms * wo_m[..., 0:1] + mt * wo_m[..., 1:2] + mvec * wo_m[..., 2:3]
 
-        grating_pdf = pdf_xy[..., 0] * pdf_xy[..., 1]
-        pdf = mpdf * grating_pdf / jnp.maximum(
-            4.0 * jnp.abs(fr.dot(reflection_dir, mvec)), 1e-12
-        )
+        if jax.default_backend() == "tpu" and _PALLAS_LOBE_SUM:
+            # fused sample kernel (ops/grating_pallas.grating_sample): the
+            # VNDF + Bessel + lobe-CDF + diffract chain otherwise compiles
+            # to ~40 small fusions per bounce inside the render scan
+            from ..ops.grating_pallas import grating_sample
 
-        ok = active & (mpdf > 0) & (fr.cos_theta(wo) > 0) & diff_ok
+            out = grating_sample(
+                si.wi, u2, lobe_u2, wl_um, p["alpha"], g.grating_dir,
+                g.inv_period, g.q, g.lobes, g.gtype & gr.TYPE_MASK,
+                g.multiplier, half=half,
+            )
+            mvec = out["mvec"]
+            reflection_dir = out["reflection_dir"]
+            lobe = out["lobe"]
+            wo = out["wo"]
+            pdf = out["pdf"]
+            w_g1_int = out["w_g1_int"]
+            ok = active & out["ok"]
+        else:
+            wi_up = jnp.where((cos_i < 0)[..., None], -si.wi, si.wi)
+            mvec, mpdf = mf.sample_vndf_ggx(wi_up, u2, au, av)
+            reflection_dir = fr.reflect_n(si.wi, mvec)
 
-        # G1 of the *specular* reflection dir (sample_visible weighting)
-        w_scalar = mf.smith_g1(reflection_dir, mvec, au, av, mf.GGX)
+            # local frame aligned with the microfacet normal
+            ms, mt = mu.coordinate_system(mvec)
+            wi_m = jnp.stack(
+                [fr.dot(si.wi, ms), fr.dot(si.wi, mt), fr.dot(si.wi, mvec)],
+                axis=-1,
+            )
+            base = gr.order_intensities(g, wi_m, wl_um, half)  # one sweep
+            lobe, pdf_xy = gr.sample_lobe(g, lobe_u2, wi_m, wl_um, half, base)
+            intensity = gr.lobe_intensity_xy(g, lobe, wi_m, wl_um, half, base)
+            wo_m, diff_ok = gr.diffract(g, wi_m, lobe, wl_um)
+            wo = ms * wo_m[..., 0:1] + mt * wo_m[..., 1:2] \
+                + mvec * wo_m[..., 2:3]
+
+            grating_pdf = pdf_xy[..., 0] * pdf_xy[..., 1]
+            pdf = mpdf * grating_pdf / jnp.maximum(
+                4.0 * jnp.abs(fr.dot(reflection_dir, mvec)), 1e-12
+            )
+            ok = active & (mpdf > 0) & (fr.cos_theta(wo) > 0) & diff_ok
+            # G1 of the *specular* reflection dir (sample_visible weighting)
+            w_g1_int = mf.smith_g1(
+                reflection_dir, mvec, au, av, mf.GGX
+            ) * intensity
+
         Fv = bsdfs.RoughConductor._fresnel_value(
             p, si, reflection_dir, mvec, ctx, cfg, sampling_wl
         )
         weight = bsdfs.mul_value(
             Fv,
-            jnp.broadcast_to((w_scalar * intensity)[..., None], (n, cfg.n_channels)),
+            jnp.broadcast_to(w_g1_int[..., None], (n, cfg.n_channels)),
             cfg,
         )
         weight = bsdfs.where_value(ok, weight, bsdfs.zeros_value(n, cfg), cfg)

@@ -124,3 +124,70 @@ def test_kernel_matches_xla(half, separable, gtype, ip_y):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-5
     )
+
+
+@pytest.mark.parametrize("gtype,ip_y", [(gr.SINUSOIDAL, 0.0),
+                                        (gr.RECTANGULAR, 1.5)])
+def test_sample_kernel_matches_xla(gtype, ip_y):
+    """grating_sample (interpret) vs the XLA wbsdf_sample chain."""
+    from mitsuba3_plt_tpu.ops.grating_pallas import grating_sample
+    from mitsuba3_plt_tpu.core import frame as fr
+    from mitsuba3_plt_tpu.librender import microfacet as mf
+    from mitsuba3_plt_tpu.librender import mueller as mu
+
+    rng = np.random.default_rng(11)
+    N, half = 2048, 3
+    wi = _rand_dir(rng, N)
+    u2 = jnp.asarray(rng.uniform(0, 1, (N, 2)).astype(np.float32))
+    lu2 = jnp.asarray(rng.uniform(0, 1, (N, 2)).astype(np.float32))
+    wl_um = jnp.asarray(rng.uniform(0.38, 0.68, N).astype(np.float32))
+    alpha = jnp.asarray(rng.uniform(0.03, 0.3, (N, 2)).astype(np.float32))
+    ip_t = jnp.stack([jnp.full((N,), 2.0), jnp.full((N,), ip_y)], -1)
+    q = jnp.asarray(rng.uniform(0.02, 0.3, N).astype(np.float32))
+    lobes = jnp.asarray(rng.choice([3, 5, 7], N).astype(np.int32))
+    gt = jnp.full((N,), gtype, jnp.int32)
+    mult = jnp.full((N,), 1.1)
+    gdir = jnp.stack([jnp.ones((N,)), jnp.zeros((N,))], -1)
+    g = gr.Grating(grating_dir=gdir, inv_period=ip_t, q=q, lobes=lobes,
+                   gtype=gt, multiplier=mult)
+
+    got = grating_sample(wi, u2, lobe_u2=lu2, wl_um=wl_um, alpha=alpha,
+                         grating_dir=gdir, inv_period=ip_t, q=q,
+                         lobes=lobes, gtype=gt, multiplier=mult,
+                         half=half, interpret=True)
+
+    # XLA chain (RoughGratingW.wbsdf_sample fallback branch, verbatim)
+    au, av = alpha[..., 0], alpha[..., 1]
+    cos_i = wi[..., 2]
+    wi_up = jnp.where((cos_i < 0)[..., None], -wi, wi)
+    mvec, mpdf = mf.sample_vndf_ggx(wi_up, u2, au, av)
+    refl = fr.reflect_n(wi, mvec)
+    ms, mt = mu.coordinate_system(mvec)
+    wi_m = jnp.stack(
+        [fr.dot(wi, ms), fr.dot(wi, mt), fr.dot(wi, mvec)], axis=-1)
+    base = gr.order_intensities(g, wi_m, wl_um, half)
+    lobe, pdf_xy = gr.sample_lobe(g, lu2, wi_m, wl_um, half, base)
+    intensity = gr.lobe_intensity_xy(g, lobe, wi_m, wl_um, half, base)
+    wo_m, diff_ok = gr.diffract(g, wi_m, lobe, wl_um)
+    wo = ms * wo_m[..., 0:1] + mt * wo_m[..., 1:2] + mvec * wo_m[..., 2:3]
+    pdf = mpdf * pdf_xy[..., 0] * pdf_xy[..., 1] / jnp.maximum(
+        4.0 * jnp.abs(fr.dot(refl, mvec)), 1e-12)
+    ok = (cos_i > 0) & (mpdf > 0) & (fr.cos_theta(wo) > 0) & diff_ok
+    w_g1_int = mf.smith_g1(refl, mvec, au, av, mf.GGX) * intensity
+
+    np.testing.assert_allclose(np.asarray(got["mvec"]), np.asarray(mvec),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(got["lobe"]), np.asarray(lobe))
+    m_ok = np.asarray(ok)
+    np.testing.assert_array_equal(np.asarray(got["ok"]), m_ok)
+    # only compare live lanes for direction-dependent outputs
+    np.testing.assert_allclose(np.asarray(got["wo"])[m_ok],
+                               np.asarray(wo)[m_ok], rtol=1e-4, atol=1e-5)
+    # near-specular lanes can saturate to inf in one path only (1/cos^4 at
+    # f32 eps differences); pdfs that large are MIS-equivalent — clip
+    got_pdf = np.minimum(np.asarray(got["pdf"])[m_ok], 1e6)
+    want_pdf = np.minimum(np.asarray(pdf)[m_ok], 1e6)
+    np.testing.assert_allclose(got_pdf, want_pdf, rtol=2e-3, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got["w_g1_int"])[m_ok],
+                               np.asarray(w_g1_int)[m_ok],
+                               rtol=2e-3, atol=1e-6)
