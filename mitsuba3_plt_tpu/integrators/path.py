@@ -105,11 +105,18 @@ class PathIntegrator:
                     em, geo, si.p, u_nee1, u_nee2, nee_active
                 )
                 occ_ray = Ray(
-                    o=si.p + si.n * jnp.where(
-                        fr.dot(ds.d, si.n) >= 0, mth.RayEpsilon, -mth.RayEpsilon
-                    )[..., None],
+                    o=jnp.where(
+                        nee_active[..., None],
+                        si.p + si.n * jnp.where(
+                            fr.dot(ds.d, si.n) >= 0,
+                            mth.RayEpsilon, -mth.RayEpsilon
+                        )[..., None],
+                        1e8,  # canonical dead shadow ray (see carry note)
+                    ),
                     d=ds.d,
-                    maxt=ds.dist * (1.0 - mth.ShadowEpsilon),
+                    maxt=jnp.where(
+                        nee_active, ds.dist * (1.0 - mth.ShadowEpsilon), 0.0
+                    ),
                 )
                 occluded = scene.ray_test(occ_ray)
                 vis = nee_active & ~occluded & (ds.pdf > 0)
@@ -162,6 +169,18 @@ class PathIntegrator:
 
             is_delta = (bs.sampled_type & jnp.uint32(BSDFFlags.Delta)) != 0
 
+            # dead lanes get ONE canonical far-away ray: their next
+            # intersect exits at the root box instead of walking the BVH
+            # with garbage directions (and the coherence sort clusters
+            # them into all-dead tiles). Results on dead lanes are masked
+            # everywhere, so this is output-identical.
+            dead = ~active_next
+            new_o = jnp.where(dead[..., None], 1e8, new_o)
+            wo_world = jnp.where(
+                dead[..., None],
+                jnp.asarray([0.0, 0.0, 1.0], jnp.float32),
+                wo_world,
+            )
             carry = (
                 new_o, wo_world,
                 L,

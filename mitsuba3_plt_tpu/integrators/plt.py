@@ -383,13 +383,20 @@ class PLTIntegrator:
         u2 = sampler.next_2d(bounce_dim(i, 9))
         ds = em_mod.sample_emitter_direction(em, geo, b_i.p, u1, u2, active_em)
 
-        # shadow ray
+        # shadow ray (inactive lanes get the canonical dead ray, see the
+        # sample() carry note)
         occ_ray = Ray(
-            o=b_i.p + b_i.n * jnp.where(
-                fr.dot(ds.d, b_i.n) >= 0, mth.RayEpsilon, -mth.RayEpsilon
-            )[..., None],
+            o=jnp.where(
+                active_em[..., None],
+                b_i.p + b_i.n * jnp.where(
+                    fr.dot(ds.d, b_i.n) >= 0, mth.RayEpsilon, -mth.RayEpsilon
+                )[..., None],
+                1e8,
+            ),
             d=ds.d,
-            maxt=ds.dist * (1.0 - mth.ShadowEpsilon),
+            maxt=jnp.where(
+                active_em, ds.dist * (1.0 - mth.ShadowEpsilon), 0.0
+            ),
         )
         occluded = scene.ray_test(occ_ray)
         vis = active_em & ~occluded & (ds.pdf > 0)
@@ -556,6 +563,15 @@ class PLTIntegrator:
             new_o = si.p + si.n * jnp.where(
                 fr.dot(wo_world, si.n) >= 0, mth.RayEpsilon, -mth.RayEpsilon
             )[..., None]
+            # canonical far-away ray for dead lanes (see path.py): exits
+            # the BVH at the root instead of traversing garbage directions
+            dead = ~active_next
+            new_o = jnp.where(dead[..., None], 1e8, new_o)
+            wo_world = jnp.where(
+                dead[..., None],
+                jnp.asarray([0.0, 0.0, 1.0], jnp.float32),
+                wo_world,
+            )
             nd_pdf_next = jnp.where(is_delta, last_nd_pdf, bs.pdf)
             carry = (
                 new_o, wo_world, active_next,

@@ -616,13 +616,22 @@ def _chunked_bvh_call(pbvh, o, d, maxt, kernel, n_out, interpret):
     if npad <= blk:
         outs = call(args)
     else:
+        # static Python loop over chunks: lax.map's stacked [k, rows, 128]
+        # xs get pinned to scoped VMEM around the custom call (40 MB > the
+        # 16 MB limit at 1M lanes / 82k faces); k is small (wavefront caps
+        # keep it <= 8) so unrolling costs little HLO
         k = npad // blk
-        stacked = tuple(a.reshape(k, rows, LANES) for a in args)
-        outs = jax.lax.map(call, stacked)
-        outs = (
-            [x.reshape(npad // LANES, LANES) for x in outs]
-            if n_out > 1 else outs.reshape(npad // LANES, LANES)
-        )
+        parts = []
+        for i in range(k):
+            chunk = tuple(a[i * rows:(i + 1) * rows] for a in args)
+            parts.append(call(chunk))
+        if n_out > 1:
+            outs = [
+                jnp.concatenate([p[j] for p in parts], axis=0)
+                for j in range(n_out)
+            ]
+        else:
+            outs = jnp.concatenate(parts, axis=0)
     return outs, npad
 
 

@@ -156,7 +156,26 @@ class Scene:
             | ((d[:, 1] < 0).astype(jnp.int32) << 1)
             | ((d[:, 2] < 0).astype(jnp.int32) << 2)
         )
-        key = (octant << 9) | morton
+        # direction Morton as the low bits: camera rays share ONE origin
+        # cell, so without this the sort leaves them in scanline order and
+        # each packet tile spans a long thin screen strip (wide BVH-node
+        # unions). 64^3 quantization: a narrow camera cone still spans
+        # many cells, grouping screen-adjacent rays into square-ish tiles.
+        def spread6(x):  # 6-bit -> every 3rd bit (18 bits)
+            x = (x | (x << 8)) & 0x00F00F
+            x = (x | (x << 4)) & 0x0C30C3
+            x = (x | (x << 2)) & 0x249249
+            return x
+
+        dcell = jnp.clip(
+            ((d * 0.5 + 0.5) * 64.0), 0.0, 63.999
+        ).astype(jnp.int32)
+        dmorton = (
+            spread6(dcell[:, 0])
+            | (spread6(dcell[:, 1]) << 1)
+            | (spread6(dcell[:, 2]) << 2)
+        )
+        key = ((octant << 27) | (morton << 18) | dmorton).astype(jnp.uint32)
         perm = jnp.argsort(key)
         inv = jnp.zeros_like(perm).at[perm].set(
             jnp.arange(perm.shape[0], dtype=perm.dtype)

@@ -158,6 +158,14 @@ def main():
         )
     lines += [
         "",
+        "Caveat: XLA's cost analysis does not see inside Pallas custom "
+        "calls — the intersection, grating lobe-sum, and grating-sample "
+        "kernels' arithmetic is excluded from the FLOP/byte counts, so "
+        "both columns are lower bounds; since round 2's kernel work moved "
+        "most of the wave-path math into Pallas, the true VPU fraction is "
+        "substantially higher than the table shows (per-kernel device "
+        "times: use the JAX profiler trace, see ROUND2_NOTES).",
+        "",
         "Interpretation: the dominant ceiling tells where the next "
         "speedup must come from — if %VPU >> %HBM the kernel is "
         "compute-bound (reduce per-lane arithmetic, e.g. fewer lobe "
