@@ -34,6 +34,16 @@ class PathIntegrator:
 
     def sample(self, scene, sampler: Sampler, ray: Ray, wavelengths, cfg: RenderConfig):
         """Returns (L [N, C], valid [N])."""
+        if cfg.polarized:
+            # polarized variants transparently switch to Mueller transport
+            # (the reference's polarized Spectrum type does this at compile
+            # time); the film records S0, as its develop step does
+            from .stokes import PolarizedPathIntegrator
+
+            L_s = PolarizedPathIntegrator(
+                max_depth=self.max_depth, rr_depth=self.rr_depth
+            ).sample_stokes(scene, sampler, ray, wavelengths, cfg)
+            return L_s[:, 0], jnp.ones((ray.o.shape[0],), bool)
         n = ray.o.shape[0]
         C = cfg.n_channels
         em = scene.emitters

@@ -93,3 +93,23 @@ def test_polvis_false_color():
     vis_s1 = polvis(img, "s1")
     assert vis_s1[:, W // 2 :, 0].min() > 0.9   # +s1 -> red
     assert vis_s1[:, : W // 2].max() < 1e-6
+
+
+def test_path_scene_renders_under_polarized_variant():
+    """A plain `path` scene under a polarized variant must transparently
+    switch to Mueller transport (reference: the polarized Spectrum type
+    does this at compile time); previously this raised a broadcast error.
+    The film gets S0, which matches the unpolarized render up to the
+    polarized estimator's different sample stream."""
+    import numpy as np
+    import mitsuba3_plt_tpu as mi
+    from mitsuba3_plt_tpu.config import RGB, RGB_POLARIZED
+    from mitsuba3_plt_tpu.scene.presets import cornell_box
+
+    scene, _ = cornell_box(24, 24)
+    img_u = np.asarray(mi.render(scene, spp=16, cfg=RGB, seed=3))
+    img_p = np.asarray(mi.render(scene, spp=16, cfg=RGB_POLARIZED, seed=3))
+    assert img_p.shape == img_u.shape
+    assert not np.isnan(img_p).any()
+    # S0 of the polarized transport estimates the same radiance
+    assert abs(img_p.mean() - img_u.mean()) / img_u.mean() < 0.1
