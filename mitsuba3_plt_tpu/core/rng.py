@@ -165,15 +165,20 @@ def cmj_sample_2d(s, spp: int, pattern):
     return jnp.stack([x, y], axis=-1)
 
 
-def _radical_inverse_base2(i):
-    """Van der Corput sequence (bit reversal / 2^32)."""
+def _bit_reverse32(i):
     i = jnp.asarray(i, U32)
     i = ((i & U32(0x55555555)) << 1) | ((i & U32(0xAAAAAAAA)) >> 1)
     i = ((i & U32(0x33333333)) << 2) | ((i & U32(0xCCCCCCCC)) >> 2)
     i = ((i & U32(0x0F0F0F0F)) << 4) | ((i & U32(0xF0F0F0F0)) >> 4)
     i = ((i & U32(0x00FF00FF)) << 8) | ((i & U32(0xFF00FF00)) >> 8)
-    i = (i << 16) | (i >> 16)
-    return i.astype(jnp.float32) * jnp.float32(2.3283064365386963e-10)
+    return (i << 16) | (i >> 16)
+
+
+def _radical_inverse_base2(i):
+    """Van der Corput sequence (bit reversal / 2^32)."""
+    return _bit_reverse32(i).astype(jnp.float32) * jnp.float32(
+        2.3283064365386963e-10
+    )
 
 
 def _radical_inverse_base3(i, digits: int = 20):
@@ -199,6 +204,38 @@ def halton_2d(s, pattern):
     x = jnp.mod(_radical_inverse_base2(s) + rx, 1.0)
     y = jnp.mod(_radical_inverse_base3(s) + ry, 1.0)
     return jnp.stack([x, y], axis=-1)
+
+
+def _sobol2(i, scramble):
+    """Second dimension of the Sobol' (0,2)-sequence, XOR-scrambled.
+
+    32 static steps over the direction numbers v_{k+1} = v_k ^ (v_k >> 1)
+    (v_0 = 2^31) — pure vectorized bit ops, no gathers."""
+    i = jnp.asarray(i, U32)
+    res = jnp.asarray(scramble, U32)
+    v = 0x80000000
+    for k in range(32):
+        res = res ^ jnp.where((i >> U32(k)) & U32(1) != 0, U32(v), U32(0))
+        v ^= v >> 1
+    return res
+
+
+def ld_2d(s, pattern):
+    """Scrambled (0,2)-sequence point s (the reference ldsampler's pixel
+    pair, src/samplers/ldsampler.cpp): x = van der Corput (bit reversal),
+    y = Sobol' dim 2, both XOR-scrambled per `pattern` (u32). Every
+    2^a x 2^b stratification of any prefix holds the right point count —
+    strictly better equidistribution than the Halton pair it replaces."""
+    s = jnp.asarray(s, U32)
+    scr1 = _pcg_hash(pattern * U32(0x9E3779B1) + U32(0x2545F491))
+    scr2 = _pcg_hash(pattern * U32(0x85EBCA77) + U32(0x633D9B4F))
+    xb = _bit_reverse32(s) ^ scr1
+    yb = _sobol2(s, scr2)
+    to_f = jnp.float32(2.3283064365386963e-10)
+    return jnp.stack(
+        [xb.astype(jnp.float32) * to_f, yb.astype(jnp.float32) * to_f],
+        axis=-1,
+    )
 
 
 def orthogonal_2d(s, spp: int, pattern):

@@ -29,7 +29,9 @@ def sample_rays(scene, sampler: Sampler, width, height, spp_pass, cfg: RenderCon
     (correlated multi-jittered pixel positions, src/samplers/ role).
     Returns (ray, pos_uv [N,2], wavelengths [N,C] or None, wl_weight or None).
     """
-    from ..core.rng import cmj_sample_2d, halton_2d, orthogonal_2d, hash_combine
+    from ..core.rng import (
+        cmj_sample_2d, halton_2d, ld_2d, orthogonal_2d, hash_combine,
+    )
 
     n = width * height * spp_pass
     lane = jnp.arange(n, dtype=jnp.uint32)
@@ -41,7 +43,12 @@ def sample_rays(scene, sampler: Sampler, width, height, spp_pass, cfg: RenderCon
         s_idx = (lane % spp_pass).astype(jnp.uint32)
         pattern = hash_combine(sampler.seed, pix)
         jitter = cmj_sample_2d(s_idx, spp_pass, pattern)
-    elif sampler_type in ("ldsampler", "halton") and spp_pass > 1:
+    elif sampler_type == "ldsampler" and spp_pass > 1:
+        # scrambled (0,2)-sequence (reference ldsampler.cpp)
+        s_idx = (lane % spp_pass).astype(jnp.uint32)
+        pattern = hash_combine(sampler.seed, pix)
+        jitter = ld_2d(s_idx, pattern)
+    elif sampler_type == "halton" and spp_pass > 1:
         s_idx = (lane % spp_pass).astype(jnp.uint32)
         pattern = hash_combine(sampler.seed, pix)
         jitter = halton_2d(s_idx, pattern)

@@ -101,3 +101,48 @@ def test_orthogonal_render_smoke():
     scene, _ = cornell_box(16, 16)
     img = np.asarray(mi.render(scene, spp=16, seed=0, sampler_type="orthogonal"))
     assert np.all(np.isfinite(img)) and img.mean() > 0
+
+
+def test_ld_02_sequence_elementary_intervals():
+    """The (0,2)-sequence property: any 2^a x 2^b elementary-interval grid
+    with 2^(a+b) cells holds EXACTLY one of the first 2^(a+b) points
+    (XOR scrambling preserves this; Halton base-2/3 does not have it in
+    base-2 grids). Reference role: src/samplers/ldsampler.cpp."""
+    import numpy as np
+    import jax.numpy as jnp
+    from mitsuba3_plt_tpu.core.rng import ld_2d
+
+    for pat in (7, 1234567):
+        for (a, b) in [(4, 0), (0, 4), (2, 2), (3, 1), (1, 3), (2, 4)]:
+            n = 1 << (a + b)
+            pts = np.asarray(
+                ld_2d(jnp.arange(n, dtype=jnp.uint32),
+                      jnp.full((n,), pat, jnp.uint32))
+            )
+            ix = np.floor(pts[:, 0] * (1 << a)).astype(int)
+            iy = np.floor(pts[:, 1] * (1 << b)).astype(int)
+            cells = set(zip(ix.tolist(), iy.tolist()))
+            assert len(cells) == n, (a, b, pat, len(cells))
+
+
+def test_ld_matches_scipy_sobol_unscrambled():
+    """With zero scrambling the pair is exactly (van der Corput, Sobol dim
+    2) — cross-checked against scipy's Sobol generator."""
+    import numpy as np
+    import jax.numpy as jnp
+    import pytest
+
+    scipy_qmc = pytest.importorskip("scipy.stats.qmc")
+    from mitsuba3_plt_tpu.core.rng import _bit_reverse32, _sobol2
+
+    n = 64
+    idx = jnp.arange(n, dtype=jnp.uint32)
+    x = np.asarray(_bit_reverse32(idx)).astype(np.float64) / 2**32
+    y = np.asarray(_sobol2(idx, jnp.zeros((n,), jnp.uint32))).astype(
+        np.float64) / 2**32
+    ref = scipy_qmc.Sobol(d=2, scramble=False).random(n)
+    # scipy emits the same net in Gray-code order: compare the POINT SETS
+    # (any 2^m prefix of a (0,2)-sequence is the same digital net)
+    got = set(zip(x.round(9).tolist(), y.round(9).tolist()))
+    want = set(zip(ref[:, 0].round(9).tolist(), ref[:, 1].round(9).tolist()))
+    assert got == want
