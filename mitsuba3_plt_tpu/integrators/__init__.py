@@ -11,12 +11,21 @@ def _int(cfg, key, default):
 
 def make_integrator(cfg: dict):
     t = cfg.get("type", "path")
-    if t in ("path", "mispath", "direct"):
+    if t in ("path", "mispath"):
         from .path import PathIntegrator
 
         return PathIntegrator(
-            max_depth=_int(cfg, "max_depth", 6 if t != "direct" else 2),
+            max_depth=_int(cfg, "max_depth", 6),
             rr_depth=_int(cfg, "rr_depth", 5),
+        )
+    if t == "direct":
+        from .direct import DirectIntegrator
+
+        shading = _int(cfg, "shading_samples", 1)
+        return DirectIntegrator(
+            emitter_samples=_int(cfg, "emitter_samples", shading),
+            bsdf_samples=_int(cfg, "bsdf_samples", shading),
+            hide_emitters=bool(cfg.get("hide_emitters", False)),
         )
     if t in ("prb", "prb_basic"):
         from .prb import PRBIntegrator
