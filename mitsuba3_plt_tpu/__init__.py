@@ -7,6 +7,18 @@ rendering, and path-replay differentiation — expressed as pure functions over
 pytrees of arrays, sharded with jax.sharding across TPU meshes.
 """
 
+import os as _os
+
+# The packet-BVH kernels keep node/tri tables VMEM-resident; narrow rows
+# pad the lane dim to 128, so mesh-heavy scenes need more scoped VMEM than
+# the compiler's conservative 16 MB default (v5e has 128 MB). Must be set
+# before libtpu initializes; harmless on CPU and no-op if already set.
+_libtpu_args = _os.environ.get("LIBTPU_INIT_ARGS", "")
+if "scoped_vmem" not in _libtpu_args:
+    _os.environ["LIBTPU_INIT_ARGS"] = (
+        _libtpu_args + " --xla_tpu_scoped_vmem_limit_kib=65536"
+    ).strip()
+
 from .config import RenderConfig, RGB, RGB_POLARIZED, SPECTRAL, SPECTRAL_POLARIZED, VARIANTS
 
 __version__ = "0.1.0"

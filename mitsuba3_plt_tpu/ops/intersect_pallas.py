@@ -401,21 +401,17 @@ def _signed_eps(x):
     return jnp.where(jnp.abs(x) > 1e-12, x, jnp.where(x >= 0, 1e-12, -1e-12))
 
 
-def _bvh_kernel(box_ref, link_ref, tri_ref, ox, oy, oz, dx, dy, dz, mt,
+def _bvh_kernel(node_ref, tri_ref, ox, oy, oz, dx, dy, dz, mt,
                 t_out, p_out, u_out, v_out):
     o_x, o_y, o_z = ox[...], oy[...], oz[...]
     d_x, d_y, d_z = dx[...], dy[...], dz[...]
     inv_dx = 1.0 / _signed_eps(d_x)
     inv_dy = 1.0 / _signed_eps(d_y)
     inv_dz = 1.0 / _signed_eps(d_z)
+    n_rows = tri_ref.shape[0]
 
-    def tri_at(row):
+    def tri_test(row, t_best, prim, u_best, v_best, extra_ok=None):
         tr = tri_ref[row]
-        return tr
-
-    def tri_body(k, carry):
-        first, t_best, prim, u_best, v_best = carry
-        tr = tri_at(first + k)
         p0x, p0y, p0z = tr[0], tr[1], tr[2]
         e1x, e1y, e1z = tr[3], tr[4], tr[5]
         e2x, e2y, e2z = tr[6], tr[7], tr[8]
@@ -438,10 +434,24 @@ def _bvh_kernel(box_ref, link_ref, tri_ref, ox, oy, oz, dx, dy, dz, mt,
         hit = ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t > 0.0) & (
             t < t_best
         )
+        if extra_ok is not None:
+            hit = hit & extra_ok
         t_best = jnp.where(hit, t, t_best)
         prim = jnp.where(hit, idf, prim)
         u_best = jnp.where(hit, u, u_best)
         v_best = jnp.where(hit, v, v_best)
+        return t_best, prim, u_best, v_best
+
+    def tri_body2(k, carry):
+        # two triangles per trip: their ~10 serial scalar row-loads overlap
+        first, t_best, prim, u_best, v_best = carry
+        r = first + 2 * k
+        t_best, prim, u_best, v_best = tri_test(
+            r, t_best, prim, u_best, v_best
+        )
+        t_best, prim, u_best, v_best = tri_test(
+            jnp.minimum(r + 1, n_rows - 1), t_best, prim, u_best, v_best
+        )
         return first, t_best, prim, u_best, v_best
 
     def cond(c):
@@ -449,13 +459,13 @@ def _bvh_kernel(box_ref, link_ref, tri_ref, ox, oy, oz, dx, dy, dz, mt,
 
     def body(c):
         node, t_best, prim, u_best, v_best = c
-        box = box_ref[node]
-        tx0 = (box[0] - o_x) * inv_dx
-        tx1 = (box[3] - o_x) * inv_dx
-        ty0 = (box[1] - o_y) * inv_dy
-        ty1 = (box[4] - o_y) * inv_dy
-        tz0 = (box[2] - o_z) * inv_dz
-        tz1 = (box[5] - o_z) * inv_dz
+        nd = node_ref[node]
+        tx0 = (nd[0] - o_x) * inv_dx
+        tx1 = (nd[3] - o_x) * inv_dx
+        ty0 = (nd[1] - o_y) * inv_dy
+        ty1 = (nd[4] - o_y) * inv_dy
+        tz0 = (nd[2] - o_z) * inv_dz
+        tz1 = (nd[5] - o_z) * inv_dz
         near = jnp.maximum(
             jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
             jnp.minimum(tz0, tz1),
@@ -467,12 +477,17 @@ def _bvh_kernel(box_ref, link_ref, tri_ref, ox, oy, oz, dx, dy, dz, mt,
         bh = (near <= far) & (far > 0.0) & (near < t_best)
         any_hit = jnp.any(bh)
 
-        link = link_ref[node]
-        first, count, miss = link[0], link[1], link[2]
+        first = nd[6].astype(jnp.int32)
+        count = nd[7].astype(jnp.int32)
+        miss = nd[8].astype(jnp.int32)
         is_leaf = count > 0
-        trips = jnp.where(is_leaf & any_hit, count, 0)
+        live = is_leaf & any_hit
+        pairs = jnp.where(live, (count + 1) // 2, 0)
+        # odd counts read one row past the run: leaves are contiguous, so
+        # that row is the next leaf's first triangle — retesting it is
+        # harmless (same best-hit), and min(r+1, n_rows-1) bounds the table
         _, t_best, prim, u_best, v_best = jax.lax.fori_loop(
-            0, trips, tri_body, (first, t_best, prim, u_best, v_best)
+            0, pairs, tri_body2, (first, t_best, prim, u_best, v_best)
         )
         node = jnp.where(any_hit & jnp.logical_not(is_leaf), first, miss)
         return node, t_best, prim, u_best, v_best
@@ -492,7 +507,7 @@ def _bvh_kernel(box_ref, link_ref, tri_ref, ox, oy, oz, dx, dy, dz, mt,
     v_out[...] = v_best
 
 
-def _bvh_anyhit_kernel(box_ref, link_ref, tri_ref, ox, oy, oz, dx, dy, dz,
+def _bvh_anyhit_kernel(node_ref, tri_ref, ox, oy, oz, dx, dy, dz,
                        mt, occ_out):
     o_x, o_y, o_z = ox[...], oy[...], oz[...]
     d_x, d_y, d_z = dx[...], dy[...], dz[...]
@@ -500,10 +515,10 @@ def _bvh_anyhit_kernel(box_ref, link_ref, tri_ref, ox, oy, oz, dx, dy, dz,
     inv_dx = 1.0 / _signed_eps(d_x)
     inv_dy = 1.0 / _signed_eps(d_y)
     inv_dz = 1.0 / _signed_eps(d_z)
+    n_rows = tri_ref.shape[0]
 
-    def tri_body(k, carry):
-        first, occ = carry
-        tr = tri_ref[first + k]
+    def tri_test(row, occ):
+        tr = tri_ref[row]
         p0x, p0y, p0z = tr[0], tr[1], tr[2]
         e1x, e1y, e1z = tr[3], tr[4], tr[5]
         e2x, e2y, e2z = tr[6], tr[7], tr[8]
@@ -525,7 +540,14 @@ def _bvh_anyhit_kernel(box_ref, link_ref, tri_ref, ox, oy, oz, dx, dy, dz,
         hit = ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t > 0.0) & (
             t < t_max
         )
-        return first, jnp.where(hit, 1.0, occ)
+        return jnp.where(hit, 1.0, occ)
+
+    def tri_body2(k, carry):
+        first, occ = carry
+        r = first + 2 * k
+        occ = tri_test(r, occ)
+        occ = tri_test(jnp.minimum(r + 1, n_rows - 1), occ)
+        return first, occ
 
     def cond(c):
         node, occ = c
@@ -533,13 +555,13 @@ def _bvh_anyhit_kernel(box_ref, link_ref, tri_ref, ox, oy, oz, dx, dy, dz,
 
     def body(c):
         node, occ = c
-        box = box_ref[node]
-        tx0 = (box[0] - o_x) * inv_dx
-        tx1 = (box[3] - o_x) * inv_dx
-        ty0 = (box[1] - o_y) * inv_dy
-        ty1 = (box[4] - o_y) * inv_dy
-        tz0 = (box[2] - o_z) * inv_dz
-        tz1 = (box[5] - o_z) * inv_dz
+        nd = node_ref[node]
+        tx0 = (nd[0] - o_x) * inv_dx
+        tx1 = (nd[3] - o_x) * inv_dx
+        ty0 = (nd[1] - o_y) * inv_dy
+        ty1 = (nd[4] - o_y) * inv_dy
+        tz0 = (nd[2] - o_z) * inv_dz
+        tz1 = (nd[5] - o_z) * inv_dz
         near = jnp.maximum(
             jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
             jnp.minimum(tz0, tz1),
@@ -551,11 +573,12 @@ def _bvh_anyhit_kernel(box_ref, link_ref, tri_ref, ox, oy, oz, dx, dy, dz,
         bh = (near <= far) & (far > 0.0) & (near < t_max) & (occ < 0.5)
         any_hit = jnp.any(bh)
 
-        link = link_ref[node]
-        first, count, miss = link[0], link[1], link[2]
+        first = nd[6].astype(jnp.int32)
+        count = nd[7].astype(jnp.int32)
+        miss = nd[8].astype(jnp.int32)
         is_leaf = count > 0
-        trips = jnp.where(is_leaf & any_hit, count, 0)
-        _, occ = jax.lax.fori_loop(0, trips, tri_body, (first, occ))
+        pairs = jnp.where(is_leaf & any_hit, (count + 1) // 2, 0)
+        _, occ = jax.lax.fori_loop(0, pairs, tri_body2, (first, occ))
         node = jnp.where(any_hit & jnp.logical_not(is_leaf), first, miss)
         return node, occ
 
@@ -603,7 +626,7 @@ def _chunked_bvh_call(pbvh, o, d, maxt, kernel, n_out, interpret):
         return pl.pallas_call(
             kernel,
             grid=(rows // SUB_B,),
-            in_specs=[tbl_spec] * 3 + [ray_spec] * 7,
+            in_specs=[tbl_spec] * 2 + [ray_spec] * 7,
             out_specs=[ray_spec] * n_out if n_out > 1 else ray_spec,
             out_shape=(
                 [jax.ShapeDtypeStruct((rows, LANES), jnp.float32)] * n_out
@@ -611,7 +634,7 @@ def _chunked_bvh_call(pbvh, o, d, maxt, kernel, n_out, interpret):
                 else jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
             ),
             interpret=interpret,
-        )(pbvh.box, pbvh.link, pbvh.tri, *xs)
+        )(pbvh.nodes, pbvh.tri, *xs)
 
     if npad <= blk:
         outs = call(args)

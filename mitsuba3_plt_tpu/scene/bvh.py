@@ -54,13 +54,14 @@ class PacketBVH:
     mesh-heavy scenes.
     """
 
-    box: Any    # [NN_pad, 8] f32: lo.xyz, hi.xyz, 0, 0
-    link: Any   # [NN_pad, 4] i32: first (child node | tri row), count, miss, 0
+    # [NN_pad, 16] f32 merged node rows: lo.xyz, hi.xyz, first, count,
+    # miss, pad(7) — one scalar row fetch per traversal step
+    nodes: Any
     tri: Any    # [P_pad, 16] f32: p0, e1, e2, orig_prim_id, pad...
 
     @property
     def n_nodes(self):
-        return self.box.shape[0]
+        return self.nodes.shape[0]
 
 
 def pack_packet_bvh(bvh: BVH, tri_p0, tri_p1, tri_p2,
@@ -153,17 +154,28 @@ def pack_packet_bvh(bvh: BVH, tri_p0, tri_p1, tri_p2,
     )
 
     nn_pad = (-n_new) % 8
-    box = np.concatenate([o_lo, o_hi, np.zeros((n_new, 2), np.float32)],
-                         axis=-1)
-    box = np.concatenate([box, np.zeros((nn_pad, 8), np.float32)], axis=0)
-    link = np.stack(
-        [o_first, o_count, o_miss, np.zeros(n_new, np.int32)], axis=-1
+    # ONE merged node row [lo(3), hi(3), first, count, miss, pad(7)]: the
+    # traversal loop is latency-bound on serial scalar row fetches — one
+    # 16-wide row per node instead of separate box[8]+link[4] fetches.
+    # first/count/miss are exact in f32 (all < 2^24).
+    nodes = np.concatenate(
+        [
+            o_lo, o_hi,
+            o_first[:, None].astype(np.float32),
+            o_count[:, None].astype(np.float32),
+            o_miss[:, None].astype(np.float32),
+            np.zeros((n_new, 7), np.float32),
+        ],
+        axis=-1,
     )
-    link = np.concatenate([link, np.zeros((nn_pad, 4), np.int32)], axis=0)
+    nodes = np.concatenate(
+        [nodes, np.zeros((nn_pad, 16), np.float32)], axis=0
+    )
+    # padding rows: miss = -1 (terminate) — they are never reached anyway
+    if nn_pad:
+        nodes[n_new:, 8] = -1.0
 
-    return PacketBVH(
-        box=jnp.asarray(box), link=jnp.asarray(link), tri=jnp.asarray(p_rows)
-    )
+    return PacketBVH(nodes=jnp.asarray(nodes), tri=jnp.asarray(p_rows))
 
 
 def build_bvh(vertices: np.ndarray, faces: np.ndarray) -> BVH:

@@ -105,8 +105,10 @@ class Scene:
     # Below this face count, gather-free brute force (Pallas kernel on TPU)
     # beats the per-lane BVH walk (in-loop gathers dominate the walk's cost).
     BRUTE_FORCE_MAX_FACES = 4096
-    # Above this, the PacketBVH tables outgrow VMEM (~16 MB/core) and the
-    # XLA skip-link walk takes over.
+    # Above this, the PacketBVH tables outgrow the raised scoped-VMEM
+    # budget (64 MB, set in __init__/bench before libtpu init; narrow rows
+    # pad the lane dim to 128, so the [T, 16] tri table costs T*8 KB) and
+    # the XLA skip-link walk takes over.
     PACKET_BVH_MAX_FACES = 150_000
 
     def _small_scene_intersect(self, ray: Ray):
@@ -136,8 +138,8 @@ class Scene:
         2M lanes; unsorted bounce rays cost the kernel seconds (tile-union
         traversal degenerates toward brute force)."""
         geo = self.geo
-        lo = self.pbvh.box[0, 0:3]
-        hi = self.pbvh.box[0, 3:6]
+        lo = self.pbvh.nodes[0, 0:3]
+        hi = self.pbvh.nodes[0, 3:6]
         rel = jnp.clip((o - lo) / jnp.maximum(hi - lo, 1e-9), 0.0, 0.999)
         cell = (rel * 8.0).astype(jnp.int32)  # [N, 3] in [0, 8)
 
