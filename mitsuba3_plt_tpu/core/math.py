@@ -160,7 +160,13 @@ def bessel_jn(x, n_max: int, M: int = _BESSEL_M):
     Accurate (f32 level) for |x| up to about 0.8*M.
     """
     x_abs = jnp.abs(jnp.asarray(x, jnp.float32))
-    x_safe = jnp.maximum(x_abs, 1e-6)
+    # substitute a SAFE argument (not a clamp) outside the recurrence's
+    # domain: below the exact-value cutoff and above the asymptotic switch
+    # the PRIMAL is rescued by selects, but the recurrence's intermediate
+    # partial derivatives overflow to inf and the masked-out cotangent
+    # turns 0 * inf = NaN (the double-where rule).
+    unsafe = (x_abs < 1e-6) | (x_abs > _BESSEL_X_SWITCH)
+    x_safe = jnp.where(unsafe, 1.0, x_abs)
     inv_x = 1.0 / x_safe
 
     order_idx = jnp.arange(n_max + 1, dtype=jnp.int32)  # static small axis
@@ -212,9 +218,16 @@ def bessel_jn_fast(x, n_max: int, M: int = 64):
     accurate, since |x| >> n_max^2 there).
     """
     x_abs = jnp.abs(jnp.asarray(x, jnp.float32))
-    x_safe = jnp.maximum(x_abs, 1e-6)
+    # asymptotic switch lowered to 0.5*M: the recurrence's GRADIENT blows
+    # up from ~0.56*M (measured NaN at x >= 36 with M = 64) even where its
+    # primal is still fine, so both the select and the safe-substitution
+    # (see bessel_jn: 0 * inf under the double-where rule) move to 0.5*M.
+    # The two-term Hankel form is within ~3%% for nu <= 4 there and
+    # carries the gradient.
+    switch = 0.5 * M
+    unsafe = (x_abs < 1e-6) | (x_abs > switch)
+    x_safe = jnp.where(unsafe, 1.0, x_abs)
     inv_x = 1.0 / x_safe
-    switch = 0.75 * M
 
     def step(k, jp1, jk, norm):
         jm1 = (2.0 * k) * inv_x * jk - jp1

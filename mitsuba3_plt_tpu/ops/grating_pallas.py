@@ -227,10 +227,6 @@ def _kernel(wix, wiy, wiz, wox, woy, woz,
         out_refs[c][...] = acc
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("half", "separable", "n_channels", "interpret"),
-)
 def grating_lobe_sum(
     wi, wo, wl_nm, grating_dir, inv_period, q, lobes, gtype, multiplier,
     coherence, a_cone, half: int, separable: bool, n_channels: int,
@@ -241,7 +237,27 @@ def grating_lobe_sum(
     Inputs are per-lane: wi/wo [N,3] local dirs, wl_nm [N,C], grating_dir
     [N,2], inv_period [N,2] (1/um), q [N] (um), lobes [N] int, gtype [N]
     int (masked to TYPE_MASK by caller), multiplier/coherence/a_cone [N].
-    """
+
+    Differentiable: primal = fused kernel, vjp = XLA re-implementation
+    (see _make_lobe_sum_vjp)."""
+    f = _make_lobe_sum_vjp(int(half), bool(separable), int(n_channels),
+                           bool(interpret))
+    return f(
+        wi, wo, wl_nm, grating_dir, inv_period, q,
+        lobes.astype(jnp.float32), gtype.astype(jnp.float32),
+        multiplier, coherence, a_cone,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("half", "separable", "n_channels", "interpret"),
+)
+def _grating_lobe_sum_impl(
+    wi, wo, wl_nm, grating_dir, inv_period, q, lobes, gtype, multiplier,
+    coherence, a_cone, half: int, separable: bool, n_channels: int,
+    interpret: bool = False,
+):
     n = wi.shape[0]
     pad = (-n) % BLOCK
     npad = n + pad
@@ -537,3 +553,124 @@ def grating_sample(wi, u2, lobe_u2, wl_um, alpha, grating_dir, inv_period,
         "mvec": jnp.stack(o[10:13], axis=-1),
         "ok": o[13] > 0.5,
     }
+
+
+# ---------------------------------------------------------------------------
+# Differentiation: pallas_call has no AD rule, but the NEE eval carries the
+# grating-parameter gradients (inv_period/height/multiplier/coherence — the
+# quantities a PLT researcher optimizes; tests/test_ad.py FD-checks them).
+# grating_lobe_sum is therefore a custom_vjp op: the PRIMAL runs the fused
+# kernel; the BACKWARD linearizes a pure-XLA re-implementation of the same
+# algebra at the saved inputs (runs only under jax.grad, where the extra
+# memory of the [N, C, L] chain is the pre-existing AD cost anyway).
+# ---------------------------------------------------------------------------
+
+
+def _lobe_sum_xla(wi, wo, wl_nm, grating_dir, inv_period, q, lobes_f,
+                  gtype_f, multiplier, coherence, a_cone,
+                  half: int, separable: bool):
+    """Reference XLA implementation of the kernel's per-wavelength sum
+    (mirrors plt/wbsdf.py's eval chain; float lobes/gtype for AD)."""
+    import numpy as np
+
+    N, C = wl_nm.shape
+    wl_um = wl_nm * 1e-3
+    k = 2.0 * m.Pi / jnp.maximum(wl_um, 1e-6)
+    side = np.arange(-half, half + 1)
+    if separable:
+        lx_g, ly_g = side, np.zeros_like(side)
+    else:
+        gx, gy = np.meshgrid(side, side, indexing="ij")
+        lx_g, ly_g = gx.ravel(), gy.ravel()
+    half_lobes = jnp.floor(lobes_f * 0.5)[:, None, None]
+    live = (jnp.asarray(np.abs(lx_g))[None, None, :] <= half_lobes) & (
+        jnp.asarray(np.abs(ly_g))[None, None, :] <= half_lobes
+    )
+    # order intensities (grating.order_intensities with float gtype)
+    cos_t = jnp.abs(wi[..., 2])[:, None]
+    a_b = 4.0 * m.Pi * q[:, None] / jnp.maximum(wl_um * cos_t, 1e-12)
+    jn = m.bessel_jn_fast(a_b, half)
+    sin_i = jnp.square(jn).at[..., 0].set(1.0)
+    orders = jnp.arange(half + 1, dtype=jnp.float32)
+    rect = (jnp.sin(a_b * 0.5)[..., None] * m.sinc(m.Pi * orders * 0.5))
+    rect = rect.at[..., 0].set(1.0)
+    lin = 1.0 / jnp.sqrt(jnp.maximum(orders, 1.0))
+    is_sin = (gtype_f < 0.5)[:, None, None]
+    is_rect = (jnp.abs(gtype_f - 1.0) < 0.5)[:, None, None]
+    base = jnp.where(is_sin, sin_i,
+                     jnp.where(is_rect, rect,
+                               jnp.broadcast_to(lin, sin_i.shape)))
+    ix = base[:, :, np.abs(lx_g)]
+    is1d = (inv_period[:, 1] < m.Epsilon)[:, None, None]
+    iy = jnp.where(is1d, ix, base[:, :, np.abs(ly_g)])
+    lobe_int = multiplier[:, None, None] * ix * iy
+
+    wi_x, wi_y, wi_z = wi[..., 0], wi[..., 1], wi[..., 2]
+    px = jnp.sqrt(wi_x * wi_x + wi_z * wi_z)
+    py = jnp.sqrt(wi_y * wi_y + wi_z * wi_z)
+    sin_ix = jnp.where(px > m.Epsilon, wi_x / jnp.maximum(px, 1e-20), 0.0)
+    sin_iy = jnp.where(py > m.Epsilon, wi_y / jnp.maximum(py, 1e-20), 0.0)
+    cg = grating_dir[:, 0][:, None, None]
+    sg = grating_dir[:, 1][:, None, None]
+    lxf = jnp.asarray(lx_g, jnp.float32)[None, None, :]
+    lyf = jnp.asarray(ly_g, jnp.float32)[None, None, :]
+    aa = wl_um[:, :, None] * (cg * lxf - sg * lyf) \
+        * inv_period[:, 0][:, None, None] - sin_ix[:, None, None]
+    bb = wl_um[:, :, None] * (sg * lxf + cg * lyf) \
+        * inv_period[:, 1][:, None, None] - sin_iy[:, None, None]
+    den = m.sqr(aa * bb) - 1.0
+    mm = (m.sqr(aa) - 1.0) / jnp.where(jnp.abs(den) > 1e-12, den, 1e-12)
+    qq = 1.0 - m.sqr(bb) * mm
+    lobe_ok = (jnp.abs(aa) <= 1.0) & (jnp.abs(bb) <= 1.0)
+    cd_dot_wo = (
+        aa * m.safe_sqrt(qq) * wo[:, 0][:, None, None]
+        + bb * m.safe_sqrt(mm) * wo[:, 1][:, None, None]
+        + m.safe_sqrt(1.0 - m.sqr(aa) * qq - m.sqr(bb) * mm)
+        * wo[:, 2][:, None, None]
+    )
+    ang = m.unit_angle_dot(cd_dot_wo)
+    in_cone = jnp.abs(ang) < a_cone[:, None, None]
+    s = coherence[:, None] * k * (1.0 / (2.0 * m.Pi * 1e3))
+    inv_det = (s * s)[:, :, None]
+    ang_coh = jnp.exp(-0.5 * ang * ang * inv_det)
+    is_zero = jnp.asarray((lx_g == 0) & (ly_g == 0))[None, None, :]
+    contrib = jnp.where(
+        lobe_ok & in_cone & live,
+        lobe_int * jnp.where(is_zero, 1.0, ang_coh), 0.0,
+    )
+    if separable:
+        ny = 2.0 * half_lobes + 1.0
+        corr = jnp.where(
+            is_zero & lobe_ok & in_cone & live,
+            lobe_int * (ang_coh - 1.0) * (ny - 1.0), 0.0,
+        )
+        contrib = contrib * ny + corr
+    return jnp.sum(contrib, axis=-1)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_lobe_sum_vjp(half: int, separable: bool, n_channels: int,
+                       interpret: bool):
+    def impl(wi, wo, wl_nm, gd, ip, q, lob_f, gt_f, mu_, co, ac):
+        return _grating_lobe_sum_impl(
+            wi, wo, wl_nm, gd, ip, q, lob_f, gt_f, mu_, co, ac,
+            half=half, separable=separable, n_channels=n_channels,
+            interpret=interpret,
+        )
+
+    @jax.custom_vjp
+    def f(wi, wo, wl_nm, gd, ip, q, lob_f, gt_f, mu_, co, ac):
+        return impl(wi, wo, wl_nm, gd, ip, q, lob_f, gt_f, mu_, co, ac)
+
+    def fwd(*args):
+        return impl(*args), args
+
+    def bwd(res, g):
+        _, vjp = jax.vjp(
+            lambda *a: _lobe_sum_xla(*a, half=half, separable=separable),
+            *res,
+        )
+        return vjp(g)
+
+    f.defvjp(fwd, bwd)
+    return f

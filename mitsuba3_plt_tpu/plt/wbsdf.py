@@ -140,13 +140,18 @@ class RoughGratingW:
         if jax.default_backend() == "tpu" and _PALLAS_LOBE_SUM:
             # fused sample kernel (ops/grating_pallas.grating_sample): the
             # VNDF + Bessel + lobe-CDF + diffract chain otherwise compiles
-            # to ~40 small fusions per bounce inside the render scan
+            # to ~40 small fusions per bounce inside the render scan.
+            # Inputs are DETACHED: the kernel has no AD rule, and detached
+            # sampling is the estimator's semantics anyway (the sampled
+            # path carries no gradient; parameters differentiate through
+            # the attached re-evaluations — wbsdf_eval/weight/Fresnel).
             from ..ops.grating_pallas import grating_sample
 
+            sg_ = jax.lax.stop_gradient
             out = grating_sample(
-                si.wi, u2, lobe_u2, wl_um, p["alpha"], g.grating_dir,
-                g.inv_period, g.q, g.lobes, g.gtype & gr.TYPE_MASK,
-                g.multiplier, half=half,
+                sg_(si.wi), u2, lobe_u2, sg_(wl_um), sg_(p["alpha"]),
+                sg_(g.grating_dir), sg_(g.inv_period), sg_(g.q), g.lobes,
+                g.gtype & gr.TYPE_MASK, sg_(g.multiplier), half=half,
             )
             mvec = out["mvec"]
             reflection_dir = out["reflection_dir"]

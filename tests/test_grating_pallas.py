@@ -191,3 +191,52 @@ def test_sample_kernel_matches_xla(gtype, ip_y):
     np.testing.assert_allclose(np.asarray(got["w_g1_int"])[m_ok],
                                np.asarray(w_g1_int)[m_ok],
                                rtol=2e-3, atol=1e-6)
+
+
+def test_lobe_sum_custom_vjp_grads():
+    """jax.grad through grating_lobe_sum (primal = kernel, vjp = XLA
+    re-implementation) matches grads of the pure-XLA chain — the PLT
+    grating parameters (inv_period, height, multiplier, coherence) must
+    stay differentiable on TPU where the kernel is the primal."""
+    rng = np.random.default_rng(3)
+    N, C, half = 512, 3, 3
+    wi, wo = _rand_dir(rng, N), _rand_dir(rng, N)
+    wl = jnp.asarray(rng.uniform(380, 680, (N, C)).astype(np.float32))
+    gdir = jnp.stack([jnp.ones((N,)), jnp.zeros((N,))], -1)
+    ip_t = jnp.stack([jnp.full((N,), 2.0), jnp.zeros((N,))], -1)
+    q = jnp.asarray(rng.uniform(0.05, 0.2, N).astype(np.float32))
+    lobes = jnp.full((N,), 7, jnp.int32)
+    gt = jnp.zeros((N,), jnp.int32)
+    mult = jnp.full((N,), 1.2)
+    coh = jnp.full((N,), 40.0)
+    a_cone = jnp.full((N,), 0.3)
+
+    from mitsuba3_plt_tpu.ops.grating_pallas import (
+        grating_lobe_sum, _lobe_sum_xla,
+    )
+
+    def loss_kernel(qv, ipx, mu, co):
+        ip2 = jnp.stack([ipx, jnp.zeros_like(ipx)], -1)
+        out = grating_lobe_sum(
+            wi, wo, wl, gdir, ip2, qv, lobes, gt, mu, co, a_cone,
+            half=half, separable=True, n_channels=C, interpret=True,
+        )
+        return jnp.sum(out * out)
+
+    def loss_xla(qv, ipx, mu, co):
+        ip2 = jnp.stack([ipx, jnp.zeros_like(ipx)], -1)
+        out = _lobe_sum_xla(
+            wi, wo, wl, gdir, ip2, qv, lobes.astype(jnp.float32),
+            gt.astype(jnp.float32), mu, co, a_cone,
+            half=half, separable=True,
+        )
+        return jnp.sum(out * out)
+
+    ipx = ip_t[:, 0]
+    gk = jax.grad(loss_kernel, argnums=(0, 1, 2, 3))(q, ipx, mult, coh)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2, 3))(q, ipx, mult, coh)
+    for a, b, name in zip(gk, gx, ("q", "inv_period", "mult", "coh")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=1e-4,
+            err_msg=name,
+        )
