@@ -67,3 +67,30 @@ def test_sharded_grad_psum():
 
     g8 = np.asarray(jax.grad(loss_sharded)(params[key]))
     np.testing.assert_allclose(g8, g1, rtol=1e-4, atol=1e-7)
+
+
+def test_plt_sharded_matches_single_device():
+    """The fused single-scan PLT integrator under shard_map reproduces the
+    single-device render bit-close (lane-indexed RNG contract; the fused
+    path is the flagship multi-chip workload)."""
+    from mitsuba3_plt_tpu.integrators.plt import PLTIntegrator
+    import mitsuba3_plt_tpu as mi
+
+    W = H = 16
+    spp = 4
+    scene, _ = mi.load_file(
+        "/root/reference/scenes/gratings/gratings.xml", resx=W, resy=H
+    )
+    integ = PLTIntegrator(max_depth=3, rr_depth=8)
+
+    img_single = np.asarray(
+        render(scene, integ.sample, seed=0, spp=spp, cfg=RGB,
+               spp_per_pass=spp)
+    )
+    mesh = make_mesh(8)
+    run = make_render_pass_sharded(integ.sample, mesh, W, H, spp, RGB)
+    data = np.asarray(run(scene, 0, 0))
+    img_sharded = (
+        data[..., :3] / np.maximum(data[..., 3:4], 1e-8)
+    ).reshape(H, W, 3)
+    np.testing.assert_allclose(img_sharded, img_single, rtol=2e-5, atol=2e-6)
