@@ -27,12 +27,24 @@ def make_integrator(cfg: dict):
             bsdf_samples=_int(cfg, "bsdf_samples", shading),
             hide_emitters=bool(cfg.get("hide_emitters", False)),
         )
-    if t in ("prb", "prb_basic"):
+    if t in ("prb", "prb_basic", "prb_projective"):
+        # prb_projective's PRIMAL equals prb (reference prb_projective.py
+        # subclasses the same estimator); its projective boundary terms
+        # live in the AD layer here (ad/render.render_loss_grad's
+        # edge-sampled silhouette gradients), not in the integrator
         from .prb import PRBIntegrator
 
         return PRBIntegrator(
             max_depth=_int(cfg, "max_depth", 6),
             rr_depth=_int(cfg, "rr_depth", 5),
+        )
+    if t == "direct_projective":
+        # same story: primal = the dedicated direct estimator
+        from .direct import DirectIntegrator
+
+        return DirectIntegrator(
+            emitter_samples=_int(cfg, "sppc", 1) or 1,
+            bsdf_samples=_int(cfg, "sppe", 1) or 1,
         )
     if t == "depth":
         from .aov import DepthIntegrator
@@ -91,8 +103,7 @@ def make_integrator(cfg: dict):
             max_depth=_int(cfg, "max_depth", 6),
             rr_depth=_int(cfg, "rr_depth", 5),
         )
-    # unresolved -D defaults ("$integrator") and not-yet-ported AD variants
-    # (direct_projective / prb_projective) fall back to the path tracer
+    # unresolved -D defaults ("$integrator") fall back to the path tracer
     import warnings
 
     warnings.warn(f"integrator type {t!r} unavailable; using 'path'")
