@@ -76,5 +76,11 @@ def render(scene, integrator=None, spp=16, seed=0, cfg=None, **kw):
     mw = getattr(integrator, "max_wavefront", None)
     if mw is not None and "spp_per_pass" not in kw:
         w, h = scene.sensor.resolution
-        kw["spp_per_pass"] = max(1, min(spp, mw // (w * h) or 1))
+        cap = max(1, mw // (w * h) or 1)
+        # po2 passes when the cap binds: shared compile shapes across spp
+        # sweeps (and some non-po2 lane counts hit pathological backend
+        # compiles on the remote TPU service); exact spp otherwise
+        kw["spp_per_pass"] = (
+            spp if spp <= cap else 1 << (cap.bit_length() - 1)
+        )
     return _render(scene, integrator.sample, seed=seed, spp=spp, cfg=cfg, **kw)

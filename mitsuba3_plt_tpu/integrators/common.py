@@ -121,8 +121,17 @@ def render(
     """
     width, height = scene.sensor.resolution
     if spp_per_pass is None:
-        # cap wavefront at ~2^21 lanes to bound device memory
-        spp_per_pass = max(1, min(spp, (1 << 21) // (width * height) or 1))
+        # cap wavefront at ~2^21 lanes to bound device memory. When the
+        # cap BINDS, round the per-pass spp down to a power of two:
+        # arbitrary cap-derived values (e.g. 109) produce distinct compile
+        # shapes per sweep setting, and some hit multi-minute backend
+        # compiles on the remote TPU service; po2 passes share one cached
+        # executable. Single-pass renders keep the exact requested spp.
+        cap = max(1, (1 << 21) // (width * height) or 1)
+        if spp <= cap:
+            spp_per_pass = spp
+        else:
+            spp_per_pass = 1 << (cap.bit_length() - 1)
     n_pass = (spp + spp_per_pass - 1) // spp_per_pass
     ch = n_out_channels or 3
 
