@@ -92,6 +92,11 @@ def mis_weight(pdf_a, pdf_b):
     return jnp.where(a_ok, w, 0.0)
 
 
+# module-level jitted-pass cache (see render() below); strong refs, tiny LRU
+_PASS_CACHE: dict = {}
+_PASS_CACHE_MAX = 4
+
+
 def render(
     scene,
     integrator_sample,
@@ -145,57 +150,86 @@ def render(
         rfilter != FILTER_BOX and jax.default_backend() != "cpu"
     )
 
-    def _compute(pass_idx):
-        sampler = Sampler.create(seed, width * height * spp_per_pass)
-        sampler = sampler.fork(pass_idx)
-        with jax.named_scope("sample_rays"):
-            ray, uv, wavelengths, wl_weight = sample_rays(
-                scene, sampler, width, height, spp_per_pass, cfg,
-                sampler_type=sampler_type,
+    # Reuse the jitted pass across render() calls: each call used to
+    # define fresh closures, so an spp sweep or repeated renders of the
+    # same scene re-traced AND re-ran the backend compile every time
+    # (~15 s locally; 100 s+ per row through the remote TPU compile
+    # service). The seed is a traced argument so different seeds share
+    # one executable; the cache holds strong scene refs (id-keyed).
+    try:
+        ikey = integrator_sample.__self__
+        hash(ikey)
+    except (AttributeError, TypeError):
+        ikey = id(getattr(integrator_sample, "__self__", integrator_sample))
+    fkey = getattr(
+        integrator_sample, "__func__", integrator_sample
+    ).__qualname__
+    cache_key = (
+        id(scene), ikey, fkey, width, height, spp_per_pass, cfg, rfilter,
+        ch, sampler_type, split_splat, jax.default_backend(),
+    )
+    cached = _PASS_CACHE.get(cache_key)
+    if cached is None:
+        def _compute(pass_idx, seed_u32):
+            sampler = Sampler.create(seed_u32, width * height * spp_per_pass)
+            sampler = sampler.fork_traced(pass_idx)
+            with jax.named_scope("sample_rays"):
+                ray, uv, wavelengths, wl_weight = sample_rays(
+                    scene, sampler, width, height, spp_per_pass, cfg,
+                    sampler_type=sampler_type,
+                )
+            with jax.named_scope("integrator"):
+                values, valid = integrator_sample(
+                    scene, sampler, ray, wavelengths, cfg
+                )
+            if cfg.spectral:
+                # convert hero-wavelength spectral values to RGB via CIE XYZ
+                xyz = spec.spectrum_to_xyz(values, wavelengths, wl_weight)
+                values = spec.xyz_to_srgb(xyz)
+            return uv, values, valid
+
+        @jax.jit
+        def render_vals(pass_idx, seed_u32):
+            return _compute(pass_idx, seed_u32)
+
+        @jax.jit
+        def splat_filtered(block_data, uv, values, valid):
+            block = ImageBlock(
+                data=block_data, width=width, height=height,
+                n_channels=values.shape[-1], rfilter=rfilter,
             )
-        with jax.named_scope("integrator"):
-            values, valid = integrator_sample(
-                scene, sampler, ray, wavelengths, cfg
+            return block.put_ordered_filtered(
+                uv, values, valid, spp_per_pass
+            ).data
+
+        @jax.jit
+        def render_pass(block_data, pass_idx, seed_u32):
+            uv, values, valid = _compute(pass_idx, seed_u32)
+            block = ImageBlock(
+                data=block_data, width=width, height=height,
+                n_channels=values.shape[-1], rfilter=rfilter,
             )
-        if cfg.spectral:
-            # convert hero-wavelength spectral values to RGB via CIE XYZ
-            xyz = spec.spectrum_to_xyz(values, wavelengths, wl_weight)
-            values = spec.xyz_to_srgb(xyz)
-        return uv, values, valid
+            # lanes are pixel-ordered (lane // spp_pass = pixel): segment
+            # sums instead of scatter-adds (~170 ms/2M lanes on v5e)
+            if rfilter == FILTER_BOX:
+                block = block.put_ordered(values, valid, spp_per_pass)
+            else:
+                block = block.put_ordered_filtered(
+                    uv, values, valid, spp_per_pass
+                )
+            return block.data
 
-    @jax.jit
-    def render_vals(pass_idx):
-        return _compute(pass_idx)
+        if split_splat:
+            def render_pass(block_data, pass_idx, seed_u32):  # noqa: F811
+                uv, values, valid = render_vals(pass_idx, seed_u32)
+                return splat_filtered(block_data, uv, values, valid)
 
-    @jax.jit
-    def splat_filtered(block_data, uv, values, valid):
-        block = ImageBlock(
-            data=block_data, width=width, height=height,
-            n_channels=values.shape[-1], rfilter=rfilter,
-        )
-        return block.put_ordered_filtered(
-            uv, values, valid, spp_per_pass
-        ).data
-
-    @jax.jit
-    def render_pass(block_data, pass_idx):
-        uv, values, valid = _compute(pass_idx)
-        block = ImageBlock(
-            data=block_data, width=width, height=height,
-            n_channels=values.shape[-1], rfilter=rfilter,
-        )
-        # lanes are pixel-ordered (lane // spp_pass = pixel): segment sums
-        # instead of scatter-adds (~170 ms/2M lanes saved on v5e)
-        if rfilter == FILTER_BOX:
-            block = block.put_ordered(values, valid, spp_per_pass)
-        else:
-            block = block.put_ordered_filtered(uv, values, valid, spp_per_pass)
-        return block.data
-
-    if split_splat:
-        def render_pass(block_data, pass_idx):  # noqa: F811 — split path
-            uv, values, valid = render_vals(pass_idx)
-            return splat_filtered(block_data, uv, values, valid)
+        _PASS_CACHE[cache_key] = render_pass
+        while len(_PASS_CACHE) > _PASS_CACHE_MAX:
+            _PASS_CACHE.pop(next(iter(_PASS_CACHE)))
+        cached = render_pass
+    render_pass = cached
+    seed_arr = jnp.uint32(seed)
 
     block = ImageBlock.create(width, height, ch, rfilter)
     data = block.data
@@ -209,7 +243,7 @@ def render(
         @jax.jit
         def render_chunk(data, p0, n):
             def body(i, d):
-                return render_pass(d, p0 + i.astype(jnp.uint32))
+                return render_pass(d, p0 + i.astype(jnp.uint32), seed_arr)
 
             return jax.lax.fori_loop(0, n, body, data)
 
@@ -225,7 +259,7 @@ def render(
         t_compile = None
         done = 0
         for p in range(n_pass):
-            data = render_pass(data, jnp.uint32(p))
+            data = render_pass(data, jnp.uint32(p), seed_arr)
             if p == 0 and (timeout or progress or stats is not None):
                 data.block_until_ready()
                 t_compile = _time.perf_counter() - t_start
