@@ -174,9 +174,33 @@ def bench_mesh_heavy():
     }
 
 
+def bench_cbox_xml():
+    """The REFERENCE'S actual cbox.xml (2892 faces, gaussian rfilter) via
+    the library-surface render loop — the honest comparison against the
+    cbox-path anchor, which renders this scene (the preset metric above
+    uses a 36-triangle analytic box and flatters the intersection cost)."""
+    import mitsuba3_plt_tpu as mi
+
+    import numpy as np
+
+    scene, meta = mi.load_file(
+        "/root/reference/scenes/cbox/cbox.xml", resx=500, resy=500
+    )
+    stats = {}
+    np.asarray(mi.render((scene, meta), spp=64, seed=0, stats=stats))
+    spp_pass = stats["spp_done"] // stats["passes_done"]
+    dt = stats["steady_s_per_pass"]
+    return {
+        "samples_per_s": 500 * 500 * spp_pass / dt,
+        "ms_per_spp": dt / spp_pass * 1e3,
+        "compile_s": stats["compile_s"],
+    }
+
+
 def main():
     g = bench_gratings()
     c = bench_cbox()
+    cx = bench_cbox_xml()
     mh = bench_mesh_heavy()
     print(
         json.dumps(
@@ -198,6 +222,13 @@ def main():
                     ),
                     "cbox_ms_per_spp": round(c["ms_per_spp"], 3),
                     "cbox_compile_s": round(c["compile_s"], 2),
+                    "cbox_xml_camera_samples_per_s": round(
+                        cx["samples_per_s"], 1
+                    ),
+                    "cbox_xml_vs_baseline": round(
+                        cx["samples_per_s"] / REF_CBOX_SAMPLES_PER_S, 4
+                    ),
+                    "cbox_xml_ms_per_spp": round(cx["ms_per_spp"], 3),
                     "mesh82k_camera_samples_per_s": round(
                         mh["samples_per_s"], 1
                     ),

@@ -267,21 +267,44 @@ def pack_tri_mxu(p0, e1, e2):
     W[:, 3, 3:6] = n2
     W[:, 3, 15] = -np.einsum("ij,ij->i", p0, n2)
 
-    # group columns [det(T), u'(T), v'(T), t'(T)]
+    # group rows [det(T), u'(T), v'(T), t'(T)]
     Wg = np.concatenate([W[:, 0], W[:, 1], W[:, 2], W[:, 3]], axis=0)  # [4T, 16]
-    return np.ascontiguousarray(Wg.T.astype(np.float32))  # [16, 4T]
+    return np.ascontiguousarray(Wg.astype(np.float32))  # [4T, 16]
 
 
-def _mxu_kernel(w_ref, fiota_ref, phi_ref, mt_ref, out_ref, *, t_pad: int):
+MXU_LANES = 256  # rays per grid step (lane dim of the transposed formulation)
+
+
+def _mxu_kernel(w_ref, fiota_ref, rays_ref, out_ref, *, t_pad: int):
+    """Transposed formulation: U^T = W [4T, 16] @ phi^T [16, B].
+
+    Rays arrive as ROWS [8, B] (dx dy dz ox oy oz maxt 1) — the natural
+    lane-major layout. The earlier [B, 16] phi / [B, 8] rays operands
+    forced a {1,0} layout that leaked 42-128x sublane padding onto
+    unrelated [N, 1]/[N, 3] temps inside the render scan (977 MB each ->
+    HBM OOM at 500^2 renders)."""
     T = t_pad
-    t_max = mt_ref[...]  # [B, 1]
+    rays = rays_ref[...]                      # [8, B]
+    t_max = rays[6:7]                         # [1, B]
+    phi_t = jnp.concatenate(
+        [
+            rays[0:3],                        # d
+            rays[3:6],                        # o
+            rays[0:1] * rays[3:6],            # dx * o
+            rays[1:2] * rays[3:6],            # dy * o
+            rays[2:3] * rays[3:6],            # dz * o
+            rays[7:8],                        # 1
+        ],
+        axis=0,
+    )                                         # [16, B]
 
-    U = jnp.dot(phi_ref[...], w_ref[...],
-                preferred_element_type=jnp.float32)  # [B, 4T]
-    det = U[:, 0:T]
-    up = U[:, T:2 * T]
-    vp = U[:, 2 * T:3 * T]
-    tp = U[:, 3 * T:4 * T]
+    U = jnp.dot(w_ref[...], phi_t,
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)   # [4T, B]
+    det = U[0:T]
+    up = U[T:2 * T]
+    vp = U[2 * T:3 * T]
+    tp = U[3 * T:4 * T]
 
     ok = jnp.abs(det) > 1e-12
     sd = jnp.where(det >= 0.0, 1.0, -1.0)
@@ -296,16 +319,16 @@ def _mxu_kernel(w_ref, fiota_ref, phi_ref, mt_ref, out_ref, *, t_pad: int):
         & (ts > 0.0) & (t < t_max)
     )
     t_h = jnp.where(hit, t, jnp.float32(3.4e38))
-    t_best = jnp.min(t_h, axis=-1, keepdims=True)          # [B, 1]
-    best = jnp.argmin(t_h, axis=-1, keepdims=True)         # [B, 1]
+    t_best = jnp.min(t_h, axis=0, keepdims=True)           # [1, B]
+    best = jnp.argmin(t_h, axis=0, keepdims=True)          # [1, B]
     found = t_best < t_max
-    onehot = jax.lax.broadcasted_iota(jnp.int32, t_h.shape, 1) == best
-    u_best = jnp.sum(jnp.where(onehot, us * inv, 0.0), axis=-1, keepdims=True)
-    v_best = jnp.sum(jnp.where(onehot, vs * inv, 0.0), axis=-1, keepdims=True)
-    # float prim index via host-provided index row (Mosaic rejects both
+    onehot = jax.lax.broadcasted_iota(jnp.int32, t_h.shape, 0) == best
+    u_best = jnp.sum(jnp.where(onehot, us * inv, 0.0), axis=0, keepdims=True)
+    v_best = jnp.sum(jnp.where(onehot, vs * inv, 0.0), axis=0, keepdims=True)
+    # float prim index via host-provided index column (Mosaic rejects both
     # vector sitofp and float iota inside the kernel)
     best_f = jnp.sum(
-        jnp.where(onehot, fiota_ref[...], 0.0), axis=-1, keepdims=True
+        jnp.where(onehot, fiota_ref[...], 0.0), axis=0, keepdims=True
     )
 
     out_ref[...] = jnp.concatenate(
@@ -315,64 +338,58 @@ def _mxu_kernel(w_ref, fiota_ref, phi_ref, mt_ref, out_ref, *, t_pad: int):
             u_best,
             v_best,
         ],
-        axis=1,
-    )
+        axis=0,
+    )                                          # [4, B]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def pallas_intersect_mxu(tri_mxu, o, d, maxt, interpret: bool = False):
     """Closest-hit via the MXU matmul formulation.
 
-    tri_mxu: [16, 4*T_pad] from pack_tri_mxu (T_pad a multiple of 128;
-    padding columns are all-zero -> det = 0 -> never hit).
+    tri_mxu: [4*T_pad, 16] from pack_tri_mxu (T_pad a multiple of 128;
+    padding rows are all-zero -> det = 0 -> never hit).
     """
     n = o.shape[0]
-    four_t = tri_mxu.shape[1]
+    four_t = tri_mxu.shape[0]
     t_pad = four_t // 4
-    pad = (-n) % MXU_B
+    pad = (-n) % MXU_LANES
     npad = n + pad
 
     def prep(x):
         return jnp.pad(x, (0, pad))
 
-    ox, oy, oz = prep(o[:, 0]), prep(o[:, 1]), prep(o[:, 2])
-    dx, dy, dz = prep(d[:, 0]), prep(d[:, 1]), prep(d[:, 2])
-    # ray feature matrix (XLA fuses this elementwise prologue)
-    phi = jnp.stack(
+    # rays as ROWS [8, npad] — lane-major, no layout constraint leaks
+    rays = jnp.stack(
         [
-            dx, dy, dz, ox, oy, oz,
-            dx * ox, dx * oy, dx * oz,
-            dy * ox, dy * oy, dy * oz,
-            dz * ox, dz * oy, dz * oz,
+            prep(d[:, 0]), prep(d[:, 1]), prep(d[:, 2]),
+            prep(o[:, 0]), prep(o[:, 1]), prep(o[:, 2]),
+            prep(jnp.where(jnp.isfinite(maxt), maxt, jnp.float32(3.4e38))),
             jnp.ones((npad,), jnp.float32),
         ],
-        axis=-1,
-    )  # [npad, 16]
-    mt = prep(jnp.where(jnp.isfinite(maxt), maxt, jnp.float32(3.4e38)))[:, None]
+        axis=0,
+    )
 
-    fiota = jnp.arange(t_pad, dtype=jnp.float32)[None, :]  # [1, T]
+    fiota = jnp.arange(t_pad, dtype=jnp.float32)[:, None]  # [T, 1]
 
     outs = pl.pallas_call(
         functools.partial(_mxu_kernel, t_pad=t_pad),
-        grid=(npad // MXU_B,),
+        grid=(npad // MXU_LANES,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((MXU_B, 16), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((MXU_B, 1), lambda i: (i, 0),
+            pl.BlockSpec((8, MXU_LANES), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((MXU_B, 4), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((4, MXU_LANES), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((npad, 4), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((4, npad), jnp.float32),
         interpret=interpret,
-    )(tri_mxu, fiota, phi, mt)
+    )(tri_mxu, fiota, rays)
 
-    t = outs[:n, 0]
-    prim = outs[:n, 1].astype(jnp.int32)
-    u = outs[:n, 2]
-    v = outs[:n, 3]
+    t = outs[0, :n]
+    prim = outs[1, :n].astype(jnp.int32)
+    u = outs[2, :n]
+    v = outs[3, :n]
     return jnp.where(prim >= 0, t, jnp.inf), prim, u, v
 
 

@@ -70,6 +70,11 @@ class Geometry:
     cyl_len: Any = None     # [C]
     cyl_radius: Any = None  # [C]
     cyl_attr: Any = None    # [C, 3]
+    # optional MXU brute-force table (ops/intersect_pallas.pack_tri_mxu);
+    # not built by default: at K = 16 features the systolic array runs at
+    # 1/8 depth utilization and full-f32 precision (needed for scene-scale
+    # coordinates) costs 6 passes, so the VPU loop wins in practice
+    tri_mxu: Any = None
 
     @property
     def n_faces(self):
@@ -532,10 +537,22 @@ class Scene:
                 from ..ops.intersect_pallas import pallas_occluded
 
                 sg = jax.lax.stop_gradient
-                occ = pallas_occluded(
-                    geo.tri_isect, sg(ray.o), sg(ray.d), sg(ray.maxt),
-                    n_tris=geo.n_faces,
-                )
+                if self.pbvh is not None:
+                    # shadow rays aim at the scene's emitters — highly
+                    # coherent, the packet traversal's best case; measured
+                    # faster than the O(T) brute any-hit from ~1-2k faces
+                    from ..ops.intersect_pallas import pallas_bvh_occluded
+
+                    perm, inv = self._packet_perm(ray.o, ray.d)
+                    occ = pallas_bvh_occluded(
+                        self.pbvh, sg(ray.o[perm]), sg(ray.d[perm]),
+                        sg(ray.maxt[perm])
+                    )[inv]
+                else:
+                    occ = pallas_occluded(
+                        geo.tri_isect, sg(ray.o), sg(ray.d), sg(ray.maxt),
+                        n_tris=geo.n_faces,
+                    )
             else:
                 occ = isect.chunked_occluded(
                     geo.tri_isect, ray.o, ray.d, ray.maxt
@@ -679,6 +696,7 @@ def build_geometry(
         tri_shape=jnp.asarray(cati(SHP)),
         tri_isect=jnp.asarray(isect_rows),
         tri_attr=jnp.asarray(attr),
+
         **(
             dict(
                 sph_center=jnp.asarray(
