@@ -51,6 +51,12 @@ class Geometry:
     tri_shape: Any    # [F] int32 source shape id
     tri_isect: Any  # [F_pad, 9] packed (p0, e1, e2) for chunked intersection
     tri_attr: Any   # [F, 40] packed shading attributes (see pack_attributes)
+    # precomputed-quantities table for the Pallas brute kernels
+    # (ops/intersect_pallas.pack_tri_q): rows (e1, e2, p0 x e1, p0 x e2,
+    # e1 x e2, p0.n2) relative to tri_anchor — no cross products and no
+    # division inside the triangle loop (~19 FMA/pair, the VPU floor)
+    tri_q: Any = None       # [F_pad, 16]
+    tri_anchor: Any = None  # [3] scene-centre anchor (f32 conditioning)
     # --- analytic spheres (reference src/shapes/sphere.cpp:240-330) -------
     # intersected exactly (no tessellation bias); S is small so the test is
     # a vectorized [N, S] broadcast merged with the triangle result
@@ -121,7 +127,7 @@ class Scene:
         (where Mosaic is unavailable)."""
         geo = self.geo
         if jax.default_backend() == "tpu":
-            from ..ops.intersect_pallas import pallas_intersect
+            from ..ops.intersect_pallas import pallas_intersect_q
 
             # Pallas custom calls have no AD rules; the hit SEARCH is
             # detached (discrete), and downstream differentiable
@@ -130,9 +136,9 @@ class Scene:
             # geometry gradients use the CPU differentiable path;
             # boundary terms come from the silhouette edge sampler.
             sg = jax.lax.stop_gradient
-            return pallas_intersect(
-                geo.tri_isect, sg(ray.o), sg(ray.d), sg(ray.maxt),
-                n_tris=geo.n_faces,
+            return pallas_intersect_q(
+                geo.tri_q, geo.tri_anchor, sg(ray.o), sg(ray.d),
+                sg(ray.maxt), n_tris=geo.n_faces,
             )
         return isect.chunked_intersect(geo.tri_isect, ray.o, ray.d, ray.maxt)
 
@@ -534,25 +540,18 @@ class Scene:
         geo = self.geo
         if geo.n_faces <= Scene.BRUTE_FORCE_MAX_FACES:
             if jax.default_backend() == "tpu":
-                from ..ops.intersect_pallas import pallas_occluded
+                from ..ops.intersect_pallas import pallas_occluded_q
 
+                # the 32-way-unrolled q any-hit kernel (33 ms/M rays on
+                # 2892 faces) beats both the sorted packet pipeline
+                # (argsort + gathers + kernel, ~60-100 ms/M all-in) and the
+                # classic brute any-hit (92 ms/M) — cbox.xml shadow sets;
+                # see tools/experiments/README.md
                 sg = jax.lax.stop_gradient
-                if self.pbvh is not None:
-                    # shadow rays aim at the scene's emitters — highly
-                    # coherent, the packet traversal's best case; measured
-                    # faster than the O(T) brute any-hit from ~1-2k faces
-                    from ..ops.intersect_pallas import pallas_bvh_occluded
-
-                    perm, inv = self._packet_perm(ray.o, ray.d)
-                    occ = pallas_bvh_occluded(
-                        self.pbvh, sg(ray.o[perm]), sg(ray.d[perm]),
-                        sg(ray.maxt[perm])
-                    )[inv]
-                else:
-                    occ = pallas_occluded(
-                        geo.tri_isect, sg(ray.o), sg(ray.d), sg(ray.maxt),
-                        n_tris=geo.n_faces,
-                    )
+                occ = pallas_occluded_q(
+                    geo.tri_q, geo.tri_anchor, sg(ray.o), sg(ray.d),
+                    sg(ray.maxt), n_tris=geo.n_faces,
+                )
             else:
                 occ = isect.chunked_occluded(
                     geo.tri_isect, ray.o, ray.d, ray.maxt
@@ -657,6 +656,11 @@ def build_geometry(
         [isect_rows, np.zeros((pad, 9), np.float32)], axis=0
     )
 
+    # precomputed-quantities rows for the Pallas brute kernels
+    from ..ops.intersect_pallas import pack_tri_q
+
+    tri_q, tri_anchor = pack_tri_q(p0c, p1c, p2c)
+
     # packed shading attributes: ng(3) n0(3) n1(3) n2(3) uv0(2) uv1(2)
     # uv2(2) mat(1) emitter(1) shape(1) [tangent(3) corner-colors(9) only
     # when some mesh carries them — the narrow 24-col layout keeps the
@@ -696,6 +700,8 @@ def build_geometry(
         tri_shape=jnp.asarray(cati(SHP)),
         tri_isect=jnp.asarray(isect_rows),
         tri_attr=jnp.asarray(attr),
+        tri_q=jnp.asarray(tri_q),
+        tri_anchor=jnp.asarray(tri_anchor),
 
         **(
             dict(
