@@ -29,12 +29,31 @@ def sample_rays(scene, sampler: Sampler, width, height, spp_pass, cfg: RenderCon
     (correlated multi-jittered pixel positions, src/samplers/ role).
     Returns (ray, pos_uv [N,2], wavelengths [N,C] or None, wl_weight or None).
     """
+    n = width * height * spp_pass
+    lane = jnp.arange(n, dtype=jnp.uint32)
+    return camera_rays_at(
+        scene, sampler.seed, lane, width, height, spp_pass, cfg,
+        sampler_type=sampler_type,
+    )
+
+
+def camera_rays_at(scene, seed, sample_lane, width, height, spp_pass,
+                   cfg: RenderConfig, sampler_type: str = "independent"):
+    """Camera ray generation for explicit sample ids.
+
+    Identical math to the arange layout of sample_rays — sample id s maps to
+    pixel s // spp_pass and sub-sample s % spp_pass — but callable with any
+    per-lane id vector. This is what lets the regenerative-wavefront
+    integrators (path.py sample_regen) restart finished lanes on NEW samples
+    mid-flight and still produce bit-identical per-sample values.
+    """
     from ..core.rng import (
         cmj_sample_2d, halton_2d, ld_2d, orthogonal_2d, hash_combine,
     )
 
-    n = width * height * spp_pass
-    lane = jnp.arange(n, dtype=jnp.uint32)
+    sampler = Sampler(seed=jnp.asarray(seed, jnp.uint32),
+                      lane=jnp.asarray(sample_lane, jnp.uint32))
+    lane = sampler.lane
     pix = (lane // spp_pass).astype(jnp.uint32)
     px = (pix % width).astype(jnp.float32)
     py = (pix // width).astype(jnp.float32)
@@ -111,6 +130,7 @@ def render(
     timeout: float | None = None,
     progress=None,
     stats: dict | None = None,
+    regen: bool = False,
 ):
     """Render orchestration: loops spp passes on host, jits the per-pass
     megakernel, accumulates an ImageBlock, develops to [H, W, C].
@@ -123,6 +143,12 @@ def render(
     develops the partial accumulation (the reference's SIGHUP partial-dump
     role); `progress(done, total, elapsed_s)` fires after each pass;
     `stats` (a dict) receives compile_s / steady-state timing / passes_done.
+
+    `regen=True` selects the integrator's regenerative wavefront
+    (sample_regen) when it has one: finished lanes respawn on their next
+    strided camera sample instead of idling to the end of the bounce scan.
+    Per-sample values are identical (same counter RNG keyed on sample id);
+    only the schedule changes. Primal renders only.
     """
     width, height = scene.sensor.resolution
     if spp_per_pass is None:
@@ -156,6 +182,21 @@ def render(
     # (~15 s locally; 100 s+ per row through the remote TPU compile
     # service). The seed is a traced argument so different seeds share
     # one executable; the cache holds strong scene refs (id-keyed).
+    integ_obj = getattr(integrator_sample, "__self__", None)
+    # regen lane count: Q ~ 8 strided samples per lane keeps respawn
+    # bookkeeping amortized while cutting dead-lane waste ~Q-fold; tiny
+    # renders (< 64k samples) can't amortize the while_loop and stay on
+    # the scan megakernel.
+    total_pass = width * height * spp_per_pass
+    use_regen = bool(
+        regen
+        and integ_obj is not None
+        and hasattr(integ_obj, "sample_regen")
+        and not cfg.polarized
+        and total_pass >= (1 << 16)
+    )
+    regen_lanes = -(-total_pass // 8) if use_regen else 0
+
     try:
         ikey = integrator_sample.__self__
         hash(ikey)
@@ -166,7 +207,7 @@ def render(
     ).__qualname__
     cache_key = (
         id(scene), ikey, fkey, width, height, spp_per_pass, cfg, rfilter,
-        ch, sampler_type, split_splat, jax.default_backend(),
+        ch, sampler_type, split_splat, use_regen, jax.default_backend(),
     )
     cached = _PASS_CACHE.get(cache_key)
     if cached is None:
@@ -179,9 +220,16 @@ def render(
                     sampler_type=sampler_type,
                 )
             with jax.named_scope("integrator"):
-                values, valid = integrator_sample(
-                    scene, sampler, ray, wavelengths, cfg
-                )
+                if use_regen:
+                    values = integ_obj.sample_regen(
+                        scene, sampler.seed, width, height, spp_per_pass,
+                        cfg, regen_lanes, sampler_type=sampler_type,
+                    )
+                    valid = jnp.ones((values.shape[0],), bool)
+                else:
+                    values, valid = integrator_sample(
+                        scene, sampler, ray, wavelengths, cfg
+                    )
             if cfg.spectral:
                 # convert hero-wavelength spectral values to RGB via CIE XYZ
                 xyz = spec.spectrum_to_xyz(values, wavelengths, wl_weight)

@@ -46,9 +46,6 @@ class PathIntegrator:
             return L_s[:, 0], jnp.ones((ray.o.shape[0],), bool)
         n = ray.o.shape[0]
         C = cfg.n_channels
-        em = scene.emitters
-        geo = scene.geo
-        has_emitters = em.count > 0
 
         L = jnp.zeros((n, C), jnp.float32)
         beta = jnp.ones((n, C), jnp.float32)
@@ -57,9 +54,54 @@ class PathIntegrator:
         prev_pdf = jnp.ones((n,), jnp.float32)
         prev_delta = jnp.ones((n,), bool)  # depth 0 counts as "delta" (no MIS)
         prev_p = ray.o
-        ctx = BSDFContext()
 
         def body(carry, b):
+            carry, active_next = self._bounce_step(
+                scene, sampler, cfg, wavelengths, carry, b
+            )
+            (new_o, wo_world, L, beta, eta, _, prev_pdf, prev_delta,
+             prev_p) = carry
+            # dead lanes get ONE canonical far-away ray: their next
+            # intersect exits at the root box instead of walking the BVH
+            # with garbage directions (and the coherence sort clusters
+            # them into all-dead tiles). Results on dead lanes are masked
+            # everywhere, so this is output-identical.
+            dead = ~active_next
+            new_o = jnp.where(dead[..., None], 1e8, new_o)
+            wo_world = jnp.where(
+                dead[..., None],
+                jnp.asarray([0.0, 0.0, 1.0], jnp.float32),
+                wo_world,
+            )
+            carry = (new_o, wo_world, L, beta, eta, active_next, prev_pdf,
+                     prev_delta, prev_p)
+            return carry, None
+
+        carry = (ray.o, ray.d, L, beta, eta, active, prev_pdf, prev_delta, prev_p)
+        carry, _ = jax.lax.scan(
+            body, carry, jnp.arange(self.max_depth, dtype=jnp.uint32)
+        )
+        L = carry[2]
+        return L, jnp.ones((n,), bool)
+
+    # ------------------------------------------------------------------
+    def _bounce_step(self, scene, sampler: Sampler, cfg: RenderConfig,
+                     wavelengths, carry, b):
+        """One path-tracing bounce over the whole wavefront.
+
+        `b` (the current depth) may be a traced scalar (the lax.scan
+        megakernel) or a per-lane u32 vector (the regenerative wavefront,
+        sample_regen) — every use is elementwise. Returns (carry, active_next)
+        where carry holds the NEXT ray; the caller decides what dead lanes do
+        (canonical far ray vs camera regeneration).
+        """
+        n = carry[0].shape[0]
+        C = cfg.n_channels
+        em = scene.emitters
+        geo = scene.geo
+        has_emitters = em.count > 0
+        ctx = BSDFContext()
+        if True:  # keep the historical indentation of the body below
             (ray_o, ray_d, L, beta, eta, active, prev_pdf, prev_delta, prev_p) = carry
 
             ray_b = Ray.create(ray_o, ray_d)
@@ -179,18 +221,6 @@ class PathIntegrator:
 
             is_delta = (bs.sampled_type & jnp.uint32(BSDFFlags.Delta)) != 0
 
-            # dead lanes get ONE canonical far-away ray: their next
-            # intersect exits at the root box instead of walking the BVH
-            # with garbage directions (and the coherence sort clusters
-            # them into all-dead tiles). Results on dead lanes are masked
-            # everywhere, so this is output-identical.
-            dead = ~active_next
-            new_o = jnp.where(dead[..., None], 1e8, new_o)
-            wo_world = jnp.where(
-                dead[..., None],
-                jnp.asarray([0.0, 0.0, 1.0], jnp.float32),
-                wo_world,
-            )
             carry = (
                 new_o, wo_world,
                 L,
@@ -201,14 +231,119 @@ class PathIntegrator:
                 jnp.where(active_next, is_delta, prev_delta),
                 jnp.where(active_next[..., None], ray_o * 0 + si.p, prev_p),
             )
-            return carry, None
+            return carry, active_next
 
-        carry = (ray.o, ray.d, L, beta, eta, active, prev_pdf, prev_delta, prev_p)
-        carry, _ = jax.lax.scan(
-            body, carry, jnp.arange(self.max_depth, dtype=jnp.uint32)
+    # ------------------------------------------------------------------
+    def sample_regen(self, scene, seed, width, height, spp_pass,
+                     cfg: RenderConfig, n_lanes: int,
+                     sampler_type: str = "independent"):
+        """Regenerative (persistent-lanes) wavefront, the reference's
+        megakernel-with-respawn strategy reshaped for XLA: a lax.while_loop
+        keeps N lanes saturated by restarting each finished path on the
+        lane's NEXT strided camera sample instead of idling until the whole
+        scan retires (the fixed-depth scan wastes (max_depth - E[len]) /
+        max_depth of all bounce work in open scenes — ~60% on the gratings
+        and mesh scenes).
+
+        Lane i processes sample ids i, i+N, ..., i+(Q-1)N; every random
+        number is the same pure hash of (seed, sample id, dim) the scan
+        megakernel uses, so per-sample radiance is IDENTICAL — regeneration
+        changes scheduling, not the estimator. Returns values
+        [width*height*spp_pass, C] in sample-id order (pixel-major, ready
+        for ImageBlock.put_ordered). Primal-only: the while_loop is not
+        reverse-differentiable; AD renders keep the scan path.
+        """
+        from .common import camera_rays_at
+
+        if cfg.polarized:
+            raise NotImplementedError("regen wavefront is unpolarized-only")
+        total = width * height * spp_pass
+        N = int(n_lanes)
+        Q = -(-total // N)
+        C = cfg.n_channels
+        seed = jnp.asarray(seed, jnp.uint32)
+
+        def fresh(sid):
+            ray, _uv, wl, _wlw = camera_rays_at(
+                scene, seed, sid, width, height, spp_pass, cfg,
+                sampler_type=sampler_type,
+            )
+            return ray, wl
+
+        sid0 = jnp.arange(N, dtype=jnp.uint32)
+        ray0, wl0 = fresh(sid0)
+        wl_c0 = wl0 if cfg.spectral else jnp.zeros((N, 1), jnp.float32)
+        bcarry0 = (
+            ray0.o, ray0.d,
+            jnp.zeros((N, C), jnp.float32),   # L
+            jnp.ones((N, C), jnp.float32),    # beta
+            jnp.ones((N,), jnp.float32),      # eta
+            jnp.ones((N,), bool),             # active
+            jnp.ones((N,), jnp.float32),      # prev_pdf
+            jnp.ones((N,), bool),             # prev_delta
+            ray0.o,                           # prev_p
         )
-        L = carry[2]
-        return L, jnp.ones((n,), bool)
+        state0 = (
+            sid0,
+            jnp.zeros((N,), jnp.uint32),      # depth
+            jnp.zeros((Q, N, C), jnp.float32),  # banked samples out[q, lane]
+            wl_c0,
+            bcarry0,
+        )
+        limit = jnp.uint32(Q * N)
+        far = jnp.asarray([0.0, 0.0, 1.0], jnp.float32)
+
+        def cond(state):
+            return jnp.any(state[4][5])
+
+        def body(state):
+            sid, depth, out, wl_c, bcarry = state
+            sampler = Sampler(seed=seed, lane=sid)
+            was_active = bcarry[5]
+            bcarry, active_next = self._bounce_step(
+                scene, sampler, cfg,
+                wl_c if cfg.spectral else None, bcarry, depth,
+            )
+            (new_o, wo_world, L, beta, eta, _, prev_pdf, prev_delta,
+             prev_p) = bcarry
+            finished = was_active & ~active_next
+
+            # bank finished samples: out[q, lane] += L via a one-hot over
+            # the stride index — a fused [Q, N, C] vector op (no scatter)
+            q = (sid // jnp.uint32(N)).astype(jnp.int32)
+            onehot = (
+                jax.lax.broadcasted_iota(jnp.int32, (Q, N), 0) == q[None, :]
+            ) & finished[None, :]
+            out = out + jnp.where(onehot[..., None], L[None, :, :], 0.0)
+
+            # regenerate finished lanes on their next strided sample id
+            more = finished & (sid + jnp.uint32(N) < limit)
+            sid = jnp.where(more, sid + jnp.uint32(N), sid)
+            depth = jnp.where(more, jnp.uint32(0), depth + jnp.uint32(1))
+            ray_f, wl_f = fresh(sid)
+            alive = active_next | more
+            m3 = more[..., None]
+            dead3 = (~alive)[..., None]
+            # dead lanes get ONE canonical far-away ray (see sample())
+            o_n = jnp.where(dead3, 1e8, jnp.where(m3, ray_f.o, new_o))
+            d_n = jnp.where(dead3, far, jnp.where(m3, ray_f.d, wo_world))
+            bcarry = (
+                o_n, d_n,
+                jnp.where(m3, 0.0, L),
+                jnp.where(m3, 1.0, beta),
+                jnp.where(more, 1.0, eta),
+                alive,
+                jnp.where(more, 1.0, prev_pdf),
+                more | prev_delta,  # regen lanes restart as "delta" (no MIS)
+                jnp.where(m3, ray_f.o, prev_p),
+            )
+            if cfg.spectral:
+                wl_c = jnp.where(m3, wl_f, wl_c)
+            return (sid, depth, out, wl_c, bcarry)
+
+        state = jax.lax.while_loop(cond, body, state0)
+        out = state[2]
+        return out.reshape(Q * N, C)[:total]
 
 
 def _to_channels(rgb, cfg: RenderConfig):

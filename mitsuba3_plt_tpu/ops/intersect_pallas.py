@@ -856,6 +856,242 @@ def _q_anyhit_kernel(tri_ref, ox, oy, oz, dx, dy, dz, mt, occ_out, *,
     occ_out[...] = occ
 
 
+# ---------------------------------------------------------------------------
+# Cluster-gated brute force (mini-TLAS)
+#
+# Mid-size scenes (1k-32k faces) sit in a gap: pure brute force tests every
+# triangle against every ray (2892 tests/ray on cbox.xml caps throughput at
+# ~2 M samples/s even at full VPU), while the packet BVH's per-tile tree walk
+# + coherence argsort only pays off for big meshes. This kernel scans the
+# scene's TREELETS (scene/bvh.pack_clusters: SAH subtrees of <= 64 tris)
+# sequentially: each [SUB_C, 128] ray tile slab-tests the treelet AABB with
+# pure vector ops and `pl.when`-skips the whole triangle loop when no lane
+# hits — tile-uniform control flow, zero gathers (cluster rows are
+# contiguous), and the same precomputed-quantities triangle math as the q
+# kernels. Reference role: the two-level Embree scene
+# (src/render/scene_embree.inl) for moderate instance counts.
+# ---------------------------------------------------------------------------
+
+SUB_C = 16  # rays per cluster-kernel tile: small tiles keep the lane bundle
+            # spatially tight (more treelet skips); 2048 rays still fill VPU
+
+
+def _clu_kernel(box_ref, tri_ref, ox, oy, oz, dx, dy, dz, mt,
+                t_out, p_out, u_out, v_out, ad_ref):
+    o_x, o_y, o_z = ox[...], oy[...], oz[...]
+    d_x, d_y, d_z = dx[...], dy[...], dz[...]
+    c_x = o_y * d_z - o_z * d_y
+    c_y = o_z * d_x - o_x * d_z
+    c_z = o_x * d_y - o_y * d_x
+    inv_dx = 1.0 / _signed_eps(d_x)
+    inv_dy = 1.0 / _signed_eps(d_y)
+    inv_dz = 1.0 / _signed_eps(d_z)
+
+    t_out[...] = mt[...]
+    ad_ref[...] = jnp.ones((SUB_C, LANES), jnp.float32)
+    p_out[...] = jnp.full((SUB_C, LANES), -1.0, jnp.float32)
+    u_out[...] = jnp.zeros((SUB_C, LANES), jnp.float32)
+    v_out[...] = jnp.zeros((SUB_C, LANES), jnp.float32)
+
+    def cluster_body(ci, _):
+        bx = box_ref[ci]
+        ts_b = t_out[...]
+        ad_b = ad_ref[...]
+        tx0 = (bx[0] - o_x) * inv_dx
+        tx1 = (bx[3] - o_x) * inv_dx
+        ty0 = (bx[1] - o_y) * inv_dy
+        ty1 = (bx[4] - o_y) * inv_dy
+        tz0 = (bx[2] - o_z) * inv_dz
+        tz1 = (bx[5] - o_z) * inv_dz
+        near = jnp.maximum(
+            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+            jnp.minimum(tz0, tz1),
+        )
+        far = jnp.minimum(
+            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+            jnp.maximum(tz0, tz1),
+        )
+        # t compare via cross-multiplication: t_best = ts_b / ad_b, ad_b > 0
+        bh = (near <= far) & (far > 0.0) & (near * ad_b < ts_b)
+
+        @pl.when(jnp.any(bh))
+        def _():
+            first = bx[6].astype(jnp.int32)
+            trips = bx[7].astype(jnp.int32)
+
+            def tri_body(k, carry):
+                ts_b, ad_b, prim, us_b, vs_b = carry
+                base = first + 8 * k  # CLU_UNROLL = 8 (bvh.pack_clusters)
+                for j in range(8):
+                    tr = tri_ref[base + j]
+                    det = -(d_x * tr[12] + d_y * tr[13] + d_z * tr[14])
+                    up = (c_x * tr[3] + c_y * tr[4] + c_z * tr[5]
+                          + d_x * tr[9] + d_y * tr[10] + d_z * tr[11])
+                    vp = -(c_x * tr[0] + c_y * tr[1] + c_z * tr[2]
+                           + d_x * tr[6] + d_y * tr[7] + d_z * tr[8])
+                    tp = o_x * tr[12] + o_y * tr[13] + o_z * tr[14] - tr[15]
+                    s = jnp.where(det >= 0.0, 1.0, -1.0)
+                    ad = det * s
+                    us = up * s
+                    vs = vp * s
+                    ts = tp * s
+                    hit = (
+                        (ad > 1e-12)
+                        & (jnp.minimum(jnp.minimum(us, vs), ad - us - vs)
+                           >= 0.0)
+                        & (ts > 0.0) & (ts * ad_b < ts_b * ad)
+                    )
+                    ts_b = jnp.where(hit, ts, ts_b)
+                    ad_b = jnp.where(hit, ad, ad_b)
+                    prim = jnp.where(hit, tr[16], prim)
+                    us_b = jnp.where(hit, us, us_b)
+                    vs_b = jnp.where(hit, vs, vs_b)
+                return ts_b, ad_b, prim, us_b, vs_b
+
+            carry = (ts_b, ad_b, p_out[...], u_out[...], v_out[...])
+            carry = jax.lax.fori_loop(0, trips, tri_body, carry)
+            t_out[...] = carry[0]
+            ad_ref[...] = carry[1]
+            p_out[...] = carry[2]
+            u_out[...] = carry[3]
+            v_out[...] = carry[4]
+
+        return 0
+
+    jax.lax.fori_loop(0, box_ref.shape[0], cluster_body, 0)
+    inv = 1.0 / ad_ref[...]
+    t_out[...] = t_out[...] * inv
+    u_out[...] = u_out[...] * inv
+    v_out[...] = v_out[...] * inv
+
+
+def _clu_anyhit_kernel(box_ref, tri_ref, ox, oy, oz, dx, dy, dz, mt,
+                       occ_out):
+    o_x, o_y, o_z = ox[...], oy[...], oz[...]
+    d_x, d_y, d_z = dx[...], dy[...], dz[...]
+    c_x = o_y * d_z - o_z * d_y
+    c_y = o_z * d_x - o_x * d_z
+    c_z = o_x * d_y - o_y * d_x
+    inv_dx = 1.0 / _signed_eps(d_x)
+    inv_dy = 1.0 / _signed_eps(d_y)
+    inv_dz = 1.0 / _signed_eps(d_z)
+    t_max = mt[...]
+    occ_out[...] = jnp.zeros((SUB_C, LANES), jnp.float32)
+
+    def cluster_body(ci, _):
+        bx = box_ref[ci]
+        occ = occ_out[...]
+        tx0 = (bx[0] - o_x) * inv_dx
+        tx1 = (bx[3] - o_x) * inv_dx
+        ty0 = (bx[1] - o_y) * inv_dy
+        ty1 = (bx[4] - o_y) * inv_dy
+        tz0 = (bx[2] - o_z) * inv_dz
+        tz1 = (bx[5] - o_z) * inv_dz
+        near = jnp.maximum(
+            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+            jnp.minimum(tz0, tz1),
+        )
+        far = jnp.minimum(
+            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+            jnp.maximum(tz0, tz1),
+        )
+        bh = (near <= far) & (far > 0.0) & (near < t_max) & (occ < 0.5)
+
+        @pl.when(jnp.any(bh))
+        def _():
+            first = bx[6].astype(jnp.int32)
+            trips = bx[7].astype(jnp.int32)
+
+            def tri_body(k, occ):
+                base = first + 8 * k
+                for j in range(8):
+                    tr = tri_ref[base + j]
+                    det = -(d_x * tr[12] + d_y * tr[13] + d_z * tr[14])
+                    up = (c_x * tr[3] + c_y * tr[4] + c_z * tr[5]
+                          + d_x * tr[9] + d_y * tr[10] + d_z * tr[11])
+                    vp = -(c_x * tr[0] + c_y * tr[1] + c_z * tr[2]
+                           + d_x * tr[6] + d_y * tr[7] + d_z * tr[8])
+                    tp = o_x * tr[12] + o_y * tr[13] + o_z * tr[14] - tr[15]
+                    s = jnp.where(det >= 0.0, 1.0, -1.0)
+                    ad = det * s
+                    us = up * s
+                    vs = vp * s
+                    ts = tp * s
+                    hit = (
+                        (ad > 1e-12)
+                        & (jnp.minimum(jnp.minimum(us, vs), ad - us - vs)
+                           >= 0.0)
+                        & (ts > 0.0) & (ts < t_max * ad)
+                    )
+                    occ = jnp.where(hit, 1.0, occ)
+                return occ
+
+            occ_out[...] = jax.lax.fori_loop(0, trips, tri_body, occ)
+
+        return 0
+
+    jax.lax.fori_loop(0, box_ref.shape[0], cluster_body, 0)
+
+
+def _clu_call(ctab, o, d, maxt, kernel, n_out, interpret):
+    n = o.shape[0]
+    blk = SUB_C * LANES
+    pad = (-n) % blk
+    npad = n + pad
+    o = o - ctab.anchor[None, :]
+
+    def prep(x):
+        x = jnp.pad(x, (0, pad))
+        return x.reshape(npad // LANES, LANES)
+
+    args = [
+        prep(o[:, 0]), prep(o[:, 1]), prep(o[:, 2]),
+        prep(d[:, 0]), prep(d[:, 1]), prep(d[:, 2]),
+        prep(jnp.where(jnp.isfinite(maxt), maxt, jnp.float32(3.4e38))),
+    ]
+    ray_spec = pl.BlockSpec((SUB_C, LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    tbl_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(npad // blk,),
+        in_specs=[tbl_spec] * 2 + [ray_spec] * 7,
+        out_specs=[ray_spec] * n_out if n_out > 1 else ray_spec,
+        out_shape=(
+            [jax.ShapeDtypeStruct((npad // LANES, LANES), jnp.float32)]
+            * n_out
+            if n_out > 1
+            else jax.ShapeDtypeStruct((npad // LANES, LANES), jnp.float32)
+        ),
+        scratch_shapes=(
+            [pltpu.VMEM((SUB_C, LANES), jnp.float32)] if n_out > 1 else []
+        ),
+        interpret=interpret,
+    )(ctab.boxes, ctab.rows, *args)
+    return outs, npad
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pallas_intersect_clu(ctab, o, d, maxt, interpret: bool = False):
+    """Closest-hit over a ClusterTable (treelet-gated brute force).
+
+    Returns (t [N], prim [N] i32 (-1 = miss), u [N], v [N]); prim is the
+    ORIGINAL primitive id (cluster rows carry it at column 16)."""
+    n = o.shape[0]
+    outs, npad = _clu_call(ctab, o, d, maxt, _clu_kernel, 4, interpret)
+    t, p, u, v = [x.reshape(npad)[:n] for x in outs]
+    prim = p.astype(jnp.int32)
+    return jnp.where(prim >= 0, t, jnp.inf), prim, u, v
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pallas_occluded_clu(ctab, o, d, maxt, interpret: bool = False):
+    """Any-hit occlusion over a ClusterTable (True = occluded)."""
+    n = o.shape[0]
+    occ, npad = _clu_call(ctab, o, d, maxt, _clu_anyhit_kernel, 1, interpret)
+    return occ.reshape(npad)[:n] > 0.5
+
+
 @functools.partial(jax.jit, static_argnames=("interpret", "n_tris"))
 def pallas_intersect_q(tri_q, anchor, o, d, maxt, interpret: bool = False,
                        n_tris: int | None = None):

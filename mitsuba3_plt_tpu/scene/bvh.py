@@ -178,6 +178,134 @@ def pack_packet_bvh(bvh: BVH, tri_p0, tri_p1, tri_p2,
     return PacketBVH(nodes=jnp.asarray(nodes), tri=jnp.asarray(p_rows))
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ClusterTable:
+    """Treelet-clustered triangle soup for the cluster-gated brute-force
+    kernel (ops/intersect_pallas.pallas_intersect_clu) — the mid-size-scene
+    accelerator between pure brute force and the packet BVH.
+
+    The SAH tree is cut into treelets of <= max_leaf triangles; a ray tile
+    tests each treelet's AABB with pure vector ops (sequential scan — no
+    traversal divergence, no gathers) and skips the treelet's whole triangle
+    loop when no lane hits the box. Replaces the role of the reference's
+    two-level Embree scene (src/render/scene_embree.inl) for scenes where a
+    full per-tile tree walk doesn't pay.
+
+    boxes [NC_pad, 16] f32: lo(3) hi(3) first_row trips pad(8) — AABBs
+      relative to the q-table anchor; trips = padded triangle rows / unroll.
+    rows  [R_pad, 32] f32: the pack_tri_q quantities (e1 e2 m1 m2 n2 k) + the
+      ORIGINAL primitive id at column 16 (clusters reorder triangles, so the
+      id rides in the row — VMEM rows pad to the lane width anyway, the wide
+      layout costs nothing).
+    """
+
+    boxes: Any
+    rows: Any
+    anchor: Any
+
+    @property
+    def n_clusters(self):
+        return self.boxes.shape[0]
+
+
+CLU_UNROLL = 8  # triangle rows per inner-loop trip (cluster counts pad to it)
+
+
+def pack_clusters(bvh: BVH, tri_p0, tri_p1, tri_p2, max_leaf: int = 64):
+    """Cut the skip-link BVH into treelets and pack the cluster tables.
+
+    Treelets inherit the SAH tree's spatial quality: a pre-order walk emits a
+    cluster at the first node whose subtree holds <= max_leaf prims, then
+    jumps its skip link (so clusters tile the leaves disjointly, in DFS
+    order — consecutive clusters are spatially adjacent, which is what makes
+    the sequential AABB scan prune well for coherent ray tiles)."""
+    lo = np.asarray(bvh.node_lo, np.float32)
+    hi = np.asarray(bvh.node_hi, np.float32)
+    first = np.asarray(bvh.node_first, np.int32)
+    count = np.asarray(bvh.node_count, np.int32)
+    miss = np.asarray(bvh.node_miss, np.int32)
+    prim = np.asarray(bvh.prim_idx, np.int32)
+    p0 = np.asarray(tri_p0, np.float32)
+    p1 = np.asarray(tri_p1, np.float32)
+    p2 = np.asarray(tri_p2, np.float32)
+
+    nn = lo.shape[0]
+    end = np.where(miss >= 0, miss, nn)
+    csum = np.concatenate([[0], np.cumsum(count)]).astype(np.int64)
+    sub_prims = csum[end] - csum[np.arange(nn)]
+
+    clusters = []  # (node, ids)
+    i = 0
+    while i < nn:
+        if count[i] > 0 or sub_prims[i] <= max_leaf:
+            seg = np.arange(i, end[i])
+            seg = seg[count[seg] > 0]
+            ids = (
+                np.concatenate(
+                    [prim[first[j]: first[j] + count[j]] for j in seg]
+                )
+                if len(seg)
+                else np.zeros(0, np.int32)
+            )
+            ids = ids[ids >= 0]
+            if len(ids):
+                clusters.append((i, ids))
+            i = end[i]
+        else:
+            i += 1
+
+    from ..ops.intersect_pallas import pack_tri_q
+
+    # one shared anchor (the root AABB centre) for conditioning — must match
+    # what the wrapper subtracts from ray origins
+    anchor = (lo[0] + hi[0]) * 0.5
+    boxes = []
+    row_parts = []
+    n_rows = 0
+    for ni, ids in clusters:
+        q, _ = pack_tri_q(p0[ids], p1[ids], p2[ids], anchor=anchor)
+        # pack_tri_q pads to 64; re-trim to the cluster's own unroll padding
+        t_pad = -(-len(ids) // CLU_UNROLL) * CLU_UNROLL
+        q = q[:t_pad]
+        rows = np.zeros((t_pad, 32), np.float32)
+        rows[:, :16] = q
+        rows[: len(ids), 16] = ids.astype(np.float32)
+        rows[len(ids):, 16] = -1.0
+        boxes.append(
+            np.concatenate(
+                [
+                    lo[ni] - anchor, hi[ni] - anchor,
+                    [np.float32(n_rows), np.float32(t_pad // CLU_UNROLL)],
+                    np.zeros(8, np.float32),
+                ]
+            )
+        )
+        row_parts.append(rows)
+        n_rows += t_pad
+
+    if not boxes:
+        return None
+    boxes = np.stack(boxes).astype(np.float32)
+    nc_pad = (-len(boxes)) % 8
+    if nc_pad:
+        padbox = np.zeros((nc_pad, 16), np.float32)
+        padbox[:, 0:3] = 1e30   # lo > hi -> slab test never passes
+        padbox[:, 3:6] = -1e30
+        boxes = np.concatenate([boxes, padbox], axis=0)
+    rows = np.concatenate(row_parts, axis=0)
+    r_pad = (-rows.shape[0]) % 8
+    if r_pad:
+        rows = np.concatenate(
+            [rows, np.zeros((r_pad, 32), np.float32)], axis=0
+        )
+        rows[-r_pad:, 16] = -1.0
+    return ClusterTable(
+        boxes=jnp.asarray(boxes), rows=jnp.asarray(rows),
+        anchor=jnp.asarray(anchor.astype(np.float32)),
+    )
+
+
 def build_bvh(vertices: np.ndarray, faces: np.ndarray) -> BVH:
     f = np.asarray(faces)
     v = np.asarray(vertices)

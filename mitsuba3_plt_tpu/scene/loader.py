@@ -867,6 +867,11 @@ def assemble_scene(meshes, mesh_mat, mesh_emitter, bsdf_list, emitters, sensor,
         from .bvh import pack_packet_bvh
 
         pbvh = pack_packet_bvh(bvh, geo.tri_p0, geo.tri_p1, geo.tri_p2)
+    ctab = None
+    if Scene.CLUSTER_MIN_FACES < geo.n_faces <= Scene.CLUSTER_MAX_FACES:
+        from .bvh import pack_clusters
+
+        ctab = pack_clusters(bvh, geo.tri_p0, geo.tri_p1, geo.tri_p2)
     sdf_tuple = ()
     if sdf_shapes:
         from .sdf import SDFGrid
@@ -880,7 +885,8 @@ def assemble_scene(meshes, mesh_mat, mesh_emitter, bsdf_list, emitters, sensor,
         )
     scene = Scene(
         geo=geo, bvh=bvh, materials=mat_table, emitters=em_table,
-        sensor=sensor, env_emitter=env_idx, pbvh=pbvh, sdfs=sdf_tuple,
+        sensor=sensor, env_emitter=env_idx, pbvh=pbvh, ctab=ctab,
+        sdfs=sdf_tuple,
     )
     meta = {"integrator": integrator_cfg, "spp": spp, "rfilter": rfilter,
             "sampler": sampler}

@@ -110,12 +110,19 @@ class Scene:
     medium: Any = None  # optional global homogeneous medium (scene/media.py)
     pbvh: Any = None    # PacketBVH for the Pallas packet traversal (built by
                         # assemble_scene for scenes above the brute-force cap)
+    ctab: Any = None    # ClusterTable for the treelet-gated brute kernel
+                        # (mid-size scenes; built by assemble_scene)
     sdfs: Any = ()      # tuple of SDFGrid shapes (scene/sdf.py, sphere-traced)
     env_emitter: int = dataclasses.field(default=-1, metadata=dict(static=True))
 
     # Below this face count, gather-free brute force (Pallas kernel on TPU)
     # beats the per-lane BVH walk (in-loop gathers dominate the walk's cost).
     BRUTE_FORCE_MAX_FACES = 4096
+    # Cluster-gated kernel range: above this, treelet AABB gating beats pure
+    # brute force (tested every-triangle work dominates); the upper bound is
+    # where the sequential AABB scan itself outgrows the packet-BVH walk.
+    CLUSTER_MIN_FACES = 768
+    CLUSTER_MAX_FACES = 32768
     # Above this, the PacketBVH tables outgrow the raised scoped-VMEM
     # budget (64 MB, set in __init__/bench before libtpu init; narrow rows
     # pad the lane dim to 128, so the [T, 16] tri table costs T*8 KB) and
@@ -311,9 +318,26 @@ class Scene:
         return g.n_spheres + g.n_disks + g.n_cylinders
 
     # ------------------------------------------------------------------
+    def _use_clusters(self, brute_force: bool = False) -> bool:
+        return (
+            not brute_force
+            and self.ctab is not None
+            and jax.default_backend() == "tpu"
+            and Scene.CLUSTER_MIN_FACES
+            < self.geo.n_faces
+            <= Scene.CLUSTER_MAX_FACES
+        )
+
     def ray_intersect(self, ray: Ray, brute_force: bool = False) -> SurfaceInteraction:
         geo = self.geo
-        if brute_force or geo.n_faces <= Scene.BRUTE_FORCE_MAX_FACES:
+        if self._use_clusters(brute_force):
+            from ..ops.intersect_pallas import pallas_intersect_clu
+
+            sg = jax.lax.stop_gradient
+            t, prim, u, v = pallas_intersect_clu(
+                self.ctab, sg(ray.o), sg(ray.d), sg(ray.maxt)
+            )
+        elif brute_force or geo.n_faces <= Scene.BRUTE_FORCE_MAX_FACES:
             t, prim, u, v = self._small_scene_intersect(ray)
         elif self.pbvh is not None and jax.default_backend() == "tpu":
             from ..ops.intersect_pallas import pallas_bvh_intersect
@@ -538,7 +562,14 @@ class Scene:
     def ray_test(self, ray: Ray) -> Any:
         """Shadow-ray occlusion test (True = occluded)."""
         geo = self.geo
-        if geo.n_faces <= Scene.BRUTE_FORCE_MAX_FACES:
+        if self._use_clusters():
+            from ..ops.intersect_pallas import pallas_occluded_clu
+
+            sg = jax.lax.stop_gradient
+            occ = pallas_occluded_clu(
+                self.ctab, sg(ray.o), sg(ray.d), sg(ray.maxt)
+            )
+        elif geo.n_faces <= Scene.BRUTE_FORCE_MAX_FACES:
             if jax.default_backend() == "tpu":
                 from ..ops.intersect_pallas import pallas_occluded_q
 
