@@ -27,7 +27,7 @@ class DepthIntegrator:
 
     def sample(self, scene, sampler: Sampler, ray: Ray, wavelengths,
                cfg: RenderConfig):
-        si = scene.ray_intersect(ray)
+        si = scene.ray_intersect(ray, coherent=True)
         depth = jnp.where(si.valid, si.t, 0.0)
         return depth[..., None], jnp.ones(ray.o.shape[0], bool)
 
@@ -41,7 +41,7 @@ class AOVIntegrator:
 
     def sample(self, scene, sampler: Sampler, ray: Ray, wavelengths,
                cfg: RenderConfig):
-        si = scene.ray_intersect(ray)
+        si = scene.ray_intersect(ray, coherent=True)
         p = scene.materials.gather(jnp.maximum(si.mat_idx, 0))
         albedo = bsdfs.eval_color(p, "base_color", cfg, wavelengths)
         if cfg.spectral:

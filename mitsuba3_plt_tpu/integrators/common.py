@@ -194,6 +194,11 @@ def render(
         and hasattr(integ_obj, "sample_regen")
         and not cfg.polarized
         and total_pass >= (1 << 16)
+        # never nest the regen lax.while_loop (which wraps Pallas kernels)
+        # inside the device pass fori_loop — that combination is untested
+        # and the adjacent comment documents Pallas-in-fori crashing the
+        # TPU worker
+        and not device_pass_loop
     )
     regen_lanes = -(-total_pass // 8) if use_regen else 0
 

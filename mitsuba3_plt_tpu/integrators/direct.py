@@ -48,7 +48,7 @@ class DirectIntegrator:
         frac_lum = E / total
         frac_bsdf = B / total
 
-        si = scene.ray_intersect(ray)
+        si = scene.ray_intersect(ray, coherent=True)
         valid_ray = si.valid
         L = jnp.zeros((n, C), jnp.float32)
 

@@ -55,9 +55,10 @@ class PathIntegrator:
         prev_delta = jnp.ones((n,), bool)  # depth 0 counts as "delta" (no MIS)
         prev_p = ray.o
 
-        def body(carry, b):
+        def body(carry, b, coherent=False):
             carry, active_next = self._bounce_step(
-                scene, sampler, cfg, wavelengths, carry, b
+                scene, sampler, cfg, wavelengths, carry, b,
+                coherent=coherent,
             )
             (new_o, wo_world, L, beta, eta, _, prev_pdf, prev_delta,
              prev_p) = carry
@@ -78,6 +79,11 @@ class PathIntegrator:
             return carry, None
 
         carry = (ray.o, ray.d, L, beta, eta, active, prev_pdf, prev_delta, prev_p)
+        # NOTE: bounce 0 is NOT peeled out for coherent-kernel routing —
+        # measured on cbox.xml the camera bounce is <10% of pass time, the
+        # peel gains ~0.3% and DOUBLES XLA compile time (113.7 vs 113.3
+        # ms/spp, 275 s vs 108 s compile); incoherent-capable kernels
+        # (q brute / mask-sorted clusters) serve every bounce instead
         carry, _ = jax.lax.scan(
             body, carry, jnp.arange(self.max_depth, dtype=jnp.uint32)
         )
@@ -86,14 +92,16 @@ class PathIntegrator:
 
     # ------------------------------------------------------------------
     def _bounce_step(self, scene, sampler: Sampler, cfg: RenderConfig,
-                     wavelengths, carry, b):
+                     wavelengths, carry, b, coherent: bool = False):
         """One path-tracing bounce over the whole wavefront.
 
         `b` (the current depth) may be a traced scalar (the lax.scan
         megakernel) or a per-lane u32 vector (the regenerative wavefront,
-        sample_regen) — every use is elementwise. Returns (carry, active_next)
-        where carry holds the NEXT ray; the caller decides what dead lanes do
-        (canonical far ray vs camera regeneration).
+        sample_regen) — every use is elementwise. `coherent` (static) marks
+        the peeled camera bounce for intersection-kernel routing. Returns
+        (carry, active_next) where carry holds the NEXT ray; the caller
+        decides what dead lanes do (canonical far ray vs camera
+        regeneration).
         """
         n = carry[0].shape[0]
         C = cfg.n_channels
@@ -101,137 +109,136 @@ class PathIntegrator:
         geo = scene.geo
         has_emitters = em.count > 0
         ctx = BSDFContext()
-        if True:  # keep the historical indentation of the body below
-            (ray_o, ray_d, L, beta, eta, active, prev_pdf, prev_delta, prev_p) = carry
+        (ray_o, ray_d, L, beta, eta, active, prev_pdf, prev_delta, prev_p) = carry
 
-            ray_b = Ray.create(ray_o, ray_d)
-            si = scene.ray_intersect(ray_b)
-            hit = si.valid & active
+        ray_b = Ray.create(ray_o, ray_d)
+        si = scene.ray_intersect(ray_b, coherent=coherent)
+        hit = si.valid & active
 
-            # ---- emitter hit (and environment) with MIS ----------------
-            if has_emitters:
-                hit_emitter = hit & (si.emitter_idx >= 0) & (
-                    fr.cos_theta(si.wi) > 0
-                )
-                # d/dist from the ray itself: equal to the p-difference form
-                # for hits, and finite (gradient-safe) on miss lanes
-                ds_hit = DirectionSample(
-                    p=si.p, n=si.n, uv=si.uv,
-                    d=ray_d,
-                    dist=jnp.where(si.valid, si.t, 1.0),
-                    pdf=jnp.zeros((n,)), delta=jnp.zeros((n,), bool),
-                    emitter_idx=si.emitter_idx,
-                )
-                em_pdf = em_mod.pdf_emitter_direction(em, geo, prev_p, ds_hit)
-                em_pdf = jnp.where(prev_delta, 0.0, em_pdf)
-                mis_bsdf = mis_weight(prev_pdf, em_pdf)
-                e_val = em_mod.emitter_value(
-                    em, si.emitter_idx, ds_hit.d, ds_hit.dist, hit_emitter,
-                    cfg, wavelengths,
-                )
-                if not cfg.spectral:
-                    e_val = _to_channels(e_val, cfg)
-                L = L + beta * e_val * jnp.where(hit_emitter, mis_bsdf, 0.0)[..., None]
+        # ---- emitter hit (and environment) with MIS ----------------
+        if has_emitters:
+            hit_emitter = hit & (si.emitter_idx >= 0) & (
+                fr.cos_theta(si.wi) > 0
+            )
+            # d/dist from the ray itself: equal to the p-difference form
+            # for hits, and finite (gradient-safe) on miss lanes
+            ds_hit = DirectionSample(
+                p=si.p, n=si.n, uv=si.uv,
+                d=ray_d,
+                dist=jnp.where(si.valid, si.t, 1.0),
+                pdf=jnp.zeros((n,)), delta=jnp.zeros((n,), bool),
+                emitter_idx=si.emitter_idx,
+            )
+            em_pdf = em_mod.pdf_emitter_direction(em, geo, prev_p, ds_hit)
+            em_pdf = jnp.where(prev_delta, 0.0, em_pdf)
+            mis_bsdf = mis_weight(prev_pdf, em_pdf)
+            e_val = em_mod.emitter_value(
+                em, si.emitter_idx, ds_hit.d, ds_hit.dist, hit_emitter,
+                cfg, wavelengths,
+            )
+            if not cfg.spectral:
+                e_val = _to_channels(e_val, cfg)
+            L = L + beta * e_val * jnp.where(hit_emitter, mis_bsdf, 0.0)[..., None]
 
-                # escaped -> environment
-                escaped = active & ~si.valid
-                if scene.env_emitter >= 0:
-                    env_val = _to_channels(em_mod.eval_env(em, ray_d), cfg)
-                    # MIS vs the environment emitter's NEE pdf
-                    env_pdf = jnp.where(
-                        prev_delta, 0.0, em_mod.escape_pdf(em, ray_d)
-                    )
-                    mis_env = mis_weight(prev_pdf, env_pdf)
-                    L = L + beta * env_val * jnp.where(escaped, mis_env, 0.0)[..., None]
-
-            active_next = hit & (b + 1 < self.max_depth)
-
-            # ---- NEE ------------------------------------------------------
-            if has_emitters:
-                u_nee1 = sampler.next_1d(bounce_dim(b, 5))
-                u_nee2 = sampler.next_2d(bounce_dim(b, 3))
-                mat_flags = scene.materials.flags[jnp.maximum(si.mat_idx, 0)]
-                smooth_lane = (mat_flags & BSDFFlags.Smooth) != 0
-                nee_active = active_next & smooth_lane
-                ds = em_mod.sample_emitter_direction(
-                    em, geo, si.p, u_nee1, u_nee2, nee_active
+            # escaped -> environment
+            escaped = active & ~si.valid
+            if scene.env_emitter >= 0:
+                env_val = _to_channels(em_mod.eval_env(em, ray_d), cfg)
+                # MIS vs the environment emitter's NEE pdf
+                env_pdf = jnp.where(
+                    prev_delta, 0.0, em_mod.escape_pdf(em, ray_d)
                 )
-                occ_ray = Ray(
-                    o=jnp.where(
-                        nee_active[..., None],
-                        si.p + si.n * jnp.where(
-                            fr.dot(ds.d, si.n) >= 0,
-                            mth.RayEpsilon, -mth.RayEpsilon
-                        )[..., None],
-                        1e8,  # canonical dead shadow ray (see carry note)
-                    ),
-                    d=ds.d,
-                    maxt=jnp.where(
-                        nee_active, ds.dist * (1.0 - mth.ShadowEpsilon), 0.0
-                    ),
-                )
-                occluded = scene.ray_test(occ_ray)
-                vis = nee_active & ~occluded & (ds.pdf > 0)
+                mis_env = mis_weight(prev_pdf, env_pdf)
+                L = L + beta * env_val * jnp.where(escaped, mis_env, 0.0)[..., None]
 
-                wo_local = si.to_local(ds.d)
-                bsdf_val, bsdf_pdf = bsdfs.eval_pdf(
-                    scene.materials, jnp.maximum(si.mat_idx, 0), si, wo_local,
-                    ctx, cfg, wavelengths,
-                )
-                mis_em = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, bsdf_pdf))
-                e_val = em_mod.emitter_value(
-                    em, ds.emitter_idx, ds.d, ds.dist, vis, cfg, wavelengths
-                )
-                if not cfg.spectral:
-                    e_val = _to_channels(e_val, cfg)
-                contrib = beta * bsdf_val * e_val * (
-                    mis_em / jnp.maximum(ds.pdf, 1e-20)
-                )[..., None]
-                L = L + jnp.where(vis[..., None], contrib, 0.0)
+        active_next = hit & (b + 1 < self.max_depth)
 
-            # ---- BSDF sampling ---------------------------------------------
-            u1 = sampler.next_1d(bounce_dim(b, 0))
-            u2 = sampler.next_2d(bounce_dim(b, 1))
-            bs, weight, ok = bsdfs.sample(
-                scene.materials, jnp.maximum(si.mat_idx, 0), si, u1, u2,
+        # ---- NEE ------------------------------------------------------
+        if has_emitters:
+            u_nee1 = sampler.next_1d(bounce_dim(b, 5))
+            u_nee2 = sampler.next_2d(bounce_dim(b, 3))
+            mat_flags = scene.materials.flags[jnp.maximum(si.mat_idx, 0)]
+            smooth_lane = (mat_flags & BSDFFlags.Smooth) != 0
+            nee_active = active_next & smooth_lane
+            ds = em_mod.sample_emitter_direction(
+                em, geo, si.p, u_nee1, u_nee2, nee_active
+            )
+            occ_ray = Ray(
+                o=jnp.where(
+                    nee_active[..., None],
+                    si.p + si.n * jnp.where(
+                        fr.dot(ds.d, si.n) >= 0,
+                        mth.RayEpsilon, -mth.RayEpsilon
+                    )[..., None],
+                    1e8,  # canonical dead shadow ray (see carry note)
+                ),
+                d=ds.d,
+                maxt=jnp.where(
+                    nee_active, ds.dist * (1.0 - mth.ShadowEpsilon), 0.0
+                ),
+            )
+            occluded = scene.ray_test(occ_ray)
+            vis = nee_active & ~occluded & (ds.pdf > 0)
+
+            wo_local = si.to_local(ds.d)
+            bsdf_val, bsdf_pdf = bsdfs.eval_pdf(
+                scene.materials, jnp.maximum(si.mat_idx, 0), si, wo_local,
                 ctx, cfg, wavelengths,
             )
-            beta_next = beta * weight
-            eta_next = eta * bs.eta
-            wo_world = si.to_world(bs.wo)
-            new_o = si.p + si.n * jnp.where(
-                fr.dot(wo_world, si.n) >= 0, mth.RayEpsilon, -mth.RayEpsilon
+            mis_em = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, bsdf_pdf))
+            e_val = em_mod.emitter_value(
+                em, ds.emitter_idx, ds.d, ds.dist, vis, cfg, wavelengths
+            )
+            if not cfg.spectral:
+                e_val = _to_channels(e_val, cfg)
+            contrib = beta * bsdf_val * e_val * (
+                mis_em / jnp.maximum(ds.pdf, 1e-20)
             )[..., None]
+            L = L + jnp.where(vis[..., None], contrib, 0.0)
 
-            active_next = active_next & ok & (bs.pdf > 0) & (
-                jnp.max(beta_next, axis=-1) > 0
-            )
+        # ---- BSDF sampling ---------------------------------------------
+        u1 = sampler.next_1d(bounce_dim(b, 0))
+        u2 = sampler.next_2d(bounce_dim(b, 1))
+        bs, weight, ok = bsdfs.sample(
+            scene.materials, jnp.maximum(si.mat_idx, 0), si, u1, u2,
+            ctx, cfg, wavelengths,
+        )
+        beta_next = beta * weight
+        eta_next = eta * bs.eta
+        wo_world = si.to_world(bs.wo)
+        new_o = si.p + si.n * jnp.where(
+            fr.dot(wo_world, si.n) >= 0, mth.RayEpsilon, -mth.RayEpsilon
+        )[..., None]
 
-            # ---- Russian roulette ------------------------------------------
-            beta_max = jnp.max(beta_next, axis=-1) * eta_next * eta_next
-            rr_prob = jnp.minimum(beta_max, 0.95)
-            rr_active = b + 1 >= self.rr_depth
-            u_rr = sampler.next_1d(bounce_dim(b, 6))
-            rr_continue = ~rr_active | (u_rr < rr_prob)
-            rr_scale = jnp.where(
-                rr_active, 1.0 / jnp.maximum(rr_prob, 1e-6), 1.0
-            )
-            beta_next = beta_next * jnp.where(rr_active, rr_scale, 1.0)[..., None]
-            active_next = active_next & rr_continue
+        active_next = active_next & ok & (bs.pdf > 0) & (
+            jnp.max(beta_next, axis=-1) > 0
+        )
 
-            is_delta = (bs.sampled_type & jnp.uint32(BSDFFlags.Delta)) != 0
+        # ---- Russian roulette ------------------------------------------
+        beta_max = jnp.max(beta_next, axis=-1) * eta_next * eta_next
+        rr_prob = jnp.minimum(beta_max, 0.95)
+        rr_active = b + 1 >= self.rr_depth
+        u_rr = sampler.next_1d(bounce_dim(b, 6))
+        rr_continue = ~rr_active | (u_rr < rr_prob)
+        rr_scale = jnp.where(
+            rr_active, 1.0 / jnp.maximum(rr_prob, 1e-6), 1.0
+        )
+        beta_next = beta_next * jnp.where(rr_active, rr_scale, 1.0)[..., None]
+        active_next = active_next & rr_continue
 
-            carry = (
-                new_o, wo_world,
-                L,
-                jnp.where(active_next[..., None], beta_next, beta),
-                jnp.where(active_next, eta_next, eta),
-                active_next,
-                jnp.where(active_next, bs.pdf, prev_pdf),
-                jnp.where(active_next, is_delta, prev_delta),
-                jnp.where(active_next[..., None], ray_o * 0 + si.p, prev_p),
-            )
-            return carry, active_next
+        is_delta = (bs.sampled_type & jnp.uint32(BSDFFlags.Delta)) != 0
+
+        carry = (
+            new_o, wo_world,
+            L,
+            jnp.where(active_next[..., None], beta_next, beta),
+            jnp.where(active_next, eta_next, eta),
+            active_next,
+            jnp.where(active_next, bs.pdf, prev_pdf),
+            jnp.where(active_next, is_delta, prev_delta),
+            jnp.where(active_next[..., None], ray_o * 0 + si.p, prev_p),
+        )
+        return carry, active_next
 
     # ------------------------------------------------------------------
     def sample_regen(self, scene, seed, width, height, spp_pass,
@@ -290,7 +297,10 @@ class PathIntegrator:
             wl_c0,
             bcarry0,
         )
-        limit = jnp.uint32(Q * N)
+        # respawn gate: only onto REAL sample ids (< total, not Q*N) — lanes
+        # past the padded tail would trace full paths through out-of-film
+        # camera rays whose results the [:total] trim discards
+        limit = jnp.uint32(total)
         far = jnp.asarray([0.0, 0.0, 1.0], jnp.float32)
 
         def cond(state):

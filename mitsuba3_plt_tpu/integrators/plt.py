@@ -129,10 +129,10 @@ class PLTIntegrator:
             )
             wavelengths = wb.sample_plt_wavelengths(u_wl, C)
 
-        def body(carry, b):
+        def body(carry, b, coherent=False):
             ray_o, ray_d, active, last_nd_pdf, prev_delta = carry
             ray_b = Ray.create(ray_o, ray_d)
-            si = scene.ray_intersect(ray_b)
+            si = scene.ray_intersect(ray_b, coherent=coherent)
             hit = si.valid & active
 
             is_emitter = hit & (si.emitter_idx >= 0)
@@ -476,14 +476,14 @@ class PLTIntegrator:
 
         has_tan_frames = scene.geo.tri_attr.shape[1] >= 40
 
-        def body(carry, b):
+        def body(carry, b, coherent=False):
             (ray_o, ray_d, active, last_nd_pdf, prev_delta, prev_p,
              alpha, L) = carry
             ray_b = Ray.create(ray_o, ray_d)
             # detached-sampling semantics (reference PRB / wbsdf replay):
             # the sampled path carries no gradient; parameters
             # differentiate through the attached re-evaluations below.
-            si = jax.tree.map(sg, scene.ray_intersect(ray_b))
+            si = jax.tree.map(sg, scene.ray_intersect(ray_b, coherent=coherent))
             hit = si.valid & active
             is_emitter = hit & (si.emitter_idx >= 0)
             active_next = hit & (b + 1 < self.max_depth)
@@ -589,8 +589,8 @@ class PLTIntegrator:
             jnp.ones((n, C), jnp.float32),   # alpha
             jnp.zeros((n, C), jnp.float32),  # L
         )
-        carry, _ = jax.lax.scan(
+        carry0, _ = jax.lax.scan(
             body, carry0, jnp.arange(self.max_depth, dtype=jnp.uint32)
         )
-        L = carry[-1]
+        L = carry0[-1]
         return L, jnp.ones((n,), bool)

@@ -117,10 +117,10 @@ class PRBIntegrator:
         has_emitters = em.count > 0
         ctx = BSDFContext()
 
-        def body(carry, b):
+        def body(carry, b, coherent=False):
             ray_o, ray_d, active, prev_pdf, prev_delta, prev_p = carry
             ray_b = Ray.create(ray_o, ray_d)
-            si = scene_d.ray_intersect(ray_b)
+            si = scene_d.ray_intersect(ray_b, coherent=coherent)
             hit = si.valid & active
 
             eh_mask = jnp.zeros((n,), bool)

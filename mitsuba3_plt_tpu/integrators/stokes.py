@@ -84,10 +84,10 @@ class PolarizedPathIntegrator:
             light arrives along -wo, leaves along +wi)."""
             return bsdfs.to_world_mueller(si, M_local, -wo_local, si.wi)
 
-        def body(carry, b):
+        def body(carry, b, coherent=False):
             ray_o, ray_d, L, T, active, prev_pdf, prev_delta, prev_p = carry
             ray_b = Ray.create(ray_o, ray_d)
-            si = scene.ray_intersect(ray_b)
+            si = scene.ray_intersect(ray_b, coherent=coherent)
             hit = si.valid & active
 
             # ---- emitter hit with MIS ---------------------------------

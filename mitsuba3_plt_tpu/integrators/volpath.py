@@ -125,10 +125,10 @@ class VolPathIntegrator:
             contrib = f * e_val * tr * (mis_em * inv_pdf)[..., None]
             return jnp.where((vis & pdf_ok)[..., None], contrib, 0.0)
 
-        def body(carry, b):
+        def body(carry, b, coherent=False):
             ray_o, ray_d, L, beta, active, prev_pdf, prev_delta = carry
             ray_b = Ray.create(ray_o, ray_d)
-            si = scene.ray_intersect(ray_b)
+            si = scene.ray_intersect(ray_b, coherent=coherent)
             t_surf = jnp.where(si.valid, si.t, 1e8)
 
             # --- free-flight sampling --------------------------------

@@ -286,6 +286,13 @@ def pack_clusters(bvh: BVH, tri_p0, tri_p1, tri_p2, max_leaf: int = 64):
 
     if not boxes:
         return None
+    # VMEM residency bound: rows pad the 32-wide lane dim to 128, so the
+    # whole table costs n_rows * 128 * 4 B. A lopsided SAH cut near
+    # CLUSTER_MAX_FACES can inflate padded rows past the 64 MB scoped
+    # budget and fail at Mosaic allocation time — bail to the packet-BVH /
+    # brute routes instead (scene.py handles ctab=None).
+    if n_rows * 128 * 4 > 48 * 2**20:
+        return None
     boxes = np.stack(boxes).astype(np.float32)
     nc_pad = (-len(boxes)) % 8
     if nc_pad:

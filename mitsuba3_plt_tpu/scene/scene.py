@@ -318,9 +318,17 @@ class Scene:
         return g.n_spheres + g.n_disks + g.n_cylinders
 
     # ------------------------------------------------------------------
-    def _use_clusters(self, brute_force: bool = False) -> bool:
+    def _use_clusters(self, brute_force: bool = False,
+                      coherent: bool = False) -> bool:
+        # The treelet-gated cluster kernel wins ONLY on tile-coherent rays:
+        # 24-35 ms/M on cbox.xml camera rays vs the q brute kernel's 37, but
+        # 74-250 ms/M on incoherent bounce rays where tile-ANY gating
+        # degenerates (tools/experiments/README.md). Incoherent rays route
+        # to the q kernel (<= BRUTE_FORCE_MAX_FACES) or the sorted
+        # packet-BVH walk instead.
         return (
             not brute_force
+            and coherent
             and self.ctab is not None
             and jax.default_backend() == "tpu"
             and Scene.CLUSTER_MIN_FACES
@@ -328,9 +336,14 @@ class Scene:
             <= Scene.CLUSTER_MAX_FACES
         )
 
-    def ray_intersect(self, ray: Ray, brute_force: bool = False) -> SurfaceInteraction:
+    def ray_intersect(self, ray: Ray, brute_force: bool = False,
+                      coherent: bool = False) -> SurfaceInteraction:
+        """`coherent` marks ray sets with tile locality (camera rays at
+        bounce 0, the reference's `coherent=true` hint at
+        src/render/scene.h:96) — it selects the treelet-gated kernel that
+        loses badly on incoherent sets."""
         geo = self.geo
-        if self._use_clusters(brute_force):
+        if self._use_clusters(brute_force, coherent):
             from ..ops.intersect_pallas import pallas_intersect_clu
 
             sg = jax.lax.stop_gradient
@@ -559,10 +572,10 @@ class Scene:
             vcol=vcol,
         )
 
-    def ray_test(self, ray: Ray) -> Any:
+    def ray_test(self, ray: Ray, coherent: bool = False) -> Any:
         """Shadow-ray occlusion test (True = occluded)."""
         geo = self.geo
-        if self._use_clusters():
+        if self._use_clusters(coherent=coherent):
             from ..ops.intersect_pallas import pallas_occluded_clu
 
             sg = jax.lax.stop_gradient
@@ -576,8 +589,8 @@ class Scene:
                 # the 32-way-unrolled q any-hit kernel (33 ms/M rays on
                 # 2892 faces) beats both the sorted packet pipeline
                 # (argsort + gathers + kernel, ~60-100 ms/M all-in) and the
-                # classic brute any-hit (92 ms/M) — cbox.xml shadow sets;
-                # see tools/experiments/README.md
+                # classic brute any-hit (92 ms/M) on incoherent shadow
+                # sets; see tools/experiments/README.md
                 sg = jax.lax.stop_gradient
                 occ = pallas_occluded_q(
                     geo.tri_q, geo.tri_anchor, sg(ray.o), sg(ray.d),
