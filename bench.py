@@ -206,11 +206,77 @@ def bench_cbox_xml():
     }
 
 
+def bench_cbox_xml_polarized():
+    """Polarized, stokes-wrapped cbox.xml through the library render loop —
+    the configuration the reference anchor actually ran
+    (main-headless.py:128-133 renders in cuda_ad_rgb_polarized with the
+    integrator wrapped in `stokes`): Mueller 4x4xC throughput, S0..S3 AOV
+    develop, gaussian rfilter. Divided against the SAME 44.64 ms/spp
+    anchor as the RGB row, so no headline uses an easier config than its
+    denominator."""
+    import numpy as np
+
+    import mitsuba3_plt_tpu as mi
+    from mitsuba3_plt_tpu.config import RGB_POLARIZED
+    from mitsuba3_plt_tpu.integrators.stokes import StokesIntegrator
+
+    scene, meta = mi.load_file(
+        "/root/reference/scenes/cbox/cbox.xml", resx=500, resy=500
+    )
+    integ = StokesIntegrator()  # stokes_fw ∘ polarized path (max_depth 6)
+    stats = {}
+    np.asarray(
+        mi.render(
+            (scene, meta), integrator=integ, spp=32, seed=0,
+            cfg=RGB_POLARIZED, stats=stats,
+        )
+    )
+    spp_pass = stats["spp_done"] // stats["passes_done"]
+    dt = stats["steady_s_per_pass"]
+    return {
+        "samples_per_s": 500 * 500 * spp_pass / dt,
+        "ms_per_spp": dt / spp_pass * 1e3,
+        "compile_s": stats["compile_s"],
+    }
+
+
+def bench_gratings_polarized():
+    """Polarized PLT on gratings.xml through the library render loop
+    (stokes-wrapped reference config, grating-spp anchor): the wave BSDF
+    produces Mueller-valued weights and the Stokes film records S0."""
+    import numpy as np
+
+    import mitsuba3_plt_tpu as mi
+    from mitsuba3_plt_tpu.config import RGB_POLARIZED
+    from mitsuba3_plt_tpu.integrators.plt import PLTIntegrator
+
+    scene, meta = mi.load_file(
+        "/root/reference/scenes/gratings/gratings.xml", resx=800, resy=600
+    )
+    integ = PLTIntegrator(max_depth=6, rr_depth=4)
+    stats = {}
+    np.asarray(
+        mi.render(
+            (scene, meta), integrator=integ, spp=16, seed=0,
+            cfg=RGB_POLARIZED, stats=stats,
+        )
+    )
+    spp_pass = stats["spp_done"] // stats["passes_done"]
+    dt = stats["steady_s_per_pass"]
+    return {
+        "samples_per_s": 800 * 600 * spp_pass / dt,
+        "ms_per_spp": dt / spp_pass * 1e3,
+        "compile_s": stats["compile_s"],
+    }
+
+
 def main():
     g = bench_gratings()
     c = bench_cbox()
     cx = bench_cbox_xml()
     mh = bench_mesh_heavy()
+    cxp = bench_cbox_xml_polarized()
+    gp = bench_gratings_polarized()
     print(
         json.dumps(
             {
@@ -243,6 +309,24 @@ def main():
                     ),
                     "mesh82k_ms_per_spp": round(mh["ms_per_spp"], 3),
                     "mesh82k_compile_s": round(mh["compile_s"], 2),
+                    "cbox_xml_polarized_camera_samples_per_s": round(
+                        cxp["samples_per_s"], 1
+                    ),
+                    "cbox_xml_polarized_vs_baseline": round(
+                        cxp["samples_per_s"] / REF_CBOX_SAMPLES_PER_S, 4
+                    ),
+                    "cbox_xml_polarized_ms_per_spp": round(
+                        cxp["ms_per_spp"], 3
+                    ),
+                    "gratings_polarized_camera_samples_per_s": round(
+                        gp["samples_per_s"], 1
+                    ),
+                    "gratings_polarized_vs_baseline": round(
+                        gp["samples_per_s"] / REF_GRATINGS_SAMPLES_PER_S, 4
+                    ),
+                    "gratings_polarized_ms_per_spp": round(
+                        gp["ms_per_spp"], 3
+                    ),
                 },
             }
         )

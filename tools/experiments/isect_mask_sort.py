@@ -29,7 +29,7 @@ from mitsuba3_plt_tpu.scene.bvh import pack_clusters
 
 scene, meta = mi.load_file("/root/reference/scenes/cbox/cbox.xml", resx=500, resy=500)
 geo = scene.geo
-W = H = 500; SPP = 8
+W = H = 500; SPP = 4
 N = W * H * SPP
 rng = np.random.default_rng(0)
 
@@ -117,10 +117,8 @@ mask64_c = jax.jit(sorted_pipeline(ctab64))
 mask64_a = jax.jit(sorted_pipeline(ctab64, anyhit=True))
 mask128_c = jax.jit(sorted_pipeline(ctab128))
 mask128_a = jax.jit(sorted_pipeline(ctab128, anyhit=True))
-mort_c = jax.jit(morton_pipeline(ctab64))
-mort_a = jax.jit(morton_pipeline(ctab64, anyhit=True))
 
-KREP = 8
+KREP = 4
 def rep_c(fn):
     def f(o, d, mt):
         for _ in range(KREP):
@@ -140,9 +138,9 @@ def timeit(g, *args):
     t0 = time.perf_counter(); r = jax.block_until_ready(g(*args))
     return (time.perf_counter() - t0) / KREP / (N / 1e6) * 1e3  # ms/M
 
-reps_c = {k: rep_c(v) for k, v in [("q", q_c), ("clu", clu_c), ("mort", mort_c),
+reps_c = {k: rep_c(v) for k, v in [("q", q_c), ("clu", clu_c),
                                    ("m64", mask64_c), ("m128", mask128_c)]}
-reps_a = {k: rep_a(v) for k, v in [("q", q_a), ("clu", clu_a), ("mort", mort_a),
+reps_a = {k: rep_a(v) for k, v in [("q", q_a), ("clu", clu_a),
                                    ("m64", mask64_a), ("m128", mask128_a)]}
 
 # camera rays
