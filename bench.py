@@ -157,23 +157,31 @@ def bench_mesh_heavy():
 
     # regenerative wavefront (path.sample_regen): finished lanes respawn on
     # their next strided sample instead of idling out the bounce scan —
-    # bit-identical output (tests/test_regen.py), ~1.9x on this open scene
+    # bit-identical output (tests/test_regen.py), ~1.9x on this open scene.
+    # MORTON pixel layout: each [16, 128] clu2 ray tile covers a square
+    # image block instead of a scanline strip, tightening treelet unions
+    # (round-4; output unscrambled by the static inverse permutation).
     from mitsuba3_plt_tpu.core.rng import hash_combine
+    from mitsuba3_plt_tpu.integrators.common import morton_pixel_perm
+    import numpy as np
 
     total = W * H * spp_pass
     n_lanes = total // 8
+    mp = morton_pixel_perm(W, H)           # morton slot -> scanline pixel
+    inv_mp = np.empty_like(mp)
+    inv_mp[mp] = np.arange(len(mp))        # scanline pixel -> morton slot
+    inv_mp_j = jnp.asarray(inv_mp)
 
     @jax.jit
     def render_pass(block_data, pass_idx):
         seed = hash_combine(jnp.uint32(0), pass_idx)
-        values = integ.sample_regen(scene, seed, W, H, spp_pass, RGB, n_lanes)
-        block = ImageBlock(
-            data=block_data, width=W, height=H, n_channels=3, rfilter=0
+        values = integ.sample_regen(
+            scene, seed, W, H, spp_pass, RGB, n_lanes, pixel_order="morton"
         )
-        valid = jnp.ones((total,), bool)
-        return block.put_ordered(values, valid, spp_pass).data
+        sums = values.reshape(W * H, spp_pass, 3).sum(axis=1)
+        return block_data + sums[inv_mp_j].reshape(H, W, 3) / spp_pass
 
-    data = ImageBlock.create(W, H, 3).data
+    data = jnp.zeros((H, W, 3), jnp.float32)
     compile_s, dt = _time_pass(render_pass, data)
     return {
         "samples_per_s": W * H * spp_pass / dt,

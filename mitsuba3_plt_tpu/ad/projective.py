@@ -19,9 +19,13 @@ screen velocity is pulled back to the triangle-soup vertex rows with a
 per-sample `jax.vjp` of the camera projection. Everything is one fixed-shape
 wavefront — no per-lane control flow.
 
-Scope: perspective sensors, primary (camera) visibility. NEE/shadow boundary
-terms (a blocker's silhouette as seen from a shaded point) are the same
-estimator driven from shading points instead of the camera; not yet wired.
+Scope: perspective sensors. `primary_boundary_grad` covers camera-visibility
+silhouettes; `nee_boundary_grad` covers shadow silhouettes of occluders
+under point-like emitters (the same screen-space estimator driven through
+the light->edge->receiver extension; FD-validated in
+tests/test_projective.py::test_nee_boundary_grad_vs_fd). Area-light shadow
+boundaries (penumbra edges) remain future work — they need the reference's
+guiding machinery (ad/guiding.py) to find contributing edge-emitter pairs.
 Cotangents for a shared vertex land on the sampled edge's OWN face rows —
 correct for any parameterization that moves coincident soup rows together
 (translations, LargeSteps vertex fields).
@@ -278,6 +282,219 @@ def primary_boundary_grad(
 
     # scatter back to soup rows: flat slot = face * 3 + corner
     F = geo.tri_p0.shape[0]
+    slots = jnp.concatenate(
+        [a_face[e_idx] * 3 + a_corner[e_idx],
+         b_face[e_idx] * 3 + b_corner[e_idx]]
+    )
+    cots = jnp.concatenate([cot_a, cot_b], axis=0)
+    acc = jnp.zeros((3 * F, 3), jnp.float32).at[slots].add(cots)
+    return {
+        "geo.tri_p0": acc[0::3],
+        "geo.tri_p1": acc[1::3],
+        "geo.tri_p2": acc[2::3],
+    }
+
+
+# ---------------------------------------------------------------------------
+# NEE / shadow-ray boundary (occluder silhouettes as seen from the light)
+# ---------------------------------------------------------------------------
+
+def nee_boundary_grad(
+    scene,
+    integrator_sample,
+    grad_image,
+    key: int | Any = 0,
+    n_samples: int = 1 << 14,
+    cfg: RenderConfig = RenderConfig(),
+    delta_px: float = 0.6,
+):
+    """Shadow-silhouette boundary cotangents for d(loss)/d(vertex rows) —
+    the NEE/indirect-visibility term the reference handles with its
+    projective PSIntegrator (common.py:785-1298). This covers the dominant
+    emitter-occluder case: point-like emitters (point/spot/projector) whose
+    shadows jump as an occluder's light-side silhouette moves.
+
+    Estimator (same screen-space form as primary_boundary_grad, applied to
+    the SHADOW curve): sample an edge point x uniformly by length; keep it
+    when it is a silhouette w.r.t. the light position e and visible from
+    the light; extend the ray e->x to the receiver hit y — the point where
+    the shadow boundary lies; probe the radiance jump with two camera rays
+    offset +-delta px across the projected curve; the screen velocity of
+    the shadow point is pulled back through the ANALYTIC line-plane
+    extension y(x) = e + (x - e) * ((q0 - e).nr) / ((x - e).nr) (receiver
+    plane held fixed: this term differentiates the OCCLUDER geometry; the
+    receiver's own motion is the primary-visibility term).
+
+    Returns {geo.tri_p0/1/2: [F, 3]} cotangents, zero when the scene has no
+    point-like emitter.
+    """
+    from ..scene.emitters import (
+        EMITTER_POINT, EMITTER_SPOT, EMITTER_PROJECTOR,
+    )
+
+    em = scene.emitters
+    etype = np.asarray(em.etype)
+    pointlike = np.isin(
+        etype, [EMITTER_POINT, EMITTER_SPOT, EMITTER_PROJECTOR]
+    )
+    geo = scene.geo
+    F = geo.tri_p0.shape[0]
+    zeros = {
+        "geo.tri_p0": jnp.zeros((F, 3), jnp.float32),
+        "geo.tri_p1": jnp.zeros((F, 3), jnp.float32),
+        "geo.tri_p2": jnp.zeros((F, 3), jnp.float32),
+    }
+    if not pointlike.any():
+        return zeros
+    e_pos = jnp.asarray(np.asarray(em.position)[pointlike][0])
+
+    ed = _edges_for(scene)
+    sensor = scene.sensor
+    wpx, hpx = sensor.resolution
+    tri_p = (geo.tri_p0, geo.tri_p1, geo.tri_p2)
+
+    a_face = jnp.asarray(ed["a_face"])
+    a_corner = jnp.asarray(ed["a_corner"])
+    b_face = jnp.asarray(ed["b_face"])
+    b_corner = jnp.asarray(ed["b_corner"])
+    f1 = jnp.asarray(ed["f1"])
+    f2 = jnp.asarray(ed["f2"])
+
+    def corner_pos(face, corner):
+        stacked = jnp.stack([p[face] for p in tri_p], axis=0)
+        return jnp.take_along_axis(
+            stacked, corner[None, :, None].astype(jnp.int32), axis=0
+        )[0]
+
+    pa_all = corner_pos(a_face, a_corner)
+    pb_all = corner_pos(b_face, b_corner)
+    elen = jnp.linalg.norm(pb_all - pa_all, axis=-1)
+    cum = jnp.cumsum(elen)
+    total_len = cum[-1]
+
+    sampler = Sampler.create(int(key), n_samples)
+    r_e = sampler.next_1d(0)
+    r_u = sampler.next_1d(1)
+    e_idx = jnp.clip(
+        jnp.searchsorted(cum, r_e * total_len), 0, elen.shape[0] - 1
+    ).astype(jnp.int32)
+    u = r_u
+
+    pa = pa_all[e_idx]
+    pb = pb_all[e_idx]
+    x = pa + (pb - pa) * u[:, None]
+
+    # silhouette w.r.t. the LIGHT
+    lview = x - e_pos
+    fn = geo.face_n
+    s1 = jnp.sum(fn[f1[e_idx]] * lview, axis=-1)
+    f2e = f2[e_idx]
+    s2 = jnp.sum(fn[jnp.maximum(f2e, 0)] * lview, axis=-1)
+    sil = jnp.where(f2e >= 0, s1 * s2 < 0.0, True)
+
+    # x visible from the light
+    ldist = jnp.linalg.norm(lview, axis=-1)
+    ldir = lview / jnp.maximum(ldist, 1e-9)[:, None]
+    occ_l = scene.ray_test(
+        Ray(o=jnp.broadcast_to(e_pos, x.shape), d=ldir,
+            maxt=ldist * (1.0 - 1e-3))
+    )
+
+    # extend past x to the receiver
+    si = scene.ray_intersect(Ray.create(x + ldir * 1e-4, ldir))
+    y = si.p
+    recv_n = si.n
+    recv_q0 = si.p  # point on the receiver plane
+    hit_recv = si.valid
+
+    # project the shadow point; on-screen + camera-visible checks
+    px, z = _project_px(sensor, y)
+    cam_o = sensor.to_world[:3, 3]
+    cview = y - cam_o
+    cdist = jnp.linalg.norm(cview, axis=-1)
+    cdir = cview / jnp.maximum(cdist, 1e-9)[:, None]
+    occ_c = scene.ray_test(
+        Ray(o=jnp.broadcast_to(cam_o, y.shape), d=cdir,
+            maxt=cdist * (1.0 - 1e-3))
+    )
+    on_screen = (
+        (z > 1e-4)
+        & (px[:, 0] > 0.5) & (px[:, 0] < wpx - 0.5)
+        & (px[:, 1] > 0.5) & (px[:, 1] < hpx - 0.5)
+    )
+    active = sil & ~occ_l & hit_recv & on_screen & ~occ_c
+
+    # screen direction of the shadow curve: project y(u +- du)
+    def shadow_pt(a3, b3, uu):
+        xx = a3 + (b3 - a3) * uu[..., None]
+        w = xx - e_pos
+        denom = jnp.sum(w * recv_n, axis=-1)
+        s = jnp.sum((recv_q0 - e_pos) * recv_n, axis=-1) / jnp.where(
+            jnp.abs(denom) > 1e-9, denom, 1e-9
+        )
+        return e_pos + w * s[..., None]
+
+    eps_u = 1e-3
+    y_l = shadow_pt(pa, pb, u - eps_u)
+    y_r = shadow_pt(pa, pb, u + eps_u)
+    p_l, _ = _project_px(sensor, y_l)
+    p_r, _ = _project_px(sensor, y_r)
+    e2d = p_r - p_l
+    e2d_len = jnp.linalg.norm(e2d, axis=-1)
+    n2d = jnp.stack([-e2d[:, 1], e2d[:, 0]], axis=-1) / jnp.maximum(
+        e2d_len, 1e-9
+    )[:, None]
+    arc = e2d_len / (2 * eps_u)  # |d px / d u|
+    active = active & (e2d_len > 1e-6)
+
+    # radiance probes across the projected shadow curve
+    res = jnp.asarray([wpx, hpx], jnp.float32)
+    uv_plus = (px + delta_px * n2d) / res
+    uv_minus = (px - delta_px * n2d) / res
+    uv2 = jnp.concatenate([uv_plus, uv_minus], axis=0)
+    o2, d2 = sensor.sample_ray(uv2)
+    ray2 = Ray.create(o2, d2)
+    sam2 = Sampler.create(int(key) + 1, 2 * n_samples)
+    wl = None
+    if cfg.spectral:
+        from ..core import spectrum as spec
+
+        wl, _ = spec.sample_hero_wavelengths(
+            sam2.next_1d(1023), cfg.n_channels
+        )
+    values, valid = integrator_sample(scene, sam2, ray2, wl, cfg)
+    values = jnp.where(valid[:, None], values, 0.0)
+    L_plus = values[:n_samples]
+    L_minus = values[n_samples:]
+
+    pix = jnp.clip(px.astype(jnp.int32),
+                   jnp.zeros(2, jnp.int32),
+                   jnp.asarray([wpx - 1, hpx - 1], jnp.int32))
+    w_px = grad_image[pix[:, 1], pix[:, 0]]
+    jump = jnp.sum(w_px * (L_minus - L_plus), axis=-1)
+
+    # screen velocity of the shadow point pulled back to edge endpoints
+    # through the analytic extension (receiver plane fixed)
+    def s_of(a3, b3, uu, nn, q0, nr):
+        xx = a3 + (b3 - a3) * uu
+        w = xx - e_pos
+        denom = jnp.sum(w * nr)
+        s = jnp.sum((q0 - e_pos) * nr) / jnp.where(
+            jnp.abs(denom) > 1e-9, denom, 1e-9
+        )
+        yy = e_pos + w * s
+        p2d, _ = _project_px(sensor, yy)
+        return jnp.sum(p2d * nn)
+
+    g_a, g_b = jax.vmap(jax.grad(s_of, argnums=(0, 1)))(
+        pa, pb, u, n2d, recv_q0, recv_n
+    )
+
+    inv_pdf = total_len / jnp.maximum(elen[e_idx], 1e-12)
+    coef = jnp.where(active, jump * arc * inv_pdf, 0.0) / n_samples
+
+    cot_a = g_a * coef[:, None]
+    cot_b = g_b * coef[:, None]
     slots = jnp.concatenate(
         [a_face[e_idx] * 3 + a_corner[e_idx],
          b_face[e_idx] * 3 + b_corner[e_idx]]

@@ -37,8 +37,51 @@ def sample_rays(scene, sampler: Sampler, width, height, spp_pass, cfg: RenderCon
     )
 
 
+def _morton_compact(x):
+    """Drop every other bit of a u32 (morton decode half), elementwise."""
+    x = x & jnp.uint32(0x55555555)
+    x = (x | (x >> 1)) & jnp.uint32(0x33333333)
+    x = (x | (x >> 2)) & jnp.uint32(0x0F0F0F0F)
+    x = (x | (x >> 4)) & jnp.uint32(0x00FF00FF)
+    x = (x | (x >> 8)) & jnp.uint32(0x0000FFFF)
+    return x
+
+
+def morton_pixel_of(pix, width):
+    """Scanline pixel index of morton slot `pix` — pure u32 bit arithmetic
+    (no gathers). Power-of-two square resolutions only.
+
+    Morton sample layout makes a [16, 128] Pallas ray tile cover a SQUARE
+    image block instead of a scanline strip — the treelet-union gating of
+    the clu2 kernel prunes far better on square tiles (camera rays AND the
+    bounce rays that inherit their lane's locality)."""
+    px = _morton_compact(pix)
+    py = _morton_compact(pix >> 1)
+    return py * jnp.uint32(width) + px
+
+
+def morton_pixel_perm(width, height):
+    """Host-side [W*H] permutation: mp[j] = scanline pixel of morton slot j
+    (the numpy twin of morton_pixel_of, for output unscrambling)."""
+    import numpy as np
+
+    assert width == height and (width & (width - 1)) == 0
+    j = np.arange(width * height, dtype=np.uint32)
+
+    def compact(x):
+        x = x & np.uint32(0x55555555)
+        x = (x | (x >> np.uint32(1))) & np.uint32(0x33333333)
+        x = (x | (x >> np.uint32(2))) & np.uint32(0x0F0F0F0F)
+        x = (x | (x >> np.uint32(4))) & np.uint32(0x00FF00FF)
+        x = (x | (x >> np.uint32(8))) & np.uint32(0x0000FFFF)
+        return x
+
+    return (compact(j >> np.uint32(1)) * width + compact(j)).astype(np.int64)
+
+
 def camera_rays_at(scene, seed, sample_lane, width, height, spp_pass,
-                   cfg: RenderConfig, sampler_type: str = "independent"):
+                   cfg: RenderConfig, sampler_type: str = "independent",
+                   pixel_order: str = "scanline"):
     """Camera ray generation for explicit sample ids.
 
     Identical math to the arange layout of sample_rays — sample id s maps to
@@ -46,6 +89,11 @@ def camera_rays_at(scene, seed, sample_lane, width, height, spp_pass,
     per-lane id vector. This is what lets the regenerative-wavefront
     integrators (path.py sample_regen) restart finished lanes on NEW samples
     mid-flight and still produce bit-identical per-sample values.
+
+    pixel_order: "scanline" (default) or "morton" (po2 square only): remaps
+    which PIXEL each sample slot renders (morton_pixel_of); the sample
+    stream (RNG keyed on sample id) is unchanged. Callers assembling images
+    from sample-slot order must unscramble with morton_pixel_perm.
     """
     from ..core.rng import (
         cmj_sample_2d, halton_2d, ld_2d, orthogonal_2d, hash_combine,
@@ -55,6 +103,8 @@ def camera_rays_at(scene, seed, sample_lane, width, height, spp_pass,
                       lane=jnp.asarray(sample_lane, jnp.uint32))
     lane = sampler.lane
     pix = (lane // spp_pass).astype(jnp.uint32)
+    if pixel_order == "morton":
+        pix = morton_pixel_of(pix, width)
     px = (pix % width).astype(jnp.float32)
     py = (pix // width).astype(jnp.float32)
 

@@ -97,7 +97,7 @@ class DirectIntegrator:
                         act_e, ds.dist * (1.0 - mth.ShadowEpsilon), 0.0
                     ),
                 )
-                vis = act_e & ~scene.ray_test(occ_ray) & (ds.pdf > 0)
+                vis = act_e & ~scene.ray_test(occ_ray, coherent=True) & (ds.pdf > 0)
                 wo_local = si.to_local(ds.d)
                 bsdf_val, bsdf_pdf = bsdfs.eval_pdf(
                     scene.materials, midx, si, wo_local, ctx, cfg,

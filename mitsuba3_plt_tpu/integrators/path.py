@@ -111,8 +111,15 @@ class PathIntegrator:
         ctx = BSDFContext()
         (ray_o, ray_d, L, beta, eta, active, prev_pdf, prev_delta, prev_p) = carry
 
+        # bounce-0 ray sets (camera rays, and their shadow rays) are
+        # tile-coherent: route them to the clu2 treelet kernel via a traced
+        # predicate (lax.cond in scene.ray_intersect). Vector depths (the
+        # regen wavefront) mix fresh and bounce lanes -> incoherent.
+        b_arr = jnp.asarray(b)
+        coh0 = (b_arr == 0) if b_arr.ndim == 0 else False
+
         ray_b = Ray.create(ray_o, ray_d)
-        si = scene.ray_intersect(ray_b, coherent=coherent)
+        si = scene.ray_intersect(ray_b, coherent=coh0)
         hit = si.valid & active
 
         # ---- emitter hit (and environment) with MIS ----------------
@@ -177,7 +184,7 @@ class PathIntegrator:
                     nee_active, ds.dist * (1.0 - mth.ShadowEpsilon), 0.0
                 ),
             )
-            occluded = scene.ray_test(occ_ray)
+            occluded = scene.ray_test(occ_ray, coherent=coh0)
             vis = nee_active & ~occluded & (ds.pdf > 0)
 
             wo_local = si.to_local(ds.d)
@@ -243,7 +250,8 @@ class PathIntegrator:
     # ------------------------------------------------------------------
     def sample_regen(self, scene, seed, width, height, spp_pass,
                      cfg: RenderConfig, n_lanes: int,
-                     sampler_type: str = "independent"):
+                     sampler_type: str = "independent",
+                     pixel_order: str = "scanline"):
         """Regenerative (persistent-lanes) wavefront, the reference's
         megakernel-with-respawn strategy reshaped for XLA: a lax.while_loop
         keeps N lanes saturated by restarting each finished path on the
@@ -273,7 +281,7 @@ class PathIntegrator:
         def fresh(sid):
             ray, _uv, wl, _wlw = camera_rays_at(
                 scene, seed, sid, width, height, spp_pass, cfg,
-                sampler_type=sampler_type,
+                sampler_type=sampler_type, pixel_order=pixel_order,
             )
             return ray, wl
 

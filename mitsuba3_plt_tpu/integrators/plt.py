@@ -131,8 +131,10 @@ class PLTIntegrator:
 
         def body(carry, b, coherent=False):
             ray_o, ray_d, active, last_nd_pdf, prev_delta = carry
+            b_arr = jnp.asarray(b)
+            coh0 = (b_arr == 0) if b_arr.ndim == 0 else False
             ray_b = Ray.create(ray_o, ray_d)
-            si = scene.ray_intersect(ray_b, coherent=coherent)
+            si = scene.ray_intersect(ray_b, coherent=coh0)
             hit = si.valid & active
 
             is_emitter = hit & (si.emitter_idx >= 0)
@@ -398,7 +400,11 @@ class PLTIntegrator:
                 active_em, ds.dist * (1.0 - mth.ShadowEpsilon), 0.0
             ),
         )
-        occluded = scene.ray_test(occ_ray)
+        i_arr = jnp.asarray(i)
+        occluded = scene.ray_test(
+            occ_ray,
+            coherent=(i_arr == 0) if i_arr.ndim == 0 else False,
+        )
         vis = active_em & ~occluded & (ds.pdf > 0)
 
         si = b_i.si()
@@ -479,11 +485,13 @@ class PLTIntegrator:
         def body(carry, b, coherent=False):
             (ray_o, ray_d, active, last_nd_pdf, prev_delta, prev_p,
              alpha, L) = carry
+            b_arr = jnp.asarray(b)
+            coh0 = (b_arr == 0) if b_arr.ndim == 0 else False
             ray_b = Ray.create(ray_o, ray_d)
             # detached-sampling semantics (reference PRB / wbsdf replay):
             # the sampled path carries no gradient; parameters
             # differentiate through the attached re-evaluations below.
-            si = jax.tree.map(sg, scene.ray_intersect(ray_b, coherent=coherent))
+            si = jax.tree.map(sg, scene.ray_intersect(ray_b, coherent=coh0))
             hit = si.valid & active
             is_emitter = hit & (si.emitter_idx >= 0)
             active_next = hit & (b + 1 < self.max_depth)

@@ -119,8 +119,10 @@ class PRBIntegrator:
 
         def body(carry, b, coherent=False):
             ray_o, ray_d, active, prev_pdf, prev_delta, prev_p = carry
+            b_arr = jnp.asarray(b)
+            coh0 = (b_arr == 0) if b_arr.ndim == 0 else False
             ray_b = Ray.create(ray_o, ray_d)
-            si = scene_d.ray_intersect(ray_b, coherent=coherent)
+            si = scene_d.ray_intersect(ray_b, coherent=coh0)
             hit = si.valid & active
 
             eh_mask = jnp.zeros((n,), bool)

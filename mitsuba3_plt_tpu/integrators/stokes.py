@@ -86,8 +86,10 @@ class PolarizedPathIntegrator:
 
         def body(carry, b, coherent=False):
             ray_o, ray_d, L, T, active, prev_pdf, prev_delta, prev_p = carry
+            b_arr = jnp.asarray(b)
+            coh0 = (b_arr == 0) if b_arr.ndim == 0 else False
             ray_b = Ray.create(ray_o, ray_d)
-            si = scene.ray_intersect(ray_b, coherent=coherent)
+            si = scene.ray_intersect(ray_b, coherent=coh0)
             hit = si.valid & active
 
             # ---- emitter hit with MIS ---------------------------------
@@ -132,7 +134,7 @@ class PolarizedPathIntegrator:
                     d=ds.d,
                     maxt=ds.dist * (1.0 - mth.ShadowEpsilon),
                 )
-                occluded = scene.ray_test(occ_ray)
+                occluded = scene.ray_test(occ_ray, coherent=coh0)
                 vis = nee_active & ~occluded & (ds.pdf > 0)
 
                 wo_local = si.to_local(ds.d)

@@ -127,8 +127,10 @@ class VolPathIntegrator:
 
         def body(carry, b, coherent=False):
             ray_o, ray_d, L, beta, active, prev_pdf, prev_delta = carry
+            b_arr = jnp.asarray(b)
+            coh0 = (b_arr == 0) if b_arr.ndim == 0 else False
             ray_b = Ray.create(ray_o, ray_d)
-            si = scene.ray_intersect(ray_b, coherent=coherent)
+            si = scene.ray_intersect(ray_b, coherent=coh0)
             t_surf = jnp.where(si.valid, si.t, 1e8)
 
             # --- free-flight sampling --------------------------------

@@ -1092,6 +1092,278 @@ def pallas_occluded_clu(ctab, o, d, maxt, interpret: bool = False):
     return occ.reshape(npad)[:n] > 0.5
 
 
+# ---------------------------------------------------------------------------
+# Two-level cluster kernel (clu2) — round-4 big-mesh accelerator
+#
+# The flat cluster scan's per-tile cost is O(K) sequential AABB tests, which
+# caps it at mid-size scenes (~1300 boxes/tile at 82k faces). clu2 adds a
+# SUPER level (bvh.pack_clusters2: CLU2_SUPER consecutive DFS treelets under
+# one AABB) so a tile tests ~K/16 super boxes and descends only where some
+# lane enters, and packs 4 triangles per 128-lane VMEM row (4x less VMEM
+# than the [R, 32] layout, so 82k-face scenes stay fully VMEM-resident).
+# Same q-formulation triangle math; same tile-uniform control flow; zero
+# gathers. Reference role: two-level Embree scenes + its BVH packets
+# (src/render/scene_embree.inl).
+# ---------------------------------------------------------------------------
+
+
+def _clu2_common(ox, oy, oz, dx, dy, dz):
+    o_x, o_y, o_z = ox[...], oy[...], oz[...]
+    d_x, d_y, d_z = dx[...], dy[...], dz[...]
+    c_x = o_y * d_z - o_z * d_y
+    c_y = o_z * d_x - o_x * d_z
+    c_z = o_x * d_y - o_y * d_x
+    inv_dx = 1.0 / _signed_eps(d_x)
+    inv_dy = 1.0 / _signed_eps(d_y)
+    inv_dz = 1.0 / _signed_eps(d_z)
+    return (o_x, o_y, o_z, d_x, d_y, d_z, c_x, c_y, c_z,
+            inv_dx, inv_dy, inv_dz)
+
+
+def _clu2_kernel(sup_ref, box_ref, tri_ref, ox, oy, oz, dx, dy, dz, mt,
+                 t_out, p_out, u_out, v_out, ad_ref):
+    (o_x, o_y, o_z, d_x, d_y, d_z, c_x, c_y, c_z,
+     inv_dx, inv_dy, inv_dz) = _clu2_common(ox, oy, oz, dx, dy, dz)
+
+    t_out[...] = mt[...]
+    ad_ref[...] = jnp.ones((SUB_C, LANES), jnp.float32)
+    p_out[...] = jnp.full((SUB_C, LANES), -1.0, jnp.float32)
+    u_out[...] = jnp.zeros((SUB_C, LANES), jnp.float32)
+    v_out[...] = jnp.zeros((SUB_C, LANES), jnp.float32)
+
+    def slab(bx, ts_b, ad_b):
+        tx0 = (bx[0] - o_x) * inv_dx
+        tx1 = (bx[3] - o_x) * inv_dx
+        ty0 = (bx[1] - o_y) * inv_dy
+        ty1 = (bx[4] - o_y) * inv_dy
+        tz0 = (bx[2] - o_z) * inv_dz
+        tz1 = (bx[5] - o_z) * inv_dz
+        near = jnp.maximum(
+            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+            jnp.minimum(tz0, tz1),
+        )
+        far = jnp.minimum(
+            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+            jnp.maximum(tz0, tz1),
+        )
+        return (near <= far) & (far > 0.0) & (near * ad_b < ts_b)
+
+    def super_body(si, _):
+        sb = sup_ref[si]
+        bh_s = slab(sb, t_out[...], ad_ref[...])
+
+        @pl.when(jnp.any(bh_s))
+        def _():
+            c0 = sb[6].astype(jnp.int32)
+            ncl = sb[7].astype(jnp.int32)
+
+            def cluster_body(off, _):
+                bx = box_ref[c0 + off]
+                ts_b = t_out[...]
+                ad_b = ad_ref[...]
+                bh = slab(bx, ts_b, ad_b)
+
+                @pl.when(jnp.any(bh))
+                def _():
+                    first = bx[6].astype(jnp.int32)
+                    nrows = bx[7].astype(jnp.int32)
+
+                    def tri_body(k, carry):
+                        ts_b, ad_b, prim, us_b, vs_b = carry
+                        row = tri_ref[first + k]
+                        for j in range(4):
+                            b = 32 * j
+                            det = -(d_x * row[b + 12] + d_y * row[b + 13]
+                                    + d_z * row[b + 14])
+                            up = (c_x * row[b + 3] + c_y * row[b + 4]
+                                  + c_z * row[b + 5] + d_x * row[b + 9]
+                                  + d_y * row[b + 10] + d_z * row[b + 11])
+                            vp = -(c_x * row[b + 0] + c_y * row[b + 1]
+                                   + c_z * row[b + 2] + d_x * row[b + 6]
+                                   + d_y * row[b + 7] + d_z * row[b + 8])
+                            tp = (o_x * row[b + 12] + o_y * row[b + 13]
+                                  + o_z * row[b + 14] - row[b + 15])
+                            s = jnp.where(det >= 0.0, 1.0, -1.0)
+                            ad = det * s
+                            us = up * s
+                            vs = vp * s
+                            ts = tp * s
+                            hit = (
+                                (ad > 1e-12)
+                                & (jnp.minimum(jnp.minimum(us, vs),
+                                               ad - us - vs) >= 0.0)
+                                & (ts > 0.0) & (ts * ad_b < ts_b * ad)
+                            )
+                            ts_b = jnp.where(hit, ts, ts_b)
+                            ad_b = jnp.where(hit, ad, ad_b)
+                            prim = jnp.where(hit, row[b + 16], prim)
+                            us_b = jnp.where(hit, us, us_b)
+                            vs_b = jnp.where(hit, vs, vs_b)
+                        return ts_b, ad_b, prim, us_b, vs_b
+
+                    carry = (ts_b, ad_b, p_out[...], u_out[...], v_out[...])
+                    carry = jax.lax.fori_loop(0, nrows, tri_body, carry)
+                    t_out[...] = carry[0]
+                    ad_ref[...] = carry[1]
+                    p_out[...] = carry[2]
+                    u_out[...] = carry[3]
+                    v_out[...] = carry[4]
+
+                return 0
+
+            jax.lax.fori_loop(0, ncl, cluster_body, 0)
+
+        return 0
+
+    jax.lax.fori_loop(0, sup_ref.shape[0], super_body, 0)
+    inv = 1.0 / ad_ref[...]
+    t_out[...] = t_out[...] * inv
+    u_out[...] = u_out[...] * inv
+    v_out[...] = v_out[...] * inv
+
+
+def _clu2_anyhit_kernel(sup_ref, box_ref, tri_ref, ox, oy, oz, dx, dy, dz,
+                        mt, occ_out):
+    (o_x, o_y, o_z, d_x, d_y, d_z, c_x, c_y, c_z,
+     inv_dx, inv_dy, inv_dz) = _clu2_common(ox, oy, oz, dx, dy, dz)
+    t_max = mt[...]
+    occ_out[...] = jnp.zeros((SUB_C, LANES), jnp.float32)
+
+    def slab(bx, occ):
+        tx0 = (bx[0] - o_x) * inv_dx
+        tx1 = (bx[3] - o_x) * inv_dx
+        ty0 = (bx[1] - o_y) * inv_dy
+        ty1 = (bx[4] - o_y) * inv_dy
+        tz0 = (bx[2] - o_z) * inv_dz
+        tz1 = (bx[5] - o_z) * inv_dz
+        near = jnp.maximum(
+            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+            jnp.minimum(tz0, tz1),
+        )
+        far = jnp.minimum(
+            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+            jnp.maximum(tz0, tz1),
+        )
+        return (near <= far) & (far > 0.0) & (near < t_max) & (occ < 0.5)
+
+    def super_body(si, _):
+        sb = sup_ref[si]
+        bh_s = slab(sb, occ_out[...])
+
+        @pl.when(jnp.any(bh_s))
+        def _():
+            c0 = sb[6].astype(jnp.int32)
+            ncl = sb[7].astype(jnp.int32)
+
+            def cluster_body(off, _):
+                bx = box_ref[c0 + off]
+                occ = occ_out[...]
+                bh = slab(bx, occ)
+
+                @pl.when(jnp.any(bh))
+                def _():
+                    first = bx[6].astype(jnp.int32)
+                    nrows = bx[7].astype(jnp.int32)
+
+                    def tri_body(k, occ):
+                        row = tri_ref[first + k]
+                        for j in range(4):
+                            b = 32 * j
+                            det = -(d_x * row[b + 12] + d_y * row[b + 13]
+                                    + d_z * row[b + 14])
+                            up = (c_x * row[b + 3] + c_y * row[b + 4]
+                                  + c_z * row[b + 5] + d_x * row[b + 9]
+                                  + d_y * row[b + 10] + d_z * row[b + 11])
+                            vp = -(c_x * row[b + 0] + c_y * row[b + 1]
+                                   + c_z * row[b + 2] + d_x * row[b + 6]
+                                   + d_y * row[b + 7] + d_z * row[b + 8])
+                            tp = (o_x * row[b + 12] + o_y * row[b + 13]
+                                  + o_z * row[b + 14] - row[b + 15])
+                            s = jnp.where(det >= 0.0, 1.0, -1.0)
+                            ad = det * s
+                            us = up * s
+                            vs = vp * s
+                            ts = tp * s
+                            hit = (
+                                (ad > 1e-12)
+                                & (jnp.minimum(jnp.minimum(us, vs),
+                                               ad - us - vs) >= 0.0)
+                                & (ts > 0.0) & (ts < t_max * ad)
+                            )
+                            occ = jnp.where(hit, 1.0, occ)
+                        return occ
+
+                    occ_out[...] = jax.lax.fori_loop(
+                        0, nrows, tri_body, occ)
+
+                return 0
+
+            jax.lax.fori_loop(0, ncl, cluster_body, 0)
+
+        return 0
+
+    jax.lax.fori_loop(0, sup_ref.shape[0], super_body, 0)
+
+
+def _clu2_call(ctab2, o, d, maxt, kernel, n_out, interpret):
+    n = o.shape[0]
+    blk = SUB_C * LANES
+    pad = (-n) % blk
+    npad = n + pad
+    o = o - ctab2.anchor[None, :]
+
+    def prep(x):
+        x = jnp.pad(x, (0, pad))
+        return x.reshape(npad // LANES, LANES)
+
+    args = [
+        prep(o[:, 0]), prep(o[:, 1]), prep(o[:, 2]),
+        prep(d[:, 0]), prep(d[:, 1]), prep(d[:, 2]),
+        prep(jnp.where(jnp.isfinite(maxt), maxt, jnp.float32(3.4e38))),
+    ]
+    ray_spec = pl.BlockSpec((SUB_C, LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    tbl_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(npad // blk,),
+        in_specs=[tbl_spec] * 3 + [ray_spec] * 7,
+        out_specs=[ray_spec] * n_out if n_out > 1 else ray_spec,
+        out_shape=(
+            [jax.ShapeDtypeStruct((npad // LANES, LANES), jnp.float32)]
+            * n_out
+            if n_out > 1
+            else jax.ShapeDtypeStruct((npad // LANES, LANES), jnp.float32)
+        ),
+        scratch_shapes=(
+            [pltpu.VMEM((SUB_C, LANES), jnp.float32)] if n_out > 1 else []
+        ),
+        interpret=interpret,
+    )(ctab2.supers, ctab2.boxes, ctab2.rows, *args)
+    return outs, npad
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pallas_intersect_clu2(ctab2, o, d, maxt, interpret: bool = False):
+    """Closest-hit over a ClusterTable2 (two-level treelet gating).
+
+    Returns (t [N], prim [N] i32 (-1 = miss), u [N], v [N])."""
+    n = o.shape[0]
+    outs, npad = _clu2_call(ctab2, o, d, maxt, _clu2_kernel, 4, interpret)
+    t, p, u, v = [x.reshape(npad)[:n] for x in outs]
+    prim = p.astype(jnp.int32)
+    return jnp.where(prim >= 0, t, jnp.inf), prim, u, v
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pallas_occluded_clu2(ctab2, o, d, maxt, interpret: bool = False):
+    """Any-hit occlusion over a ClusterTable2 (True = occluded)."""
+    n = o.shape[0]
+    occ, npad = _clu2_call(ctab2, o, d, maxt, _clu2_anyhit_kernel, 1,
+                           interpret)
+    return occ.reshape(npad)[:n] > 0.5
+
+
 @functools.partial(jax.jit, static_argnames=("interpret", "n_tris"))
 def pallas_intersect_q(tri_q, anchor, o, d, maxt, interpret: bool = False,
                        n_tris: int | None = None):

@@ -313,6 +313,147 @@ def pack_clusters(bvh: BVH, tri_p0, tri_p1, tri_p2, max_leaf: int = 64):
     )
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ClusterTable2:
+    """TWO-LEVEL treelet tables for the clu2 kernel
+    (ops/intersect_pallas.pallas_intersect_clu2) — the round-4 big-mesh
+    accelerator. Two changes over ClusterTable:
+
+    1. A SUPER level: consecutive DFS treelets grouped under one AABB, so a
+       ray tile slab-tests ~K/16 super boxes and descends only into supers
+       some lane enters — the flat scan's O(K) per-tile AABB cost was the
+       floor on 82k-face scenes (~1300 sequential box tests/tile).
+    2. PACKED triangle rows: 4 triangles per 128-lane VMEM row (the [R, 32]
+       layout wasted 3/4 of every row on lane padding) — T faces cost
+       T * 128 B instead of T * 512 B, raising the VMEM-resident ceiling
+       4x for the same scoped budget.
+
+    supers [S_pad, 16]: lo(3) hi(3) first_cluster n_clusters
+    boxes  [K_pad, 16]: lo(3) hi(3) first_row n_rows
+    rows   [R, 128]: 4 triangles x 32 cols; per triangle j at 32j..32j+17:
+      e1(3) e2(3) m1(3) m2(3) n2(3) k(1) prim(1) (pack_tri_q quantities;
+      padding triangles have n2 = 0 -> det = 0 -> never hit, prim = -1).
+    """
+
+    supers: Any
+    boxes: Any
+    rows: Any
+    anchor: Any
+
+
+CLU2_SUPER = 16  # DFS-consecutive clusters per super box
+
+
+def pack_clusters2(bvh: BVH, tri_p0, tri_p1, tri_p2, max_leaf: int = 64,
+                   vmem_budget_bytes: int = 40 * 2**20):
+    """Two-level treelet tables (see ClusterTable2). Returns None when the
+    packed rows would exceed the scoped-VMEM budget."""
+    lo = np.asarray(bvh.node_lo, np.float32)
+    hi = np.asarray(bvh.node_hi, np.float32)
+    first = np.asarray(bvh.node_first, np.int32)
+    count = np.asarray(bvh.node_count, np.int32)
+    miss = np.asarray(bvh.node_miss, np.int32)
+    prim = np.asarray(bvh.prim_idx, np.int32)
+    p0 = np.asarray(tri_p0, np.float32)
+    p1 = np.asarray(tri_p1, np.float32)
+    p2 = np.asarray(tri_p2, np.float32)
+
+    nn = lo.shape[0]
+    end = np.where(miss >= 0, miss, nn)
+    csum = np.concatenate([[0], np.cumsum(count)]).astype(np.int64)
+    sub_prims = csum[end] - csum[np.arange(nn)]
+
+    clusters = []  # (node, ids) in DFS order
+    i = 0
+    while i < nn:
+        if count[i] > 0 or sub_prims[i] <= max_leaf:
+            seg = np.arange(i, end[i])
+            seg = seg[count[seg] > 0]
+            ids = (
+                np.concatenate(
+                    [prim[first[j]: first[j] + count[j]] for j in seg]
+                )
+                if len(seg)
+                else np.zeros(0, np.int32)
+            )
+            ids = ids[ids >= 0]
+            if len(ids):
+                clusters.append((i, ids))
+            i = end[i]
+        else:
+            i += 1
+    if not clusters:
+        return None
+
+    from ..ops.intersect_pallas import pack_tri_q
+
+    anchor = (lo[0] + hi[0]) * 0.5
+
+    boxes = []
+    row_parts = []
+    n_rows = 0
+    for ni, ids in clusters:
+        q, _ = pack_tri_q(p0[ids], p1[ids], p2[ids], anchor=anchor)
+        q = q[: len(ids)]
+        nr = -(-len(ids) // 4)
+        rows = np.zeros((nr, 128), np.float32)
+        for j in range(4):
+            sel = q[j::4]
+            rows[: len(sel), 32 * j: 32 * j + 16] = sel
+            pr = ids[j::4].astype(np.float32)
+            rows[: len(pr), 32 * j + 16] = pr
+            rows[len(pr):, 32 * j + 16] = -1.0
+            if len(sel) < nr:
+                rows[len(sel):, 32 * j + 16] = -1.0
+        boxes.append(np.concatenate([
+            lo[ni] - anchor, hi[ni] - anchor,
+            [np.float32(n_rows), np.float32(nr)],
+            np.zeros(8, np.float32),
+        ]))
+        row_parts.append(rows)
+        n_rows += nr
+
+    if n_rows * 128 * 4 > vmem_budget_bytes:
+        return None
+    boxes = np.stack(boxes).astype(np.float32)
+    K = len(boxes)
+
+    # super level: chunks of CLU2_SUPER consecutive DFS clusters
+    supers = []
+    for s0 in range(0, K, CLU2_SUPER):
+        seg = boxes[s0: s0 + CLU2_SUPER]
+        supers.append(np.concatenate([
+            seg[:, 0:3].min(0), seg[:, 3:6].max(0),
+            [np.float32(s0), np.float32(len(seg))],
+            np.zeros(8, np.float32),
+        ]))
+    supers = np.stack(supers).astype(np.float32)
+
+    def pad8(a):
+        p = (-len(a)) % 8
+        if p:
+            pad = np.zeros((p, a.shape[1]), np.float32)
+            pad[:, 0:3] = 1e30   # lo > hi -> never hit
+            pad[:, 3:6] = -1e30
+            a = np.concatenate([a, pad], axis=0)
+        return a
+
+    rows = np.concatenate(row_parts, axis=0)
+    r_pad = (-rows.shape[0]) % 8
+    if r_pad:
+        pad = np.zeros((r_pad, 128), np.float32)
+        for j in range(4):
+            pad[:, 32 * j + 16] = -1.0
+        rows = np.concatenate([rows, pad], axis=0)
+    return ClusterTable2(
+        supers=jnp.asarray(pad8(supers)),
+        boxes=jnp.asarray(pad8(boxes)),
+        rows=jnp.asarray(rows),
+        anchor=jnp.asarray(anchor.astype(np.float32)),
+    )
+
+
 def build_bvh(vertices: np.ndarray, faces: np.ndarray) -> BVH:
     f = np.asarray(faces)
     v = np.asarray(vertices)

@@ -110,8 +110,12 @@ class Scene:
     medium: Any = None  # optional global homogeneous medium (scene/media.py)
     pbvh: Any = None    # PacketBVH for the Pallas packet traversal (built by
                         # assemble_scene for scenes above the brute-force cap)
-    ctab: Any = None    # ClusterTable for the treelet-gated brute kernel
-                        # (mid-size scenes; built by assemble_scene)
+    ctab: Any = None    # ClusterTable for the flat treelet-gated kernel
+                        # (kept for the legacy kernel + its tests; routing
+                        # now uses ctab2)
+    ctab2: Any = None   # ClusterTable2 for the TWO-LEVEL treelet kernel
+                        # (clu2): coherent camera tiles on any size, and the
+                        # primary big-mesh route (built by assemble_scene)
     sdfs: Any = ()      # tuple of SDFGrid shapes (scene/sdf.py, sphere-traced)
     env_emitter: int = dataclasses.field(default=-1, metadata=dict(static=True))
 
@@ -318,41 +322,61 @@ class Scene:
         return g.n_spheres + g.n_disks + g.n_cylinders
 
     # ------------------------------------------------------------------
-    def _use_clusters(self, brute_force: bool = False,
-                      coherent: bool = False) -> bool:
-        # The treelet-gated cluster kernel wins ONLY on tile-coherent rays:
-        # 24-35 ms/M on cbox.xml camera rays vs the q brute kernel's 37, but
-        # 74-250 ms/M on incoherent bounce rays where tile-ANY gating
-        # degenerates (tools/experiments/README.md). Incoherent rays route
-        # to the q kernel (<= BRUTE_FORCE_MAX_FACES) or the sorted
-        # packet-BVH walk instead.
-        return (
-            not brute_force
-            and coherent
-            and self.ctab is not None
-            and jax.default_backend() == "tpu"
-            and Scene.CLUSTER_MIN_FACES
-            < self.geo.n_faces
-            <= Scene.CLUSTER_MAX_FACES
+    @staticmethod
+    def _coherent_flag(coherent):
+        """Normalize the coherent hint: returns (static: bool | None,
+        pred: traced scalar | None). Per-lane vectors (regen depth) count
+        as incoherent — the wavefront mixes fresh and bounce rays."""
+        if isinstance(coherent, bool):
+            return coherent, None
+        c = jnp.asarray(coherent)
+        if c.ndim == 0:
+            return None, c
+        return False, None
+
+    def _clu2_intersect(self, ray: Ray):
+        from ..ops.intersect_pallas import pallas_intersect_clu2
+
+        sg = jax.lax.stop_gradient
+        return pallas_intersect_clu2(
+            self.ctab2, sg(ray.o), sg(ray.d), sg(ray.maxt)
         )
 
     def ray_intersect(self, ray: Ray, brute_force: bool = False,
-                      coherent: bool = False) -> SurfaceInteraction:
+                      coherent: Any = False) -> SurfaceInteraction:
         """`coherent` marks ray sets with tile locality (camera rays at
-        bounce 0, the reference's `coherent=true` hint at
-        src/render/scene.h:96) — it selects the treelet-gated kernel that
-        loses badly on incoherent sets."""
+        bounce 0 — the reference's `coherent=true` hint, scene.h:96). It
+        may be a static bool or a TRACED SCALAR predicate (the scan depth's
+        `b == 0`): tile-coherent sets route to the two-level treelet kernel
+        (17.6/12.5 ms/M on cbox.xml camera/shadow rays vs the q kernel's
+        41.7/32.7 — tools/experiments/isect_clu2.py), incoherent small-
+        scene sets stay on q brute (41.8 vs clu2's 114 on bounce rays), and
+        big meshes use clu2 for every ray class (it beats the sorted packet
+        walk at every depth; its unsorted bounce route exploits the lane
+        order's inherited origin locality)."""
         geo = self.geo
-        if self._use_clusters(brute_force, coherent):
-            from ..ops.intersect_pallas import pallas_intersect_clu
-
-            sg = jax.lax.stop_gradient
-            t, prim, u, v = pallas_intersect_clu(
-                self.ctab, sg(ray.o), sg(ray.d), sg(ray.maxt)
-            )
-        elif brute_force or geo.n_faces <= Scene.BRUTE_FORCE_MAX_FACES:
+        on_tpu = jax.default_backend() == "tpu"
+        coh_static, coh_pred = self._coherent_flag(coherent)
+        small = geo.n_faces <= Scene.BRUTE_FORCE_MAX_FACES
+        if brute_force:
             t, prim, u, v = self._small_scene_intersect(ray)
-        elif self.pbvh is not None and jax.default_backend() == "tpu":
+        elif on_tpu and self.ctab2 is not None and not small:
+            t, prim, u, v = self._clu2_intersect(ray)
+        elif on_tpu and self.ctab2 is not None and (
+            coh_static is True or coh_pred is not None
+        ):
+            if coh_static is True:
+                t, prim, u, v = self._clu2_intersect(ray)
+            else:
+                t, prim, u, v = jax.lax.cond(
+                    coh_pred,
+                    lambda r: self._clu2_intersect(r),
+                    lambda r: self._small_scene_intersect(r),
+                    ray,
+                )
+        elif small:
+            t, prim, u, v = self._small_scene_intersect(ray)
+        elif self.pbvh is not None and on_tpu:
             from ..ops.intersect_pallas import pallas_bvh_intersect
 
             sg = jax.lax.stop_gradient
@@ -572,30 +596,46 @@ class Scene:
             vcol=vcol,
         )
 
-    def ray_test(self, ray: Ray, coherent: bool = False) -> Any:
-        """Shadow-ray occlusion test (True = occluded)."""
+    def _q_occluded(self, ray: Ray):
+        from ..ops.intersect_pallas import pallas_occluded_q
+
+        sg = jax.lax.stop_gradient
+        return pallas_occluded_q(
+            self.geo.tri_q, self.geo.tri_anchor, sg(ray.o), sg(ray.d),
+            sg(ray.maxt), n_tris=self.geo.n_faces,
+        )
+
+    def _clu2_occluded(self, ray: Ray):
+        from ..ops.intersect_pallas import pallas_occluded_clu2
+
+        sg = jax.lax.stop_gradient
+        return pallas_occluded_clu2(
+            self.ctab2, sg(ray.o), sg(ray.d), sg(ray.maxt)
+        )
+
+    def ray_test(self, ray: Ray, coherent: Any = False) -> Any:
+        """Shadow-ray occlusion test (True = occluded). Same routing as
+        ray_intersect: clu2 for coherent tiles / big meshes (12.5 ms/M on
+        cbox camera-bounce shadow sets), 32-way-unrolled q any-hit for
+        incoherent small-scene sets (33 ms/M; tools/experiments/)."""
         geo = self.geo
-        if self._use_clusters(coherent=coherent):
-            from ..ops.intersect_pallas import pallas_occluded_clu
-
-            sg = jax.lax.stop_gradient
-            occ = pallas_occluded_clu(
-                self.ctab, sg(ray.o), sg(ray.d), sg(ray.maxt)
-            )
-        elif geo.n_faces <= Scene.BRUTE_FORCE_MAX_FACES:
-            if jax.default_backend() == "tpu":
-                from ..ops.intersect_pallas import pallas_occluded_q
-
-                # the 32-way-unrolled q any-hit kernel (33 ms/M rays on
-                # 2892 faces) beats both the sorted packet pipeline
-                # (argsort + gathers + kernel, ~60-100 ms/M all-in) and the
-                # classic brute any-hit (92 ms/M) on incoherent shadow
-                # sets; see tools/experiments/README.md
-                sg = jax.lax.stop_gradient
-                occ = pallas_occluded_q(
-                    geo.tri_q, geo.tri_anchor, sg(ray.o), sg(ray.d),
-                    sg(ray.maxt), n_tris=geo.n_faces,
+        on_tpu = jax.default_backend() == "tpu"
+        coh_static, coh_pred = self._coherent_flag(coherent)
+        small = geo.n_faces <= Scene.BRUTE_FORCE_MAX_FACES
+        if on_tpu and self.ctab2 is not None and not small:
+            occ = self._clu2_occluded(ray)
+        elif on_tpu and self.ctab2 is not None and (
+            coh_static is True or coh_pred is not None
+        ):
+            if coh_static is True:
+                occ = self._clu2_occluded(ray)
+            else:
+                occ = jax.lax.cond(
+                    coh_pred, self._clu2_occluded, self._q_occluded, ray
                 )
+        elif small:
+            if on_tpu:
+                occ = self._q_occluded(ray)
             else:
                 occ = isect.chunked_occluded(
                     geo.tri_isect, ray.o, ray.d, ray.maxt

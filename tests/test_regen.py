@@ -74,3 +74,47 @@ def test_regen_spectral():
     assert np.allclose(a, b, rtol=2e-5, atol=2e-6), (
         np.abs(a - b).max(), np.abs(a).max()
     )
+
+
+def test_morton_pixel_order():
+    """Morton sample layout (bench mesh82k / clu2 tiles): the arithmetic
+    in-kernel decode must match the host permutation, and a regen render in
+    morton order must produce the same image as scanline up to MC noise
+    (different sample->pixel assignment, same estimator)."""
+    import jax.numpy as jnp
+
+    from mitsuba3_plt_tpu.integrators.common import (
+        morton_pixel_of, morton_pixel_perm,
+    )
+
+    W = H = 32
+    mp = morton_pixel_perm(W, H)
+    # permutation property
+    assert np.sort(mp).tolist() == list(range(W * H))
+    # device decode == host decode
+    dev = np.asarray(morton_pixel_of(jnp.arange(W * H, dtype=jnp.uint32), W))
+    np.testing.assert_array_equal(dev, mp)
+
+    from mitsuba3_plt_tpu.config import RGB
+    from mitsuba3_plt_tpu.integrators.path import PathIntegrator
+    from mitsuba3_plt_tpu.scene.presets import cornell_box
+
+    scene, _ = cornell_box(W, H)
+    integ = PathIntegrator(max_depth=3, rr_depth=2)
+    spp = 16
+    total = W * H * spp
+
+    vals_sl = np.asarray(integ.sample_regen(
+        scene, jnp.uint32(0), W, H, spp, RGB, total // 4))
+    vals_mo = np.asarray(integ.sample_regen(
+        scene, jnp.uint32(0), W, H, spp, RGB, total // 4,
+        pixel_order="morton"))
+    img_sl = vals_sl.reshape(W * H, spp, 3).mean(1)
+    inv = np.empty_like(mp)
+    inv[mp] = np.arange(len(mp))
+    img_mo = vals_mo.reshape(W * H, spp, 3).mean(1)[inv]
+    # same estimator, different per-pixel sample ids: images agree to noise
+    err = np.abs(img_sl - img_mo).mean() / max(img_sl.mean(), 1e-9)
+    assert err < 0.35, err
+    # global means agree to the heavy-tailed emitter-hit noise at 16 spp
+    assert abs(img_sl.mean() - img_mo.mean()) / img_sl.mean() < 0.06
