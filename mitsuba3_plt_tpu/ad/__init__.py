@@ -8,9 +8,9 @@ exposes the differentiable-parameter view (mi.traverse twin) and
 """
 from .params import SceneParameters, traverse
 from .optimizers import SGD, Adam
-from .render import render_grad, render_loss_grad
+from .render import render_forward, render_grad, render_loss_grad
 
 __all__ = [
-    "SceneParameters", "traverse", "SGD", "Adam", "render_grad",
-    "render_loss_grad",
+    "SceneParameters", "traverse", "SGD", "Adam", "render_forward",
+    "render_grad", "render_loss_grad",
 ]

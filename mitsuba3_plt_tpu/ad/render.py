@@ -102,17 +102,51 @@ def render_loss_grad(scene, integrator_sample, loss_fn: Callable,
     (loss, img), grads = jax.value_and_grad(f, has_aux=True)(p0)
 
     if geometry_boundary and any(k.startswith("geo.tri_p") for k in grads):
-        from .projective import primary_boundary_grad
+        from .projective import nee_boundary_grad, primary_boundary_grad
 
         grad_img = jax.grad(loss_fn)(img)
         cots = primary_boundary_grad(
             scene, integrator_sample, grad_img, key=seed + 0x9E37,
             n_samples=boundary_samples, cfg=cfg,
         )
+        # shadow-silhouette term (point-like emitters; zero otherwise)
+        cots_nee = nee_boundary_grad(
+            scene, integrator_sample, grad_img, key=seed + 0x85EB,
+            n_samples=boundary_samples, cfg=cfg,
+        )
         for k in grads:
             if k in cots:
-                grads[k] = grads[k] + cots[k]
+                grads[k] = grads[k] + cots[k] + cots_nee[k]
     return loss, grads
+
+
+def render_forward(scene, integrator_sample, param_tangents: Dict[str, Any],
+                   seed=0, spp=4, cfg: RenderConfig = RenderConfig(), **kw):
+    """FORWARD-mode derivative image (the reference's render_forward,
+    src/python/python/ad/integrators/common.py:112-186): push parameter
+    tangents through the render, returning (image, d_image) with
+    d_image = sum_k dI/d(param_k) . tangent_k, shape [H, W, C].
+
+    One jvp sweep costs ~one extra render regardless of the number of
+    perturbed parameters — the tool for single-direction sensitivity maps
+    and optimizer line searches, where reverse mode would need a full vjp
+    per image pixel."""
+    params = traverse(scene)
+    p0 = {k: params[k] for k in param_tangents}
+    tangents = {
+        k: jnp.broadcast_to(
+            jnp.asarray(v, jnp.float32), jnp.shape(params[k])
+        ).astype(jnp.result_type(params[k]))
+        for k, v in param_tangents.items()
+    }
+
+    def f(p):
+        sc = params.update(p)
+        return render_differentiable(
+            sc, integrator_sample, seed=seed, spp=spp, cfg=cfg, **kw
+        )
+
+    return jax.jvp(f, (p0,), (tangents,))
 
 
 def render_grad(scene, integrator_sample, param_keys, grad_image, seed=0,

@@ -342,6 +342,33 @@ class Scene:
             self.ctab2, sg(ray.o), sg(ray.d), sg(ray.maxt)
         )
 
+    def intersect_route(self, brute_force: bool = False, coherent=False,
+                        on_tpu: bool | None = None) -> str:
+        """The SINGLE routing decision used by ray_intersect/ray_test —
+        exposed so tests can tripwire which kernel a scene selects
+        (tests/test_golden.py::test_intersect_routing_tripwire).
+
+        coherent: False | True | "pred" (a traced scalar hint).
+        Returns one of "brute", "clu2", "cond(clu2,q)", "packet",
+        "xla-walk". ("brute" is the q kernel on TPU, the chunked scan on
+        CPU — see _small_scene_intersect.)"""
+        if on_tpu is None:
+            on_tpu = jax.default_backend() == "tpu"
+        small = self.geo.n_faces <= Scene.BRUTE_FORCE_MAX_FACES
+        if brute_force:
+            return "brute"
+        if on_tpu and self.ctab2 is not None and not small:
+            return "clu2"
+        if on_tpu and self.ctab2 is not None and coherent == "pred":
+            return "cond(clu2,q)"
+        if on_tpu and self.ctab2 is not None and coherent is True:
+            return "clu2"
+        if small:
+            return "brute"
+        if self.pbvh is not None and on_tpu:
+            return "packet"
+        return "xla-walk"
+
     def ray_intersect(self, ray: Ray, brute_force: bool = False,
                       coherent: Any = False) -> SurfaceInteraction:
         """`coherent` marks ray sets with tile locality (camera rays at
@@ -357,26 +384,24 @@ class Scene:
         geo = self.geo
         on_tpu = jax.default_backend() == "tpu"
         coh_static, coh_pred = self._coherent_flag(coherent)
-        small = geo.n_faces <= Scene.BRUTE_FORCE_MAX_FACES
-        if brute_force:
+        route = self.intersect_route(
+            brute_force=brute_force,
+            coherent=(True if coh_static is True
+                      else ("pred" if coh_pred is not None else False)),
+            on_tpu=on_tpu,
+        )
+        if route == "brute":
             t, prim, u, v = self._small_scene_intersect(ray)
-        elif on_tpu and self.ctab2 is not None and not small:
+        elif route == "clu2":
             t, prim, u, v = self._clu2_intersect(ray)
-        elif on_tpu and self.ctab2 is not None and (
-            coh_static is True or coh_pred is not None
-        ):
-            if coh_static is True:
-                t, prim, u, v = self._clu2_intersect(ray)
-            else:
-                t, prim, u, v = jax.lax.cond(
-                    coh_pred,
-                    lambda r: self._clu2_intersect(r),
-                    lambda r: self._small_scene_intersect(r),
-                    ray,
-                )
-        elif small:
-            t, prim, u, v = self._small_scene_intersect(ray)
-        elif self.pbvh is not None and on_tpu:
+        elif route == "cond(clu2,q)":
+            t, prim, u, v = jax.lax.cond(
+                coh_pred,
+                lambda r: self._clu2_intersect(r),
+                lambda r: self._small_scene_intersect(r),
+                ray,
+            )
+        elif route == "packet":
             from ..ops.intersect_pallas import pallas_bvh_intersect
 
             sg = jax.lax.stop_gradient
@@ -386,7 +411,7 @@ class Scene:
                 sg(ray.maxt[perm])
             )
             t, prim, u, v = t[inv], prim[inv], u[inv], v[inv]
-        else:
+        else:  # "xla-walk"
             t, prim, u, v = isect.bvh_intersect(
                 self.bvh, geo.tri_p0, geo.tri_p1, geo.tri_p2, ray.o, ray.d, ray.maxt
             )
@@ -621,26 +646,25 @@ class Scene:
         geo = self.geo
         on_tpu = jax.default_backend() == "tpu"
         coh_static, coh_pred = self._coherent_flag(coherent)
-        small = geo.n_faces <= Scene.BRUTE_FORCE_MAX_FACES
-        if on_tpu and self.ctab2 is not None and not small:
+        route = self.intersect_route(
+            coherent=(True if coh_static is True
+                      else ("pred" if coh_pred is not None else False)),
+            on_tpu=on_tpu,
+        )
+        if route == "clu2":
             occ = self._clu2_occluded(ray)
-        elif on_tpu and self.ctab2 is not None and (
-            coh_static is True or coh_pred is not None
-        ):
-            if coh_static is True:
-                occ = self._clu2_occluded(ray)
-            else:
-                occ = jax.lax.cond(
-                    coh_pred, self._clu2_occluded, self._q_occluded, ray
-                )
-        elif small:
+        elif route == "cond(clu2,q)":
+            occ = jax.lax.cond(
+                coh_pred, self._clu2_occluded, self._q_occluded, ray
+            )
+        elif route == "brute":
             if on_tpu:
                 occ = self._q_occluded(ray)
             else:
                 occ = isect.chunked_occluded(
                     geo.tri_isect, ray.o, ray.d, ray.maxt
                 )
-        elif self.pbvh is not None and jax.default_backend() == "tpu":
+        elif route == "packet":
             from ..ops.intersect_pallas import pallas_bvh_occluded
 
             sg = jax.lax.stop_gradient

@@ -144,3 +144,37 @@ def test_plt_grating_grad_vs_fd(grating_tiny, key, eps):
     fd = (f_p - f_m) / (2 * eps)
     assert np.sign(fd) == np.sign(ad), (key, fd, ad)
     assert abs(ad) < 50 * abs(fd) + 1e-3, (key, fd, ad)
+
+
+def test_render_forward_vs_fd(tiny_scene):
+    """Forward-mode (jvp) derivative image vs central differences, for an
+    albedo tangent and an emitter-radiance tangent (reference
+    render_forward, common.py:112-186)."""
+    from mitsuba3_plt_tpu.ad.render import render_forward
+
+    integ = PathIntegrator(max_depth=3, rr_depth=8)
+    params = traverse(tiny_scene)
+    for key in ("materials.base_color", "emitters.radiance"):
+        p0 = params[key]
+        tangent = jnp.ones_like(p0)
+        img, dimg = render_forward(
+            tiny_scene, integ.sample, {key: tangent}, seed=3, spp=16,
+            cfg=RGB,
+        )
+        eps = 0.02
+        ip = render_differentiable(
+            params.update({key: p0 + eps * tangent}), integ.sample,
+            seed=3, spp=16, cfg=RGB,
+        )
+        im = render_differentiable(
+            params.update({key: p0 - eps * tangent}), integ.sample,
+            seed=3, spp=16, cfg=RGB,
+        )
+        fd = (np.asarray(ip) - np.asarray(im)) / (2 * eps)
+        d = np.asarray(dimg)
+        # same seed => matched paths; jvp of the same program ~= its FD
+        denom = max(np.abs(fd).mean(), 1e-6)
+        assert np.abs(d - fd).mean() / denom < 0.05, (
+            key, np.abs(d - fd).mean(), denom
+        )
+        assert np.abs(d).mean() > 1e-4  # non-trivial derivative

@@ -21,11 +21,50 @@ def _configs():
     from mitsuba3_plt_tpu.integrators.stokes import StokesIntegrator
     from mitsuba3_plt_tpu.scene.presets import cornell_box, grating_scene
 
+    def _cbox_xml():
+        import mitsuba3_plt_tpu as mi
+
+        return mi.load_file("/root/reference/scenes/cbox/cbox.xml",
+                            resx=48, resy=48)[0]
+
+    def _mesh20k():
+        import mitsuba3_plt_tpu as mi
+        from mitsuba3_plt_tpu.core import transform as tf
+        from mitsuba3_plt_tpu.scene import shape as shp
+
+        mesh = shp.make_sphere(subdiv=5)  # 20480 faces: above the brute cap
+        return mi.load_dict({
+            "type": "scene",
+            "sensor": {
+                "type": "perspective", "fov": 45,
+                "to_world": tf.look_at([0, 0, 4], [0, 0, 0], [0, 1, 0]),
+                "film": {"type": "hdrfilm", "width": 32, "height": 32},
+            },
+            "light": {"type": "point", "position": [2, 2, 3],
+                      "intensity": [40, 40, 40]},
+            "ball": {"type": "mesh", "mesh": mesh,
+                     "bsdf": {"type": "diffuse", "reflectance": 0.7}},
+        })[0]
+
     return {
         "cbox_path": dict(
             scene=lambda: cornell_box(32, 32)[0],
             integ=lambda: PathIntegrator(max_depth=4, rr_depth=9),
             spp=64, ch=3,
+        ),
+        # the REFERENCE's actual cbox.xml (2892 faces, dielectric glass +
+        # conductor + twosided diffuse through the XML loader): covers the
+        # mid-size cond(clu2,q) routing regime and the full material stack
+        "cbox_xml": dict(
+            scene=_cbox_xml,
+            integ=lambda: PathIntegrator(max_depth=4, rr_depth=9),
+            spp=32, ch=3,
+        ),
+        # 20k-face mesh: the big-mesh clu2/XLA-walk regime
+        "mesh20k_path": dict(
+            scene=_mesh20k,
+            integ=lambda: PathIntegrator(max_depth=3, rr_depth=9),
+            spp=32, ch=3,
         ),
         "cbox_stokes": dict(
             scene=lambda: cornell_box(24, 24, box_material="dielectric")[0],
@@ -97,6 +136,53 @@ if __name__ == "__main__":
             os.path.join(GOLDEN_DIR, f"{name}.npz"), mean=mean, var=var
         )
         print(f"wrote {name}: mean {mean.mean():.4f}")
+
+
+def test_intersect_routing_tripwire():
+    """Assert which intersection kernel each bench-scene class selects on
+    TPU (round-3 VERDICT: a routing regression was invisible to CI — the
+    cluster kernel silently served incoherent bounce rays at 2-6x the q
+    kernel's cost). intersect_route IS the dispatch (ray_intersect and
+    ray_test both call it), so these assertions pin production routing."""
+    import mitsuba3_plt_tpu as mi
+    from mitsuba3_plt_tpu.scene.presets import cornell_box
+
+    # tiny preset (36 tris, no ctab2): always q brute
+    tiny = cornell_box(16, 16)[0]
+    assert tiny.ctab2 is None
+    assert tiny.intersect_route(coherent=False, on_tpu=True) == "brute"
+    assert tiny.intersect_route(coherent=True, on_tpu=True) == "brute"
+
+    # cbox.xml (2892 faces): clu2 for coherent camera tiles, q for
+    # incoherent bounce rays, lax.cond for the traced scan predicate
+    cbox = mi.load_file("/root/reference/scenes/cbox/cbox.xml",
+                        resx=32, resy=32)[0]
+    assert cbox.ctab2 is not None
+    assert cbox.intersect_route(coherent=True, on_tpu=True) == "clu2"
+    assert cbox.intersect_route(coherent=False, on_tpu=True) == "brute"
+    assert cbox.intersect_route(coherent="pred",
+                                on_tpu=True) == "cond(clu2,q)"
+    assert cbox.intersect_route(brute_force=True, on_tpu=True) == "brute"
+
+    # big mesh (> brute cap): clu2 for every ray class on TPU; the CPU
+    # fallback is the XLA skip-link walk
+    from mitsuba3_plt_tpu.core import transform as tf
+    from mitsuba3_plt_tpu.scene import shape as shp
+
+    big = mi.load_dict({
+        "type": "scene",
+        "sensor": {"type": "perspective", "fov": 45,
+                   "to_world": tf.look_at([0, 0, 4], [0, 0, 0], [0, 1, 0]),
+                   "film": {"type": "hdrfilm", "width": 16, "height": 16}},
+        "light": {"type": "point", "position": [2, 2, 3],
+                  "intensity": [1, 1, 1]},
+        "ball": {"type": "mesh", "mesh": shp.make_sphere(subdiv=5),
+                 "bsdf": {"type": "diffuse", "reflectance": 0.5}},
+    })[0]
+    assert big.ctab2 is not None
+    assert big.intersect_route(coherent=False, on_tpu=True) == "clu2"
+    assert big.intersect_route(coherent=True, on_tpu=True) == "clu2"
+    assert big.intersect_route(coherent=False, on_tpu=False) == "xla-walk"
 
 
 def test_filtered_splat_paths_agree():

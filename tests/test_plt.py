@@ -53,3 +53,49 @@ def test_plt_no_emitters_black():
         render(scene, PLTIntegrator(max_depth=3).sample, seed=0, spp=4, cfg=RGB)
     )
     assert img.max() < 1e-6
+
+
+def test_measure_beam_contract():
+    """measure() decision record (VERDICT r3 item 9): the beam reaching
+    the sensor is LIVE — propagation grows coherence opl by the covered
+    distance (beam.h:167-171), the Stokes basis lands on the sensor's
+    horizontal axis (stokes_fw convention), and the intensity measurement
+    equals Li (every shipped sensor is an intensity detector)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mitsuba3_plt_tpu.core import transform as tf
+    from mitsuba3_plt_tpu.integrators.plt import PLTIntegrator
+    from mitsuba3_plt_tpu.librender.sensor import Sensor
+    from mitsuba3_plt_tpu.plt.beam import PLTBeam
+
+    n = 8
+    direction = jnp.tile(jnp.asarray([[0.0, 0.0, -1.0]]), (n, 1))
+    Le = jnp.ones((n, 3))
+    beam = PLTBeam.source_area(
+        pos=jnp.tile(jnp.asarray([[0.0, 0.0, 5.0]]), (n, 1)),
+        direction=direction, area=jnp.full((n,), 1e-4),
+        dist=jnp.full((n,), 5.0), Le=Le, max_beam_omega=1e-7,
+    )
+    integ = PLTIntegrator()
+    sensor = Sensor.perspective(
+        tf.look_at([0, 0, 0], [0, 0, 5], [0, 1, 0]), 45.0, 8, 8
+    )
+    sensor_p = jnp.zeros((n, 3))
+    Li = jnp.full((n, 3), 0.7)
+
+    out = integ.measure(beam, sensor_p, Li, sensor=sensor)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(Li))
+
+    mb = integ.measured_beam(beam, sensor_p, sensor)
+    # opl grew by the propagation distance (non-distant beam)
+    d_opl = np.asarray(mb.coherence.opl - beam.coherence.opl)
+    np.testing.assert_allclose(d_opl, 5.0, rtol=1e-5)
+    # tangent ends on the sensor's horizontal axis projected across dir
+    x_axis = np.asarray(sensor.to_world)[:3, 0]
+    tn = np.asarray(mb.tangent)
+    assert np.abs(tn @ x_axis).min() > 0.99
+    # intensity (S0) is untouched by the collinear basis rotation
+    np.testing.assert_allclose(
+        np.asarray(mb.sp[:, 0]), np.asarray(beam.sp[:, 0]), rtol=1e-6
+    )

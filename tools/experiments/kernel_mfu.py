@@ -64,30 +64,52 @@ def _fma_kernel(a_ref, x_ref, o_ref):
 
 
 def vpu_fma_roof():
+    # fold-proof feedback: the kernel output feeds the next call's input
+    # (naive same-args repeats report fantasy numbers on this backend —
+    # same caveat as every repo perf experiment, tools/experiments/README)
     rows = 1 << 15  # 32768 x 128 lanes = 4M elements
     x = jnp.ones((rows, LANES), jnp.float32)
     a = jnp.full((SUB, LANES), 1.0000001, jnp.float32)
     spec = pl.BlockSpec((SUB, LANES), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
-    f = jax.jit(lambda a, x: pl.pallas_call(
-        _fma_kernel,
-        grid=(rows // SUB,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM), spec],
-        out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
-    )(a, x))
-    dt = med_time(f, a, x)
+    R = 8
+
+    @jax.jit
+    def f(a, x):
+        for _ in range(R):
+            x = pl.pallas_call(
+                _fma_kernel,
+                grid=(rows // SUB,),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM), spec],
+                out_specs=spec,
+                out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+            )(a, x * 1e-20)
+        return x
+
+    dt = med_time(f, a, x) / R
     flops = rows * LANES * FMA_ITERS * 2
     return flops / dt
 
 
 # --- 2. HBM stream bandwidth ------------------------------------------------
 def hbm_bw():
+    # jnp.roll defeats elementwise fusion, so each of the R steps is one
+    # full read + write of the buffer (a plain x*a+b chain fuses into a
+    # single pass and reports fantasy bandwidth)
     n = 1 << 27  # 128M f32 = 512 MB
-    x = jnp.ones((n,), jnp.float32)
-    f = jax.jit(lambda x: x * 1.5 + 2.0)
-    dt = med_time(f, x)
-    return (n * 4 * 2) / dt  # read + write
+    R = 4
+    x = jnp.arange(n, dtype=jnp.float32)
+
+    @jax.jit
+    def f(x, a):
+        for _ in range(R):
+            # optimization_barrier stops XLA composing the rolls into one
+            # rotate and fusing the chain into a single memory pass
+            x = jax.lax.optimization_barrier(jnp.roll(x, 1) * a)
+        return x
+
+    dt = med_time(f, x, jnp.float32(1.0000001))
+    return (n * 4 * 2 * R) / dt
 
 
 def main():
@@ -185,7 +207,7 @@ def main():
     @jax.jit
     def g_p(o, d, mt):
         for _ in range(K):
-            t, p, u, v = ip.pallas_bvh_intersect(scene2.pbvh, o, d, mt)
+            t, p, u, v = ip.pallas_intersect_clu2(scene2.ctab2, o, d, mt)
             o = o * (1.0 + 1e-38 * t[:, None])
         return t
 
@@ -196,8 +218,9 @@ def main():
     lo = np.asarray(bvh.node_lo); hi = np.asarray(bvh.node_hi)
     first = np.asarray(bvh.node_first); cnt = np.asarray(bvh.node_count)
     miss = np.asarray(bvh.node_miss)
-    o_np = np.asarray(o2)[::1024][:512]
-    d_np = np.asarray(d2)[::1024][:512]
+    sel = np.random.default_rng(0).integers(0, N2, 512)
+    o_np = np.asarray(o2)[sel]
+    d_np = np.asarray(d2)[sel]
     nodes_v = 0; tris_t = 0
     for i in range(len(o_np)):
         node = 0
@@ -220,10 +243,10 @@ def main():
     nv = nodes_v / len(o_np); tt = tris_t / len(o_np)
     # per-tile the kernel takes the UNION over 2048 lanes, so per-ray
     # effective counts are >= these; report both
-    print(f"packet BVH (camera, 82k faces): {dt_p/(N2/1e6)*1e3:.1f} ms/M, "
-          f"host stats: {nv:.0f} nodes + {tt:.0f} tris per ray "
-          f"(~{(nv*14+tt*38):.0f} FLOP/ray lower bound -> "
-          f"{N2*(nv*14+tt*38)/dt_p/1e12:.3f} TFLOP/s lower bound)")
+    print(f"clu2 (camera scanline, 82k faces): {dt_p/(N2/1e6)*1e3:.1f} ms/M, "
+          f"per-ray BVH stats (host walk): {nv:.0f} nodes + {tt:.0f} tris "
+          f"(~{(nv*14+tt*38):.0f} FLOP/ray useful-work lower bound -> "
+          f"{N2*(nv*14+tt*38)/dt_p/1e12:.3f} TFLOP/s useful)")
 
     # --- 5. grating lobe-sum kernel at bench shapes -------------------------
     from mitsuba3_plt_tpu.ops.grating_pallas import grating_lobe_sum
