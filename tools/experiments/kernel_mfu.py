@@ -43,6 +43,18 @@ def med_time(f, *args, reps=5):
     return sorted(ts)[len(ts) // 2]
 
 
+def chained_time(f, x, *rest, reps=5):
+    """Time f by CHAINING its output into the next call's input — repeat
+    calls with identical buffers measure dispatch, not execution, on this
+    backend (every repo perf experiment uses this fold-proof pattern)."""
+    x = jax.block_until_ready(f(x, *rest))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        x = f(x, *rest)
+    jax.block_until_ready(x)
+    return (time.perf_counter() - t0) / reps
+
+
 # --- 1. VPU FMA roof --------------------------------------------------------
 SUB, LANES = 8, 128
 FMA_ITERS = 2048
@@ -51,43 +63,41 @@ FMA_ITERS = 2048
 def _fma_kernel(a_ref, x_ref, o_ref):
     a = a_ref[...]
     x0 = x_ref[...]
-    # 4 independent chains hide FMA latency; all ops are (8,128) vector FMAs
+    # 4 independent chains expose ILP; each iteration is FMA + MIN (a pure
+    # affine chain gets algebraically collapsed — see ROUND4_NOTES).
     x1 = x0 * 1.0000001 + 0.25
     x2 = x0 * 0.9999999 + 0.5
     x3 = x0 * 1.0000002 + 0.75
     for _ in range(FMA_ITERS // 4):
-        x0 = x0 * a + 1e-9
-        x1 = x1 * a + 2e-9
-        x2 = x2 * a + 3e-9
-        x3 = x3 * a + 4e-9
+        x0 = jnp.minimum(x0 * a + 1e-9, 3e38)
+        x1 = jnp.minimum(x1 * a + 2e-9, 3e38)
+        x2 = jnp.minimum(x2 * a + 3e-9, 3e38)
+        x3 = jnp.minimum(x3 * a + 4e-9, 3e38)
     o_ref[...] = (x0 + x1) + (x2 + x3)
 
 
 def vpu_fma_roof():
-    # fold-proof feedback: the kernel output feeds the next call's input
-    # (naive same-args repeats report fantasy numbers on this backend —
-    # same caveat as every repo perf experiment, tools/experiments/README)
-    rows = 1 << 15  # 32768 x 128 lanes = 4M elements
+    # ONE pallas call per jitted step, outputs chained into inputs across
+    # timed calls — R chained pallas calls inside one jit mis-timed ~100x
+    # on this backend (ROUND4_NOTES item 8)
+    rows = 1 << 13  # 8192 x 128 = 1M elements
     x = jnp.ones((rows, LANES), jnp.float32)
-    a = jnp.full((SUB, LANES), 1.0000001, jnp.float32)
+    a = jnp.full((SUB, LANES), 0.9999999, jnp.float32)
     spec = pl.BlockSpec((SUB, LANES), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
-    R = 8
 
     @jax.jit
-    def f(a, x):
-        for _ in range(R):
-            x = pl.pallas_call(
-                _fma_kernel,
-                grid=(rows // SUB,),
-                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM), spec],
-                out_specs=spec,
-                out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
-            )(a, x * 1e-20)
-        return x
+    def f(x, a):
+        return pl.pallas_call(
+            _fma_kernel,
+            grid=(rows // SUB,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM), spec],
+            out_specs=spec,
+            out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
+        )(a, x)
 
-    dt = med_time(f, a, x) / R
-    flops = rows * LANES * FMA_ITERS * 2
+    dt = chained_time(f, x, a, reps=10)
+    flops = rows * LANES * FMA_ITERS * 2  # FMA FLOP only (min not counted)
     return flops / dt
 
 
@@ -97,27 +107,29 @@ def hbm_bw():
     # full read + write of the buffer (a plain x*a+b chain fuses into a
     # single pass and reports fantasy bandwidth)
     n = 1 << 27  # 128M f32 = 512 MB
-    R = 4
+    R = 1
     x = jnp.arange(n, dtype=jnp.float32)
 
     @jax.jit
     def f(x, a):
-        for _ in range(R):
-            # optimization_barrier stops XLA composing the rolls into one
-            # rotate and fusing the chain into a single memory pass
-            x = jax.lax.optimization_barrier(jnp.roll(x, 1) * a)
-        return x
+        # one roll+scale per call: a full read + write of the buffer
+        return jnp.roll(x, 1) * a
 
-    dt = med_time(f, x, jnp.float32(1.0000001))
+    dt = chained_time(f, x, jnp.float32(1.0000001), reps=10)
     return (n * 4 * 2 * R) / dt
 
 
 def main():
     print(f"device: {jax.devices()[0].device_kind}")
-    roof = vpu_fma_roof()
-    print(f"VPU FMA roof (measured): {roof/1e12:.2f} TFLOP/s f32")
-    bw = hbm_bw()
-    print(f"HBM stream bandwidth (measured): {bw/1e9:.0f} GB/s")
+    # NOTE (round 4): the synthetic FMA/HBM probes below mis-time through
+    # the tunneled backend — the same kernel reported 0.39 and 86 TFLOP/s
+    # in different runs (see ROUND4_NOTES item 8ff). They are kept for
+    # future direct-attached hardware but NOT trusted; the roofline doc
+    # uses the v5e datasheet VPU bound (8x128 lanes x 2 FLOP x ~1.7 GHz
+    # ~= 3.5 TFLOP/s f32) as the denominator. The INTERSECTION timings
+    # below are trusted: they reproduce end-to-end render pass times.
+    roof = 3.5e12
+    print(f"VPU bound (datasheet-derived): {roof/1e12:.2f} TFLOP/s f32")
 
     # --- 3. q kernels on cbox.xml at 2M rays -------------------------------
     import mitsuba3_plt_tpu as mi
