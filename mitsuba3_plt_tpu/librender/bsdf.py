@@ -185,6 +185,14 @@ class MaterialTable:
     grt_static: Tuple[int, int] = dataclasses.field(
         default=(4, 0), metadata=dict(static=True)
     )
+    # static microfacet-NDF consensus over the scene's rough materials
+    # (0 = GGX, 1 = Beckmann — the reference's DEFAULT for roughconductor/
+    # roughdielectric/roughplastic/roughgrating is Beckmann): computed in
+    # finalize_grating_meta; mixed scenes fall back to the majority with a
+    # warning (per-lane NDF selection is not worth the dual evaluation)
+    mf_static: int = dataclasses.field(
+        default=1, metadata=dict(static=True)
+    )
 
     @staticmethod
     def empty(m: int, present_types=()):
@@ -200,7 +208,8 @@ class MaterialTable:
             eta_re=z3,
             eta_im=z3 + 1.0,
             alpha=jnp.full((m, 2), 0.1, jnp.float32),
-            mf_type=jnp.zeros((m,), jnp.int32),
+            mf_type=jnp.ones((m,), jnp.int32),  # Beckmann — the
+            # reference's default for every rough plugin
             grt_inv_period=jnp.ones((m, 2), jnp.float32),
             grt_height=z1 + 0.1,
             grt_lobes=jnp.full((m,), 3, jnp.int32),
@@ -255,6 +264,7 @@ class MaterialTable:
                     for t in range(1, M):
                         res = jnp.where((midx == t)[..., None], arr[t], res)
                 out[name] = res
+            out["_ndf"] = int(self.mf_static)  # static, not per-lane
             return out
 
         parts = []
@@ -281,6 +291,7 @@ class MaterialTable:
                 sl = sl.astype(dt)
             out[name] = sl
             off += w
+        out["_ndf"] = int(self.mf_static)  # static, not per-lane
         return out
 
 
@@ -297,6 +308,27 @@ def finalize_grating_meta(tab: "MaterialTable") -> "MaterialTable":
     import numpy as np
 
     mtype = np.asarray(tab.mtype)
+
+    # static microfacet-NDF consensus over rough materials (mf_static)
+    rough = np.isin(mtype, [BSDF_ROUGH_CONDUCTOR, BSDF_ROUGH_DIELECTRIC,
+                            BSDF_ROUGH_PLASTIC, BSDF_PPLASTIC,
+                            BSDF_ROUGH_GRATING])
+    if rough.any():
+        mts = np.asarray(tab.mf_type)[rough]
+        vals, counts = np.unique(mts, return_counts=True)
+        mf_static = int(vals[np.argmax(counts)])
+        if len(vals) > 1:
+            import warnings
+
+            warnings.warn(
+                "scene mixes microfacet distributions "
+                f"({dict(zip(vals.tolist(), counts.tolist()))}); using the "
+                f"majority NDF {mf_static} for every rough material"
+            )
+    else:
+        mf_static = 1  # reference default: Beckmann
+    tab = dataclasses.replace(tab, mf_static=mf_static)
+
     grating = mtype == BSDF_ROUGH_GRATING
     if not grating.any():
         return dataclasses.replace(tab, grt_static=(0, 0))

@@ -370,10 +370,11 @@ class RoughConductor:
         active = cos_i > 0
         au = p["alpha"][..., 0]
         av = p["alpha"][..., 1]
-        # scene loader guarantees a single microfacet type per material table
-        # entry; GGX path uses VNDF
-        mvec, mpdf = mf.sample_vndf_ggx(
-            jnp.where((cos_i < 0)[..., None], -si.wi, si.wi), u2, au, av
+        # NDF is a per-scene static consensus (MaterialTable.mf_static;
+        # the reference's default for every rough plugin is Beckmann)
+        mvec, mpdf = mf.sample_vndf(
+            jnp.where((cos_i < 0)[..., None], -si.wi, si.wi), u2, au, av,
+            p.get("_ndf", mf.GGX),
         )
         wo = fr.reflect_n(si.wi, mvec)
         # reflection jacobian: pdf_wo = pdf_m / (4 |wo.m|)
@@ -382,8 +383,8 @@ class RoughConductor:
         ok = active & (cos_o > 0) & (mpdf > 0)
 
         # VNDF sampling weight: eval/pdf = F * G2/G1
-        G = mf.g_smith(si.wi, wo, mvec, au, av, mf.GGX)
-        G1 = mf.smith_g1(si.wi, mvec, au, av, mf.GGX)
+        G = mf.g_smith(si.wi, wo, mvec, au, av, p.get("_ndf", mf.GGX))
+        G1 = mf.smith_g1(si.wi, mvec, au, av, p.get("_ndf", mf.GGX))
         # VNDF weight simplifies to F * G2/G1
         w_scalar = G / jnp.maximum(G1, 1e-12)
         Fv = RoughConductor._fresnel_value(p, si, wo, mvec, ctx, cfg, wavelengths)
@@ -406,8 +407,8 @@ class RoughConductor:
         au = p["alpha"][..., 0]
         av = p["alpha"][..., 1]
         h = fr.normalize(si.wi + wo)
-        D = mf.ndf_eval(h, au, av, mf.GGX)
-        G = mf.g_smith(si.wi, wo, h, au, av, mf.GGX)
+        D = mf.ndf_eval(h, au, av, p.get("_ndf", mf.GGX))
+        G = mf.g_smith(si.wi, wo, h, au, av, p.get("_ndf", mf.GGX))
         scalar = D * G / jnp.maximum(4.0 * cos_i, 1e-12)
         Fv = RoughConductor._fresnel_value(p, si, wo, h, ctx, cfg, wavelengths)
         val = mul_value(Fv, jnp.broadcast_to(scalar[..., None], (n, cfg.n_channels)), cfg)
@@ -421,7 +422,7 @@ class RoughConductor:
         au = p["alpha"][..., 0]
         av = p["alpha"][..., 1]
         h = fr.normalize(si.wi + wo)
-        mpdf = mf.pdf_vndf(si.wi, h, au, av, mf.GGX)
+        mpdf = mf.pdf_vndf(si.wi, h, au, av, p.get("_ndf", mf.GGX))
         pdf = mpdf / jnp.maximum(4.0 * jnp.abs(fr.dot(wo, h)), 1e-12)
         return jnp.where(active, pdf, 0.0)
 
@@ -555,7 +556,8 @@ class RoughDielectric:
         # dot(wi, m) orients the Fresnel terms (reference roughdielectric.cpp)
         flip = cos_i < 0
         wi_up = jnp.where(flip[..., None], -si.wi, si.wi)
-        mvec, mpdf = mf.sample_vndf_ggx(wi_up, u2, au, av)
+        mvec, mpdf = mf.sample_vndf(wi_up, u2, au, av,
+                                    p.get("_ndf", mf.GGX))
 
         ct_m = fr.dot(si.wi, mvec)
         F, cos_t, eta_it, eta_ti = fres.fresnel_dielectric(ct_m, eta)
@@ -576,8 +578,8 @@ class RoughDielectric:
         pdf = mpdf * jnp.where(sel_reflect, F * dwh_dwo_r, (1 - F) * dwh_dwo_t)
 
         # VNDF weight: G2/G1 (+ radiance compression for transmission)
-        G = mf.g_smith(si.wi, wo, mvec, au, av, mf.GGX)
-        G1 = mf.smith_g1(si.wi, mvec, au, av, mf.GGX)
+        G = mf.g_smith(si.wi, wo, mvec, au, av, p.get("_ndf", mf.GGX))
+        G1 = mf.smith_g1(si.wi, mvec, au, av, p.get("_ndf", mf.GGX))
         w_scalar = G / jnp.maximum(G1, 1e-12)
         factor = jnp.where(
             sel_reflect, 1.0,
@@ -628,8 +630,8 @@ class RoughDielectric:
         side_ok = (fr.dot(si.wi, h) * cos_i > 0) & (fr.dot(wo, h) * cos_o > 0)
 
         F, _, eta_it, eta_ti = fres.fresnel_dielectric(fr.dot(si.wi, h), eta)
-        D = mf.ndf_eval(h, au, av, mf.GGX)
-        G = mf.g_smith(si.wi, wo, h, au, av, mf.GGX)
+        D = mf.ndf_eval(h, au, av, p.get("_ndf", mf.GGX))
+        G = mf.g_smith(si.wi, wo, h, au, av, p.get("_ndf", mf.GGX))
 
         val_r = F * D * G / jnp.maximum(4.0 * jnp.abs(cos_i), 1e-12)
         denom = fr.dot(si.wi, h) + eta_it * fr.dot(wo, h)
@@ -667,7 +669,7 @@ class RoughDielectric:
         F, _, eta_it, _ = fres.fresnel_dielectric(fr.dot(si.wi, h), eta)
         flip = cos_i < 0
         wi_up = jnp.where(flip[..., None], -si.wi, si.wi)
-        mpdf = mf.pdf_vndf(wi_up, h, au, av, mf.GGX)
+        mpdf = mf.pdf_vndf(wi_up, h, au, av, p.get("_ndf", mf.GGX))
         dwh_r = 1.0 / jnp.maximum(4.0 * jnp.abs(fr.dot(wo, h)), 1e-12)
         denom = fr.dot(si.wi, h) + eta_it * fr.dot(wo, h)
         dwh_t = (
@@ -821,8 +823,9 @@ class RoughPlastic:
         prob_spec = F_i
 
         sel_spec = u1 < prob_spec
-        mvec, mpdf = mf.sample_vndf_ggx(
-            jnp.where((cos_i < 0)[..., None], -si.wi, si.wi), u2, au, av
+        mvec, mpdf = mf.sample_vndf(
+            jnp.where((cos_i < 0)[..., None], -si.wi, si.wi), u2, au, av,
+            p.get("_ndf", mf.GGX),
         )
         wo_spec = fr.reflect_n(si.wi, mvec)
         wo_diff = warp.square_to_cosine_hemisphere(u2)
@@ -865,8 +868,8 @@ class RoughPlastic:
         av = p["alpha"][..., 1]
         h = fr.normalize(si.wi + wo)
         F, _, _, _ = fres.fresnel_dielectric(fr.dot(si.wi, h), eta)
-        D = mf.ndf_eval(h, au, av, mf.GGX)
-        G = mf.g_smith(si.wi, wo, h, au, av, mf.GGX)
+        D = mf.ndf_eval(h, au, av, p.get("_ndf", mf.GGX))
+        G = mf.g_smith(si.wi, wo, h, au, av, p.get("_ndf", mf.GGX))
         spec = F * D * G / jnp.maximum(4.0 * cos_i, 1e-12)
 
         F_i, _, _, _ = fres.fresnel_dielectric(cos_i, eta)
@@ -891,7 +894,7 @@ class RoughPlastic:
         av = p["alpha"][..., 1]
         F_i, _, _, _ = fres.fresnel_dielectric(cos_i, eta)
         h = fr.normalize(si.wi + wo)
-        mpdf = mf.pdf_vndf(si.wi, h, au, av, mf.GGX)
+        mpdf = mf.pdf_vndf(si.wi, h, au, av, p.get("_ndf", mf.GGX))
         pdf_spec = mpdf / jnp.maximum(4.0 * jnp.abs(fr.dot(wo, h)), 1e-12)
         pdf_diff = warp.square_to_cosine_hemisphere_pdf(wo)
         pdf = F_i * pdf_spec + (1.0 - F_i) * pdf_diff

@@ -1,10 +1,9 @@
 """Microfacet distributions (Beckmann / GGX), Smith shadowing, VNDF sampling.
 
-Anisotropic (alpha_u, alpha_v). GGX uses Heitz's visible-normal sampling
-(matching the reference's default sample_visible behaviour for pdf shape);
-Beckmann currently samples the full NDF (valid pdf; the converged estimator
-is identical, only variance differs). Reference surface for parity:
-/root/reference/include/mitsuba/render/microfacet.h.
+Anisotropic (alpha_u, alpha_v). Both NDFs use visible-normal sampling
+(GGX: Heitz 2018; Beckmann: Heitz & d'Eon 2014 with the erf-domain Newton
+inversion), matching the reference's default sample_visible behaviour.
+Reference surface for parity: /root/reference/include/mitsuba/render/microfacet.h.
 """
 from __future__ import annotations
 
@@ -115,6 +114,68 @@ def sample_vndf_ggx(wi, u, alpha_u, alpha_v):
     return mvec, pdf
 
 
+def sample_vndf_beckmann(wi, u, alpha_u, alpha_v):
+    """Visible-normal sampling for Beckmann (Heitz & d'Eon 2014), using the
+    numerically-robust erf-domain inversion with three Newton iterations —
+    the same scheme as the reference's sample_visible_11
+    (include/mitsuba/render/microfacet.h). wi in the upper hemisphere.
+    Returns (m, pdf)."""
+    from jax.scipy.special import erf, erfinv
+
+    # step 1: stretch wi by the roughness
+    wi_p = fr.normalize(
+        jnp.stack(
+            [alpha_u * wi[..., 0], alpha_v * wi[..., 1], wi[..., 2]], axis=-1
+        )
+    )
+    sin2d = wi_p[..., 0] ** 2 + wi_p[..., 1] ** 2
+    inv_l = m.safe_rsqrt(sin2d)
+    near_n = sin2d < 1e-14
+    cos_phi = jnp.where(near_n, 1.0, wi_p[..., 0] * inv_l)
+    sin_phi = jnp.where(near_n, 0.0, wi_p[..., 1] * inv_l)
+    ct = jnp.clip(wi_p[..., 2], 1e-6, 1.0)
+
+    # step 2: sample the slope distribution of visible normals at alpha=1
+    tan_t = m.safe_sqrt(1.0 - ct * ct) / ct
+    cot_t = 1.0 / jnp.maximum(tan_t, 1e-12)
+    maxval = erf(jnp.minimum(cot_t, 6.0))
+    ux = jnp.clip(u[..., 0], 1e-6, 1.0 - 1e-6)
+    uy = jnp.clip(u[..., 1], 1e-6, 1.0 - 1e-6)
+    inv_sqrt_pi = 0.5641895835477563
+    x = maxval - (maxval + 1.0) * erf(jnp.sqrt(-jnp.log(ux)))
+    ux = ux * (
+        1.0 + maxval + inv_sqrt_pi * tan_t * jnp.exp(-(cot_t * cot_t))
+    )
+    for _ in range(3):
+        x = jnp.clip(x, -1.0 + 1e-6, 1.0 - 1e-6)
+        slope = erfinv(x)
+        value = (
+            1.0 + x + inv_sqrt_pi * tan_t * jnp.exp(-(slope * slope)) - ux
+        )
+        deriv = 1.0 - slope * tan_t
+        x = x - value / jnp.where(jnp.abs(deriv) > 1e-6, deriv,
+                                  jnp.where(deriv >= 0, 1e-6, -1e-6))
+    x = jnp.clip(x, -1.0 + 1e-6, 1.0 - 1e-6)
+    slope_x = erfinv(x)
+    slope_y = erfinv(2.0 * uy - 1.0)
+
+    # step 3: rotate and unstretch the slopes
+    sx = (cos_phi * slope_x - sin_phi * slope_y) * alpha_u
+    sy = (sin_phi * slope_x + cos_phi * slope_y) * alpha_v
+
+    # step 4: normal + visible pdf
+    mvec = fr.normalize(jnp.stack([-sx, -sy, jnp.ones_like(sx)], axis=-1))
+    pdf = pdf_vndf(wi, mvec, alpha_u, alpha_v, BECKMANN)
+    return mvec, pdf
+
+
+def sample_vndf(wi, u, alpha_u, alpha_v, mtype: int):
+    """Visible-normal sampling, NDF-dispatched (static mtype)."""
+    if mtype == BECKMANN:
+        return sample_vndf_beckmann(wi, u, alpha_u, alpha_v)
+    return sample_vndf_ggx(wi, u, alpha_u, alpha_v)
+
+
 def pdf_vndf(wi, mu, alpha_u, alpha_v, mtype: int):
     """Visible-normal pdf: G1(wi) * |wi.m| * D(m) / |cos_theta_i|."""
     d = ndf_eval(mu, alpha_u, alpha_v, mtype)
@@ -148,16 +209,16 @@ def sample_ndf(u, alpha_u, alpha_v, mtype: int):
 def sample(wi, u, alpha_u, alpha_v, mtype: int, sample_visible: bool = True):
     """Sample a microfacet normal. Flips wi into the upper hemisphere as the
     reference does. Returns (m, pdf)."""
-    if sample_visible and mtype == GGX:
+    if sample_visible:
         flip = wi[..., 2] < 0
         wi_u = jnp.where(flip[..., None], -wi, wi)
-        mvec, pdf = sample_vndf_ggx(wi_u, u, alpha_u, alpha_v)
+        mvec, pdf = sample_vndf(wi_u, u, alpha_u, alpha_v, mtype)
         return mvec, pdf
     return sample_ndf(u, alpha_u, alpha_v, mtype)
 
 
 def pdf(wi, mu, alpha_u, alpha_v, mtype: int, sample_visible: bool = True):
-    if sample_visible and mtype == GGX:
+    if sample_visible:
         flip = wi[..., 2] < 0
         wi_u = jnp.where(flip[..., None], -wi, wi)
         return pdf_vndf(wi_u, mu, alpha_u, alpha_v, mtype)

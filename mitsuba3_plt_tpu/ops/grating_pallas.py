@@ -318,10 +318,56 @@ def _g1_ggx(vx, vy, vz, mx, my, mz, au, av):
     return jnp.where(backfacing, 0.0, g)
 
 
+def _g1(vx, vy, vz, mx, my, mz, au, av, ndf: int):
+    """microfacet.smith_g1, static-NDF dispatched (0 GGX / 1 Beckmann)."""
+    if ndf != 1:
+        return _g1_ggx(vx, vy, vz, mx, my, mz, au, av)
+    xy2 = (au * vx) ** 2 + (av * vy) ** 2
+    tan2 = xy2 / jnp.maximum(vz * vz, 1e-20)
+    a = jax.lax.rsqrt(jnp.maximum(tan2, 1e-30))
+    a2 = a * a
+    approx = (3.535 * a + 2.181 * a2) / (1.0 + 2.276 * a + 2.577 * a2)
+    g = jnp.minimum(jnp.where(a >= 1.6, 1.0, approx), 1.0)
+    g = jnp.where(xy2 == 0.0, 1.0, g)
+    backfacing = (vx * mx + vy * my + vz * mz) * vz <= 0.0
+    return jnp.where(backfacing, 0.0, g)
+
+
+def _erf(x):
+    """Abramowitz & Stegun 7.1.26 (max err 1.5e-7) — Mosaic-safe erf."""
+    s = jnp.where(x >= 0, 1.0, -1.0)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    y = 1.0 - (((((1.061405429 * t - 1.453152027) * t) + 1.421413741) * t
+                - 0.284496736) * t + 0.254829592) * t * jnp.exp(-ax * ax)
+    return s * y
+
+
+def _erfinv(x):
+    """Giles 2010 single-precision erfinv polynomial — Mosaic-safe."""
+    w = -jnp.log(jnp.maximum((1.0 - x) * (1.0 + x), 1e-30))
+    # central branch (w < 5)
+    wc = w - 2.5
+    p1 = jnp.float32(2.81022636e-08)
+    for c in (3.43273939e-07, -3.5233877e-06, -4.39150654e-06,
+              0.00021858087, -0.00125372503, -0.00417768164,
+              0.246640727, 1.50140941):
+        p1 = jnp.float32(c) + p1 * wc
+    # tail branch
+    wt = jnp.sqrt(jnp.maximum(w, 5.0)) - 3.0
+    p2 = jnp.float32(-0.000200214257)
+    for c in (0.000100950558, 0.00134934322, -0.00367342844,
+              0.00573950773, -0.0076224613, 0.00943887047,
+              1.00167406, 2.83297682):
+        p2 = jnp.float32(c) + p2 * wt
+    return jnp.where(w < 5.0, p1, p2) * x
+
+
 def _sample_kernel(wix, wiy, wiz, ua, ub, la, lb, wlum,
                    au_r, av_r, gdc, gds, ipx, ipy, q, lobes, gtype, mult,
                    wox_o, woy_o, woz_o, pdf_o, lx_o, ly_o, wint_o,
-                   rx_o, ry_o, rz_o, mx_o, my_o, mz_o, ok_o, *, half: int):
+                   rx_o, ry_o, rz_o, mx_o, my_o, mz_o, ok_o, *, half: int,
+                   ndf: int = 0):
     wi_x, wi_y, wi_z = wix[...], wiy[...], wiz[...]
     u1, u2 = ua[...], ub[...]
     lu1, lu2 = la[...], lb[...]
@@ -337,44 +383,89 @@ def _sample_kernel(wix, wiy, wiz, ua, ub, la, lb, wlum,
     wuy = jnp.where(flip, -wi_y, wi_y)
     wuz = jnp.where(flip, -wi_z, wi_z)
 
-    # --- VNDF GGX visible-normal sample (microfacet.sample_vndf_ggx) ---
+    # --- VNDF visible-normal sample, static-NDF dispatched
+    # (microfacet.sample_vndf: GGX Heitz 2018 / Beckmann erf-domain Newton) ---
     vx, vy, vz = au * wux, av * wuy, wuz
     inv_n = jax.lax.rsqrt(jnp.maximum(vx * vx + vy * vy + vz * vz, 1e-24))
     vhx, vhy, vhz = vx * inv_n, vy * inv_n, vz * inv_n
-    lensq = vhx * vhx + vhy * vhy
-    inv_len = jax.lax.rsqrt(jnp.maximum(lensq, 1e-30))  # m.safe_rsqrt
-    big = lensq > 1e-12
-    t1x = jnp.where(big, -vhy * inv_len, 1.0)
-    t1y = jnp.where(big, vhx * inv_len, 0.0)
-    # t1z = 0
-    t2x = vhy * 0.0 - vhz * t1y
-    t2y = vhz * t1x - vhx * 0.0
-    t2z = vhx * t1y - vhy * t1x
-    r = jnp.sqrt(jnp.maximum(u1, 0.0))
-    phi = (2.0 * m.Pi) * u2
-    p1 = r * jnp.cos(phi)
-    p2 = r * jnp.sin(phi)
-    s = 0.5 * (1.0 + vhz)
-    p2 = (1.0 - s) * _safe_sqrt(1.0 - p1 * p1) + s * p2
-    p3 = _safe_sqrt(1.0 - p1 * p1 - p2 * p2)
-    nhx = p1 * t1x + p2 * t2x + p3 * vhx
-    nhy = p1 * t1y + p2 * t2y + p3 * vhy
-    nhz = p1 * 0.0 + p2 * t2z + p3 * vhz
-    mxu, myu, mzu = au * nhx, av * nhy, jnp.maximum(nhz, 1e-6)
-    inv_m = jax.lax.rsqrt(jnp.maximum(mxu * mxu + myu * myu + mzu * mzu,
-                                      1e-24))  # fr.normalize default eps
-    mx, my, mz = mxu * inv_m, myu * inv_m, mzu * inv_m
+    if ndf == 1:  # Beckmann (sample_vndf_beckmann)
+        sin2d = vhx * vhx + vhy * vhy
+        inv_l = jax.lax.rsqrt(jnp.maximum(sin2d, 1e-30))
+        near_n = sin2d < 1e-14
+        cos_phi = jnp.where(near_n, 1.0, vhx * inv_l)
+        sin_phi = jnp.where(near_n, 0.0, vhy * inv_l)
+        ct = jnp.clip(vhz, 1e-6, 1.0)
+        tan_t = _safe_sqrt(1.0 - ct * ct) / ct
+        cot_t = 1.0 / jnp.maximum(tan_t, 1e-12)
+        maxval = _erf(jnp.minimum(cot_t, 6.0))
+        uxs = jnp.clip(u1, 1e-6, 1.0 - 1e-6)
+        uys = jnp.clip(u2, 1e-6, 1.0 - 1e-6)
+        inv_sqrt_pi = 0.5641895835477563
+        x = maxval - (maxval + 1.0) * _erf(jnp.sqrt(-jnp.log(uxs)))
+        uxs = uxs * (
+            1.0 + maxval + inv_sqrt_pi * tan_t * jnp.exp(-(cot_t * cot_t))
+        )
+        for _ in range(3):
+            x = jnp.clip(x, -1.0 + 1e-6, 1.0 - 1e-6)
+            slope = _erfinv(x)
+            value = (1.0 + x + inv_sqrt_pi * tan_t
+                     * jnp.exp(-(slope * slope)) - uxs)
+            deriv = 1.0 - slope * tan_t
+            x = x - value / jnp.where(
+                jnp.abs(deriv) > 1e-6, deriv,
+                jnp.where(deriv >= 0, 1e-6, -1e-6),
+            )
+        x = jnp.clip(x, -1.0 + 1e-6, 1.0 - 1e-6)
+        slope_x = _erfinv(x)
+        slope_y = _erfinv(2.0 * uys - 1.0)
+        sxs = (cos_phi * slope_x - sin_phi * slope_y) * au
+        sys_ = (sin_phi * slope_x + cos_phi * slope_y) * av
+        inv_m = jax.lax.rsqrt(
+            jnp.maximum(sxs * sxs + sys_ * sys_ + 1.0, 1e-24)
+        )
+        mx, my, mz = -sxs * inv_m, -sys_ * inv_m, inv_m
+    else:  # GGX (sample_vndf_ggx)
+        lensq = vhx * vhx + vhy * vhy
+        inv_len = jax.lax.rsqrt(jnp.maximum(lensq, 1e-30))  # m.safe_rsqrt
+        big = lensq > 1e-12
+        t1x = jnp.where(big, -vhy * inv_len, 1.0)
+        t1y = jnp.where(big, vhx * inv_len, 0.0)
+        # t1z = 0
+        t2x = vhy * 0.0 - vhz * t1y
+        t2y = vhz * t1x - vhx * 0.0
+        t2z = vhx * t1y - vhy * t1x
+        r = jnp.sqrt(jnp.maximum(u1, 0.0))
+        phi = (2.0 * m.Pi) * u2
+        p1 = r * jnp.cos(phi)
+        p2 = r * jnp.sin(phi)
+        s = 0.5 * (1.0 + vhz)
+        p2 = (1.0 - s) * _safe_sqrt(1.0 - p1 * p1) + s * p2
+        p3 = _safe_sqrt(1.0 - p1 * p1 - p2 * p2)
+        nhx = p1 * t1x + p2 * t2x + p3 * vhx
+        nhy = p1 * t1y + p2 * t2y + p3 * vhy
+        nhz = p1 * 0.0 + p2 * t2z + p3 * vhz
+        mxu, myu, mzu = au * nhx, av * nhy, jnp.maximum(nhz, 1e-6)
+        inv_m = jax.lax.rsqrt(jnp.maximum(mxu * mxu + myu * myu + mzu * mzu,
+                                          1e-24))  # fr.normalize default eps
+        mx, my, mz = mxu * inv_m, myu * inv_m, mzu * inv_m
 
-    # pdf_vndf(wi_up, m) = G1 * |wi.m| * D / |wi_z|   (GGX ndf_eval)
+    # pdf_vndf(wi_up, m) = G1 * |wi.m| * D / |wi_z|
     ct2 = mz * mz
     cos4 = ct2 * ct2
     inv_ct = 1.0 / jnp.maximum(jnp.abs(mz), 1e-12)
     su = (-mx * inv_ct) / au
     sv = (-my * inv_ct) / av
-    tmp = 1.0 + su * su + sv * sv
-    d_ndf = 1.0 / (m.Pi * au * av * tmp * tmp * jnp.maximum(cos4, 1e-20))
+    s2 = su * su + sv * sv
+    if ndf == 1:  # Beckmann D
+        d_ndf = jnp.exp(-s2) / (
+            m.Pi * au * av * jnp.maximum(cos4, 1e-20)
+        )
+    else:  # GGX D
+        tmp = 1.0 + s2
+        d_ndf = 1.0 / (m.Pi * au * av * tmp * tmp
+                       * jnp.maximum(cos4, 1e-20))
     d_ndf = jnp.where(mz > 0, d_ndf, 0.0)
-    g1_wi = _g1_ggx(wux, wuy, wuz, mx, my, mz, au, av)
+    g1_wi = _g1(wux, wuy, wuz, mx, my, mz, au, av, ndf)
     dot_wm = wux * mx + wuy * my + wuz * mz
     mpdf = g1_wi * jnp.abs(dot_wm) * d_ndf / jnp.maximum(jnp.abs(wuz), 1e-12)
 
@@ -480,7 +571,7 @@ def _sample_kernel(wix, wiy, wiz, ua, ub, la, lb, wlum,
     pdf = mpdf * grating_pdf / jnp.maximum(4.0 * jnp.abs(dot_rm), 1e-12)
 
     ok = (cos_i > 0) & (mpdf > 0) & (woz > 0) & diff_ok
-    g1_r = _g1_ggx(rx, ry, rz, mx, my, mz, au, av)
+    g1_r = _g1(rx, ry, rz, mx, my, mz, au, av, ndf)
 
     wox_o[...] = wox
     woy_o[...] = woy
@@ -498,10 +589,10 @@ def _sample_kernel(wix, wiy, wiz, ua, ub, la, lb, wlum,
     ok_o[...] = jnp.where(ok, 1.0, 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("half", "interpret"))
+@functools.partial(jax.jit, static_argnames=("half", "ndf", "interpret"))
 def grating_sample(wi, u2, lobe_u2, wl_um, alpha, grating_dir, inv_period,
                    q, lobes, gtype, multiplier, half: int,
-                   interpret: bool = False):
+                   ndf: int = 0, interpret: bool = False):
     """Fused roughgrating wbsdf_sample chain.
 
     wi [N,3] local; u2/lobe_u2 [N,2] uniforms; wl_um [N] hero wavelength
@@ -532,7 +623,7 @@ def grating_sample(wi, u2, lobe_u2, wl_um, alpha, grating_dir, inv_period,
                         memory_space=pltpu.VMEM)
     n_out = 14
     outs = pl.pallas_call(
-        functools.partial(_sample_kernel, half=half),
+        functools.partial(_sample_kernel, half=half, ndf=ndf),
         grid=(npad // BLOCK,),
         in_specs=[spec] * len(ins),
         out_specs=[spec] * n_out,

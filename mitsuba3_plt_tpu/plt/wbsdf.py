@@ -152,6 +152,7 @@ class RoughGratingW:
                 sg_(si.wi), u2, lobe_u2, sg_(wl_um), sg_(p["alpha"]),
                 sg_(g.grating_dir), sg_(g.inv_period), sg_(g.q), g.lobes,
                 g.gtype & gr.TYPE_MASK, sg_(g.multiplier), half=half,
+                ndf=int(p.get("_ndf", 0)),
             )
             mvec = out["mvec"]
             reflection_dir = out["reflection_dir"]
@@ -162,7 +163,8 @@ class RoughGratingW:
             ok = active & out["ok"]
         else:
             wi_up = jnp.where((cos_i < 0)[..., None], -si.wi, si.wi)
-            mvec, mpdf = mf.sample_vndf_ggx(wi_up, u2, au, av)
+            mvec, mpdf = mf.sample_vndf(wi_up, u2, au, av,
+                                        p.get("_ndf", mf.GGX))
             reflection_dir = fr.reflect_n(si.wi, mvec)
 
             # local frame aligned with the microfacet normal
@@ -185,7 +187,7 @@ class RoughGratingW:
             ok = active & (mpdf > 0) & (fr.cos_theta(wo) > 0) & diff_ok
             # G1 of the *specular* reflection dir (sample_visible weighting)
             w_g1_int = mf.smith_g1(
-                reflection_dir, mvec, au, av, mf.GGX
+                reflection_dir, mvec, au, av, p.get("_ndf", mf.GGX)
             ) * intensity
 
         Fv = bsdfs.RoughConductor._fresnel_value(

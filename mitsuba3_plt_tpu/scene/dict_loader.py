@@ -100,6 +100,8 @@ def _parse_bsdf_dict(d: dict) -> LoadedBSDF:
         kw["alpha"] = (a, a)
     if "alpha_u" in d or "alpha_v" in d:
         kw["alpha"] = (float(d.get("alpha_u", 0.1)), float(d.get("alpha_v", 0.1)))
+    if "distribution" in d:
+        kw["mf_type"] = 0 if d["distribution"] == "ggx" else 1
     if bt == BSDF_PRINCIPLED:
         if "base_color" in d:
             kw["base_color"] = _color(d["base_color"])
