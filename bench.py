@@ -233,10 +233,13 @@ def bench_cbox_xml_polarized():
     )
     integ = StokesIntegrator()  # stokes_fw ∘ polarized path (max_depth 6)
     stats = {}
+    # Mueller transport carries [N, 4, 4, C] throughput (+ remat copies in
+    # the scan): the default 2M-lane wavefront exhausts compile memory;
+    # 500k lanes (spp 2/pass) fits comfortably
     np.asarray(
         mi.render(
             (scene, meta), integrator=integ, spp=32, seed=0,
-            cfg=RGB_POLARIZED, stats=stats,
+            cfg=RGB_POLARIZED, stats=stats, spp_per_pass=2,
         )
     )
     spp_pass = stats["spp_done"] // stats["passes_done"]
@@ -263,10 +266,12 @@ def bench_gratings_polarized():
     )
     integ = PLTIntegrator(max_depth=6, rr_depth=4)
     stats = {}
+    # polarized wave path: Mueller-valued wbsdf weights — keep the
+    # wavefront at 480k lanes (1 spp/pass)
     np.asarray(
         mi.render(
             (scene, meta), integrator=integ, spp=16, seed=0,
-            cfg=RGB_POLARIZED, stats=stats,
+            cfg=RGB_POLARIZED, stats=stats, spp_per_pass=1,
         )
     )
     spp_pass = stats["spp_done"] // stats["passes_done"]
