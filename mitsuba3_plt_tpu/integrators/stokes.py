@@ -34,13 +34,33 @@ from .path import _to_channels
 
 
 def _mm_chain(T, M):
-    """Per-channel Mueller chain: T @ M, shapes [N, 4, 4, C]."""
-    return jnp.einsum("nijc,njkc->nikc", T, M)
+    """Per-channel Mueller chain: T @ M, shapes [N, 4, 4, C].
+
+    Unrolled as 64 [N, C] vector FMAs instead of einsum: the dot_general
+    lowering batches over (n, c) with 4x4 contractions, forcing layout
+    transposes of the [N, 4, 4, C] operands in and out of the scan — the
+    explicit form stays a fused elementwise expression."""
+    rows = []
+    for i in range(4):
+        cols = []
+        for k in range(4):
+            acc = T[:, i, 0, :] * M[:, 0, k, :]
+            for j in range(1, 4):
+                acc = acc + T[:, i, j, :] * M[:, j, k, :]
+            cols.append(acc)
+        rows.append(jnp.stack(cols, axis=1))
+    return jnp.stack(rows, axis=1)
 
 
 def _apply(T, s):
-    """T [N,4,4,C] @ s [N,4,C] -> [N,4,C]."""
-    return jnp.einsum("nijc,njc->nic", T, s)
+    """T [N,4,4,C] @ s [N,4,C] -> [N,4,C] (unrolled, see _mm_chain)."""
+    rows = []
+    for i in range(4):
+        acc = T[:, i, 0, :] * s[:, 0, :]
+        for j in range(1, 4):
+            acc = acc + T[:, i, j, :] * s[:, j, :]
+        rows.append(acc)
+    return jnp.stack(rows, axis=1)
 
 
 def _unpol_stokes(value):

@@ -199,8 +199,23 @@ def _spec_reflect_mueller(wo_hat, wi_hat, cos_theta_mueller_fn, normal, cfg):
 
     R_in = mu.rotate_stokes_basis(-wo_hat, s_axis_in, mu.stokes_basis(-wo_hat))
     R_out = mu.rotate_stokes_basis(wi_hat, s_axis_out, mu.stokes_basis(wi_hat))
-    # [N,4,4] x [N,C,4,4] x [N,4,4]^T, broadcast over C
-    Mr = jnp.einsum("...ij,...cjk,...lk->...cil", R_out, M, R_in)
+    # [N,4,4] x [N,C,4,4] x [N,4,4]^T, broadcast over C — unrolled (the
+    # dot_general lowering transposes the [N,C,4,4] stack; see
+    # mueller.matmul_spectral)
+    MR = jnp.stack([
+        jnp.stack([
+            sum(M[..., :, j, k] * R_in[..., None, l, k] for k in range(4))
+            for l in range(4)
+        ], axis=-1)
+        for j in range(4)
+    ], axis=-2)  # [N, C, 4(j), 4(l)] = M @ R_in^T
+    Mr = jnp.stack([
+        jnp.stack([
+            sum(R_out[..., None, i, j] * MR[..., j, l] for j in range(4))
+            for l in range(4)
+        ], axis=-1)
+        for i in range(4)
+    ], axis=-2)  # [N, C, 4(i), 4(l)]
     return mueller_from_unpolarized(Mr, cfg)  # [N, 4, 4, C]
 
 
@@ -212,7 +227,22 @@ def to_world_mueller(si, M, in_forward_local, out_forward_local):
     out_basis_cur = si.to_world(mu.stokes_basis(out_forward_local))
     R_in = mu.rotate_stokes_basis(in_fwd_w, in_basis_cur, mu.stokes_basis(in_fwd_w))
     R_out = mu.rotate_stokes_basis(out_fwd_w, out_basis_cur, mu.stokes_basis(out_fwd_w))
-    return jnp.einsum("...ij,...jkc,...lk->...ilc", R_out, M, R_in)
+    # unrolled R_out @ M @ R_in^T over the trailing channel axis (see
+    # mueller.matmul_spectral for why not einsum)
+    MR = jnp.stack([
+        jnp.stack([
+            sum(M[..., j, k, :] * R_in[..., l, k, None] for k in range(4))
+            for l in range(4)
+        ], axis=-2)
+        for j in range(4)
+    ], axis=-3)  # [..., 4(j), 4(l), C]
+    return jnp.stack([
+        jnp.stack([
+            sum(R_out[..., i, j, None] * MR[..., j, l, :] for j in range(4))
+            for l in range(4)
+        ], axis=-2)
+        for i in range(4)
+    ], axis=-3)  # [..., 4(i), 4(l), C]
 
 
 # ---------------------------------------------------------------------------

@@ -191,10 +191,30 @@ def expand(M, n_channels):
 
 
 def matmul_spectral(A, B):
-    """Multiply two [..., 4, 4, C] Mueller stacks channel-wise."""
-    return jnp.einsum("...ikc,...kjc->...ijc", A, B)
+    """Multiply two [..., 4, 4, C] Mueller stacks channel-wise.
+
+    Unrolled into [..., C] vector FMAs: the einsum's dot_general lowering
+    batches over (..., c) with 4x4 contractions and forces layout
+    transposes in/out of the render scan (round-4 polarized profiling)."""
+    rows = []
+    for i in range(4):
+        cols = []
+        for j in range(4):
+            acc = A[..., i, 0, :] * B[..., 0, j, :]
+            for k in range(1, 4):
+                acc = acc + A[..., i, k, :] * B[..., k, j, :]
+            cols.append(acc)
+        rows.append(jnp.stack(cols, axis=-2))
+    return jnp.stack(rows, axis=-3)
 
 
 def apply_stokes(M, s):
-    """[..., 4, 4, C] x [..., 4, C] -> [..., 4, C]."""
-    return jnp.einsum("...ijc,...jc->...ic", M, s)
+    """[..., 4, 4, C] x [..., 4, C] -> [..., 4, C] (unrolled, see
+    matmul_spectral)."""
+    rows = []
+    for i in range(4):
+        acc = M[..., i, 0, :] * s[..., 0, :]
+        for j in range(1, 4):
+            acc = acc + M[..., i, j, :] * s[..., j, :]
+        rows.append(acc)
+    return jnp.stack(rows, axis=-2)
