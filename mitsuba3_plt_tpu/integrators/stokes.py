@@ -172,7 +172,10 @@ class PolarizedPathIntegrator:
                     em_mod.eval_emitter(em, ds.emitter_idx, ds.d, ds.dist, vis),
                     cfg)
                 S = _unpol_stokes(e_val)
-                contrib = _apply(_mm_chain(T, M_world), S) * (
+                # associativity: T @ (M @ S) — two matrix-VECTOR applies
+                # (32 FMAs, [N,4,C] temporaries) instead of materializing
+                # the [N,4,4,C] product per NEE bounce
+                contrib = _apply(T, _apply(M_world, S)) * (
                     mis_em / jnp.maximum(ds.pdf, 1e-20)
                 )[:, None, None]
                 L = L + jnp.where(vis[:, None, None], contrib, 0.0)
