@@ -19,6 +19,23 @@ if "scoped_vmem" not in _libtpu_args:
         _libtpu_args + " --xla_tpu_scoped_vmem_limit_kib=65536"
     ).strip()
 
+# Persistent XLA compilation cache: render megakernels take 15-80 s to
+# compile (BENCH extra `*_compile_s`); caching makes every invocation after
+# the first start in seconds. Opt-out/override via the standard
+# JAX_COMPILATION_CACHE_DIR env var.
+if "JAX_COMPILATION_CACHE_DIR" not in _os.environ:
+    try:
+        import jax as _jax
+
+        _jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.path.join(_os.path.dirname(__file__), "..", ".jax_cache"),
+        )
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
 from .config import RenderConfig, RGB, RGB_POLARIZED, SPECTRAL, SPECTRAL_POLARIZED, VARIANTS
 
 __version__ = "0.1.0"

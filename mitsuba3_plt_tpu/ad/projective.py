@@ -325,8 +325,9 @@ def nee_boundary_grad(
     plane held fixed: this term differentiates the OCCLUDER geometry; the
     receiver's own motion is the primary-visibility term).
 
-    Returns {geo.tri_p0/1/2: [F, 3]} cotangents, zero when the scene has no
-    point-like emitter.
+    Returns {geo.tri_p0/1/2: [F, 3]} cotangents, summed over every
+    point-like emitter in the scene (each with its own sample set / key),
+    zero when the scene has none.
     """
     from ..scene.emitters import (
         EMITTER_POINT, EMITTER_SPOT, EMITTER_PROJECTOR,
@@ -346,8 +347,24 @@ def nee_boundary_grad(
     }
     if not pointlike.any():
         return zeros
-    e_pos = jnp.asarray(np.asarray(em.position)[pointlike][0])
+    out = zeros
+    for i, e_pos_np in enumerate(np.asarray(em.position)[pointlike]):
+        g = _nee_boundary_grad_one(
+            scene, integrator_sample, grad_image, jnp.asarray(e_pos_np),
+            key=int(key) + 2 * i, n_samples=n_samples, cfg=cfg,
+            delta_px=delta_px,
+        )
+        out = {k: out[k] + g[k] for k in out}
+    return out
 
+
+def _nee_boundary_grad_one(
+    scene, integrator_sample, grad_image, e_pos, key, n_samples, cfg,
+    delta_px,
+):
+    """Shadow-silhouette cotangents for ONE point-like emitter at e_pos."""
+    geo = scene.geo
+    F = geo.tri_p0.shape[0]
     ed = _edges_for(scene)
     sensor = scene.sensor
     wpx, hpx = sensor.resolution

@@ -104,6 +104,12 @@ def camera_rays_at(scene, seed, sample_lane, width, height, spp_pass,
     lane = sampler.lane
     pix = (lane // spp_pass).astype(jnp.uint32)
     if pixel_order == "morton":
+        # morton_pixel_of is pure bit arithmetic and silently scrambles
+        # non-square / non-po2 resolutions; mirror morton_pixel_perm's
+        # host-side assert here (width/height are static).
+        assert width == height and (width & (width - 1)) == 0, (
+            "pixel_order='morton' requires a power-of-two square resolution"
+        )
         pix = morton_pixel_of(pix, width)
     px = (pix % width).astype(jnp.float32)
     py = (pix // width).astype(jnp.float32)

@@ -37,10 +37,11 @@ def _parse_overrides(pairs):
     return out
 
 
-def _orbit_sensor(sensor, angle_deg: float, axis: str):
-    """Rotate the camera's to_world about the scene-up axis through the
-    LOOK-AT target (approximated as the point the camera faces at the
-    original target distance)."""
+def _orbit_sensor(sensor, angle_deg: float, axis: str, target=None):
+    """Rotate the camera's to_world about the orbit axis through the
+    LOOK-AT target: T(t) @ R @ T(-t) @ tw. `target` defaults to the point
+    the camera faces at the distance of the world origin (the subject for
+    origin-centered scenes); pass the scene centroid for off-center ones."""
     import dataclasses
 
     import jax.numpy as jnp
@@ -48,9 +49,18 @@ def _orbit_sensor(sensor, angle_deg: float, axis: str):
     from mitsuba3_plt_tpu.core import transform as tf
 
     tw = np.asarray(sensor.to_world)
+    if target is None:
+        cam_o = tw[:3, 3]
+        fwd = tw[:3, 2] / max(np.linalg.norm(tw[:3, 2]), 1e-9)
+        target = cam_o + fwd * np.linalg.norm(cam_o)
+    t = np.asarray(target, np.float64)
     ax = {"x": [1.0, 0, 0], "y": [0, 1.0, 0], "z": [0, 0, 1.0]}[axis]
-    R = np.asarray(tf.rotate(ax, angle_deg))
-    tw2 = (R @ tw).astype(np.float32)
+    R = np.asarray(tf.rotate(ax, angle_deg), np.float64)
+    T_f = np.eye(4)
+    T_f[:3, 3] = t
+    T_b = np.eye(4)
+    T_b[:3, 3] = -t
+    tw2 = (T_f @ R @ T_b @ tw).astype(np.float32)
     return dataclasses.replace(sensor, to_world=jnp.asarray(tw2))
 
 
@@ -131,10 +141,15 @@ def main(argv=None):
     if args.animate:
         frames = []
         per = args.orbit_degrees / args.animate
+        # orbit about the scene centroid so off-origin subjects stay framed
+        geo = scene.geo
+        tri_c = (np.asarray(geo.tri_p0) + np.asarray(geo.tri_p1)
+                 + np.asarray(geo.tri_p2)) / 3.0
+        target = tri_c.mean(axis=0) if tri_c.size else None
         for i in range(args.animate):
             s_i = dataclasses.replace(
                 scene, sensor=_orbit_sensor(scene.sensor, per * i,
-                                            args.orbit_axis)
+                                            args.orbit_axis, target=target)
             )
             img = mi.render((s_i, meta), integrator=integ, spp=args.spp,
                             seed=i, cfg=cfg)
