@@ -231,15 +231,20 @@ def bench_cbox_xml_polarized():
     scene, meta = mi.load_file(
         "/root/reference/scenes/cbox/cbox.xml", resx=500, resy=500
     )
+    from mitsuba3_plt_tpu.integrators.stokes import depolarizer_collapse_ok
+
     integ = StokesIntegrator()  # stokes_fw ∘ polarized path (max_depth 6)
     stats = {}
-    # Mueller transport carries [N, 4, 4, C] throughput (+ remat copies in
-    # the scan): the default 2M-lane wavefront exhausts compile memory;
-    # 500k lanes (spp 2/pass) fits comfortably
+    # cbox is all-diffuse, so the static depolarizer collapse applies: the
+    # Stokes transport runs the scalar chain (exact; equivalence pinned by
+    # tests/test_stokes.py) and the default wavefront fits. Scenes with
+    # polarizing lobes carry [N, 4, 4, C] Mueller throughput (+ remat
+    # copies in the scan) and need small passes (spp 2/pass).
+    kw = {} if depolarizer_collapse_ok(scene) else {"spp_per_pass": 2}
     np.asarray(
         mi.render(
             (scene, meta), integrator=integ, spp=32, seed=0,
-            cfg=RGB_POLARIZED, stats=stats, spp_per_pass=2,
+            cfg=RGB_POLARIZED, stats=stats, **kw,
         )
     )
     spp_pass = stats["spp_done"] // stats["passes_done"]

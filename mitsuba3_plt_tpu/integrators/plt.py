@@ -41,13 +41,16 @@ from ..config import RenderConfig
 from ..core import frame as fr
 from ..core import math as mth
 from ..core.rng import Sampler, bounce_dim, DIM_WAVELENGTH
+from ..librender import bsdfs
+from ..librender import mueller as mu
 from ..librender.bsdf import BSDFContext, BSDFFlags
 from ..librender.records import Ray, DirectionSample
 from ..plt import wbsdf as wb
-from ..plt.coherence import Coherence
+from ..plt.coherence import Coherence, GeneralizedRadiance
 from ..scene import emitters as em_mod
 from .common import mis_weight
 from .path import _to_channels
+from .stokes import _unpol_stokes
 
 
 @jax.tree_util.register_dataclass
@@ -211,7 +214,8 @@ class PLTIntegrator:
         em = scene.emitters
         geo = scene.geo
 
-        # --- replay weights per bounce: W_j [D, N, C] --------------------
+        # --- replay weights per bounce: W_j [D, N, C] (or Mueller
+        # [D, N, 4, 4, C] under a polarized config) ----------------------
         def weight_at(bounce_j):
             si = bounce_j.si()
             sd = wb.PLTSamplePhaseData(
@@ -228,16 +232,35 @@ class PLTIntegrator:
                 bounce_j.wo, sd, ctx, cfg,
             )
             if cfg.polarized:
-                w = w[..., 0, 0, :]
+                W_w = bsdfs.to_world_mueller(si, w, -bounce_j.wo, si.wi)
+                W_w = W_w * bounce_j.rr_rcp[..., None, None, None]
+                eye = jnp.broadcast_to(
+                    jnp.eye(4, dtype=jnp.float32)[None, :, :, None],
+                    (n, 4, 4, C),
+                )
+                return jnp.where(
+                    bounce_j.active[..., None, None, None], W_w, eye
+                )
             w = w * bounce_j.rr_rcp[..., None]
             return jnp.where(bounce_j.active[..., None], w, 1.0)
 
-        W = jax.vmap(weight_at)(bounces)  # [D, N, C]
-        # exclusive cumulative product: alpha[i] = prod_{j<i} W_j
-        cum = jnp.cumprod(W, axis=0)
-        alpha = jnp.concatenate(
-            [jnp.ones((1, n, C), jnp.float32), cum[:-1]], axis=0
-        )  # [D, N, C]
+        W = jax.vmap(weight_at)(bounces)  # [D, N, C] / [D, N, 4, 4, C]
+        # exclusive cumulative product: alpha[i] = prod_{j<i} W_j (camera-
+        # first matrix order in the polarized case)
+        if cfg.polarized:
+            eye0 = jnp.broadcast_to(
+                jnp.eye(4, dtype=jnp.float32)[None, :, :, None], (n, 4, 4, C)
+            )
+
+            def chain(carry, Wj):
+                return mu.matmul_spectral(carry, Wj), carry
+
+            _, alpha = jax.lax.scan(chain, eye0, W)  # [D, N, 4, 4, C]
+        else:
+            cum = jnp.cumprod(W, axis=0)
+            alpha = jnp.concatenate(
+                [jnp.ones((1, n, C), jnp.float32), cum[:-1]], axis=0
+            )  # [D, N, C]
 
         # previous-vertex stacks for the emissive replay (the sensor "vertex"
         # for i = 0: wi points back toward the camera, only the direction and
@@ -275,7 +298,8 @@ class PLTIntegrator:
             )
             return L, None
 
-        L0 = jnp.zeros((n, C), jnp.float32)
+        L0 = (jnp.zeros((n, 4, C), jnp.float32) if cfg.polarized
+              else jnp.zeros((n, C), jnp.float32))
         L, _ = jax.lax.scan(
             solve_body, L0,
             (bounces, prev_p, prev_delta, alpha,
@@ -287,7 +311,12 @@ class PLTIntegrator:
     def _emissive_term(self, scene, b_i, prev_p, prev_delta, alpha_i,
                        wavelengths, cfg):
         """Emissive-hit replay (plt.py:315-405); prev_p/prev_delta are the
-        previous path vertex (the sensor stand-in for i = 0)."""
+        previous path vertex (the sensor stand-in for i = 0).
+
+        Polarized: alpha_i is the world-basis Mueller prefix chain
+        [N, 4, 4, C]; the unpolarized emitter Stokes is pushed through it
+        and the contribution is a Stokes vector [N, 4, C] wrapped (with the
+        sourced beam's coherence) in a GeneralizedRadiance for measure()."""
         em = scene.emitters
         geo = scene.geo
         n = b_i.valid.shape[0]
@@ -311,10 +340,21 @@ class PLTIntegrator:
         )
         if not cfg.spectral:
             e_val = _to_channels(e_val, cfg)
+        beam = self.source_beam(em, b_i, ds.d, ds.dist, e_val)
+        if cfg.polarized:
+            S = mu.apply_stokes(alpha_i, _unpol_stokes(e_val))
+            contrib = S * mis_bsdf[..., None, None]
+            gr_in = GeneralizedRadiance(
+                L=contrib[:, 0, :], L1=contrib[:, 1, :],
+                L2=contrib[:, 2, :], L3=contrib[:, 3, :],
+                coherence=beam.coherence,
+            )
+            gr_out = self.measure(beam, prev_p, gr_in)
+            contrib = gr_out.stokes()
+            return jnp.where((active & facing)[..., None, None], contrib, 0.0)
         contrib = e_val * alpha_i * mis_bsdf[..., None]
         # beam sourcing + measurement (coherence plumbing; radiometrically
         # the replayed contribution — see measure())
-        beam = self.source_beam(em, b_i, ds.d, ds.dist, e_val)
         contrib = self.measure(beam, prev_p, contrib)
         return jnp.where((active & facing)[..., None], contrib, 0.0)
 
@@ -459,8 +499,6 @@ class PLTIntegrator:
             scene.materials, jnp.maximum(si.mat_idx, 0), si, wo_local, sd,
             ctx, cfg, rgb_colour=rgb_colour,
         )
-        if cfg.polarized:
-            bsdf_val = bsdf_val[..., 0, 0, :]
         bsdf_pdf = wb.wbsdf_pdf(
             scene.materials, jnp.maximum(si.mat_idx, 0), si, wo_local, sd,
             ctx, cfg,
@@ -474,16 +512,41 @@ class PLTIntegrator:
         )
         if not cfg.spectral:
             e_val = _to_channels(e_val, cfg)
+        if cfg.polarized:
+            # full Mueller NEE (ref roughgrating.cpp:925-999 carries the
+            # polarized Spectrum): rotate the local-basis Mueller to world
+            # implicit bases and push the emitter Stokes through
+            # alpha @ (M @ S) — two matrix-vector applies.
+            M_world = bsdfs.to_world_mueller(si, bsdf_val, -wo_local, si.wi)
+            S = _unpol_stokes(e_val / jnp.maximum(ds.pdf, 1e-20)[..., None])
+            contrib = mu.apply_stokes(
+                alpha_i, mu.apply_stokes(M_world, S)
+            ) * mis_em[..., None, None]
+            return jnp.where(vis[..., None, None], contrib, 0.0)
         em_weight = e_val / jnp.maximum(ds.pdf, 1e-20)[..., None]
         contrib = em_weight * bsdf_val * alpha_i * mis_em[..., None]
         return jnp.where(vis[..., None], contrib, 0.0)
 
     # ------------------------------------------------------------------
-    def sample(self, scene, sampler: Sampler, ray: Ray, wavelengths, cfg: RenderConfig):
-        """ADIntegrator-compatible entry (plt.py:493-529). In spectral mode
+    def sample(self, scene, sampler: Sampler, ray: Ray, wavelengths,
+               cfg: RenderConfig):
+        """ADIntegrator-compatible entry: radiance [N, C] (S0 under a
+        polarized config) + valid mask."""
+        L = self._sample_impl(scene, sampler, ray, wavelengths, cfg)
+        n = ray.o.shape[0]
+        if cfg.polarized:
+            # film records intensity; the full Stokes vector is available
+            # via sample_stokes (StokesIntegrator(inner=PLTIntegrator()))
+            return L[:, 0, :], jnp.ones((n,), bool)
+        return L, jnp.ones((n,), bool)
+
+    def _sample_impl(self, scene, sampler: Sampler, ray: Ray, wavelengths, cfg: RenderConfig):
+        """Fused single-scan transport (plt.py:493-529). In spectral mode
         the camera-sampled hero wavelengths are used (so the standard
         spectral->XYZ conversion applies); in RGB mode PLT samples its own
-        per-channel wavelengths (plt.py:65-70).
+        per-channel wavelengths (plt.py:65-70). Returns [N, C] radiance, or
+        Stokes [N, 4, C] under a polarized config (full Mueller chain, ref
+        roughgrating.cpp:925-999 / bsdf.h:379-620 polarized Spectrum).
 
         FUSED single-scan execution (round-2 perf): because the replay
         weights are coherence-independent (the same fact that collapsed the
@@ -601,9 +664,18 @@ class PLTIntegrator:
                 bs.wo, sd_w, ctx, cfg,
             )
             if cfg.polarized:
-                w_rep = w_rep[..., 0, 0, :]
-            w_rep = w_rep * rr_rcp[..., None]
-            alpha = alpha * jnp.where(hit[..., None], w_rep, 1.0)
+                # Mueller prefix chain: rotate the local-basis weight to
+                # world implicit bases and right-multiply (camera-first
+                # order, exactly the polarized path tracer's T chain)
+                W_world = bsdfs.to_world_mueller(si, w_rep, -bs.wo, si.wi)
+                W_world = W_world * rr_rcp[..., None, None, None]
+                alpha = jnp.where(
+                    hit[..., None, None, None],
+                    mu.matmul_spectral(alpha, W_world), alpha,
+                )
+            else:
+                w_rep = w_rep * rr_rcp[..., None]
+                alpha = alpha * jnp.where(hit[..., None], w_rep, 1.0)
 
             wo_world = si.to_world(bs.wo)
             new_o = si.p + si.n * jnp.where(
@@ -627,16 +699,33 @@ class PLTIntegrator:
             )
             return carry, None
 
+        if cfg.polarized:
+            alpha0 = jnp.broadcast_to(
+                jnp.eye(4, dtype=jnp.float32)[None, :, :, None], (n, 4, 4, C)
+            )
+            L0 = jnp.zeros((n, 4, C), jnp.float32)
+        else:
+            alpha0 = jnp.ones((n, C), jnp.float32)
+            L0 = jnp.zeros((n, C), jnp.float32)
         carry0 = (
             ray.o, ray.d, jnp.ones((n,), bool),
             jnp.ones((n,), jnp.float32),
             jnp.ones((n,), bool),           # sensor vertex counts as delta
             jnp.zeros((n, 3), jnp.float32),  # prev_p (unused at b = 0)
-            jnp.ones((n, C), jnp.float32),   # alpha
-            jnp.zeros((n, C), jnp.float32),  # L
+            alpha0,
+            L0,
         )
         carry0, _ = jax.lax.scan(
             body, carry0, jnp.arange(self.max_depth, dtype=jnp.uint32)
         )
-        L = carry0[-1]
-        return L, jnp.ones((n,), bool)
+        return carry0[-1]
+
+    # ------------------------------------------------------------------
+    def sample_stokes(self, scene, sampler: Sampler, ray: Ray, wavelengths,
+                      cfg: RenderConfig):
+        """Stokes radiance [N, 4, C] of the wave transport (implicit basis
+        stokes_basis(-ray.d)) — the StokesIntegrator inner-integrator
+        surface, so `stokes`/`stokes_fw` wrap PLT exactly as the
+        reference's main-headless.py does (stokes ∘ plt)."""
+        assert cfg.polarized
+        return self._sample_impl(scene, sampler, ray, wavelengths, cfg)

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import Dict
 
+import jax
 import jax.numpy as jnp
 
 from ..core import math as m
@@ -495,6 +496,13 @@ class Dielectric:
             MR = mu.specular_reflection_dielectric(ct_hat[..., None], eta[..., None])
             MT = mu.specular_transmission(ct_hat[..., None], eta[..., None])
             Msel = jnp.where(sel_reflect[..., None, None, None], MR, MT)  # [N,1,4,4]
+            # weight contract is f/pdf: divide the Mueller by the detached
+            # lobe probability (reference dielectric.cpp:335-337
+            # `weight = select(selected_r, R, T) / bs.pdf`) — the scalar
+            # branch below cancels F analytically; without this division
+            # the polarized S0 was F (resp. 1-F) times too dark
+            pdf_det = jax.lax.stop_gradient(pdf)
+            Msel = Msel / jnp.maximum(pdf_det, 1e-6)[..., None, None, None]
             Msel = jnp.broadcast_to(Msel, (n, cfg.n_channels, 4, 4))
             normal = jnp.broadcast_to(
                 jnp.asarray([0.0, 0.0, 1.0], jnp.float32), wo.shape

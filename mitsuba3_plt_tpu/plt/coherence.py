@@ -80,14 +80,15 @@ class Coherence:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class GeneralizedRadiance:
-    """Generalized Stokes parameters of a wave packet (plt.h:146-171).
+    """Generalized Stokes parameters of a wave packet (plt.h:146-171):
+    intensity L plus the polarization components L1..L3 (each [N, C]) and
+    the packet's coherence state.
 
-    L is the intensity value in the active config representation
-    (unpolarized [N, C] or Mueller [N, 4, 4, C]); L1..L3 carry the
-    polarization state when transported explicitly (mostly unused — the
-    polarized configs carry Mueller stacks in L itself, as the reference
-    does via its polarized Spectrum type).
-    """
+    This is the value type flowing out of the polarized PLT transport: the
+    emissive replay pushes the sourced beam's (unpolarized) Stokes vector
+    through the world-basis Mueller prefix chain and wraps the result +
+    beam coherence here, and measure() consumes it
+    (integrators/plt.py _emissive_term)."""
 
     L: Any
     L1: Any
@@ -105,6 +106,18 @@ class GeneralizedRadiance:
                 jnp.full((n,), 1e-3, jnp.float32), jnp.zeros((n,), jnp.float32)
             ),
         )
+
+    @staticmethod
+    def from_stokes(S, coherence: "Coherence"):
+        """Stokes [N, 4, C] + coherence -> GeneralizedRadiance."""
+        return GeneralizedRadiance(
+            L=S[:, 0, :], L1=S[:, 1, :], L2=S[:, 2, :], L3=S[:, 3, :],
+            coherence=coherence,
+        )
+
+    def stokes(self):
+        """[N, 4, C] Stokes view (basis implicit in the transport chain)."""
+        return jnp.stack([self.L, self.L1, self.L2, self.L3], axis=1)
 
 
 def mutual_coherence(coh: Coherence, diff_xy, k=None):

@@ -544,9 +544,11 @@ def wbsdf_weight(mat: MaterialTable, midx, si, wo, sd, ctx, cfg):
             )
             w = bsdfs.where_value(mask, w_t, w, cfg)
         elif t == BSDF_DIELECTRIC:
-            # reference dielectric wbsdf_weight: Mueller reflect/transmit with
-            # detached lobe pdf (dielectric.cpp:527-560). Reflect/transmit
-            # selection replayed from the recorded wo hemisphere.
+            # reference dielectric wbsdf_weight: Mueller reflect/transmit
+            # with detached lobe pdf (dielectric.cpp:527-575). The
+            # reflect/transmit selection is replayed from the recorded wo
+            # hemisphere; under a polarized config the weight is the full
+            # Mueller matrix with the reference's basis rotations.
             eta = p["eta_re"][..., 0]
             cos_i = fr.cos_theta(si_eff.wi)
             cos_o = fr.cos_theta(wo_eff)
@@ -558,10 +560,39 @@ def wbsdf_weight(mat: MaterialTable, midx, si, wo, sd, ctx, cfg):
                 is_reflect, 1.0,
                 eta_ti * eta_ti if ctx.mode == TransportMode.Radiance else 1.0,
             )
-            w_scalar = jnp.where(is_reflect[..., None], refl_c, tran_c) * (
+            color = jnp.where(is_reflect[..., None], refl_c, tran_c) * (
                 factor
             )[..., None]
-            w_t = bsdfs.depolarized(w_scalar, cfg)
+            if cfg.polarized:
+                radiance = ctx.mode == TransportMode.Radiance
+                wo_hat = wo_eff if radiance else si_eff.wi
+                wi_hat = si_eff.wi if radiance else wo_eff
+                ct_hat = fr.cos_theta(wo_hat)
+                MR = mu.specular_reflection_dielectric(
+                    ct_hat[..., None], eta[..., None]
+                )
+                MT = mu.specular_transmission(
+                    ct_hat[..., None], eta[..., None]
+                )
+                Msel = jnp.where(is_reflect[..., None, None, None], MR, MT)
+                pdf_det = jax.lax.stop_gradient(
+                    jnp.where(is_reflect, F, 1.0 - F)
+                )
+                Msel = Msel / jnp.maximum(
+                    pdf_det, 1e-6
+                )[..., None, None, None]
+                Msel = jnp.broadcast_to(Msel, (n, cfg.n_channels, 4, 4))
+                normal = jnp.broadcast_to(
+                    jnp.asarray([0.0, 0.0, 1.0], jnp.float32), wo_eff.shape
+                )
+                w_t = bsdfs.mul_value(
+                    bsdfs._spec_reflect_mueller(
+                        wo_hat, wi_hat, lambda: Msel, normal, cfg
+                    ),
+                    color, cfg,
+                )
+            else:
+                w_t = color
             w = bsdfs.where_value(mask, w_t, w, cfg)
 
     return w

@@ -55,6 +55,61 @@ def test_plt_no_emitters_black():
     assert img.max() < 1e-6
 
 
+def test_fused_vs_two_phase_equivalence():
+    """plt.py:493-499 claim pinned (VERDICT r4 item 5): the fused single
+    scan equals sample_phase + solve_phase to f32 tolerance, RGB and
+    polarized, on a grating + diffuse mix."""
+    import jax.numpy as jnp
+
+    from mitsuba3_plt_tpu.config import RGB_POLARIZED
+    from mitsuba3_plt_tpu.core.rng import Sampler
+    from mitsuba3_plt_tpu.integrators.common import sample_rays
+
+    scene, _ = grating_scene(16, 16, coherence=1e3)
+    integ = PLTIntegrator(max_depth=4, rr_depth=8)
+    W = H = 16
+    spp = 4
+    for cfg in (RGB, RGB_POLARIZED):
+        sampler = Sampler.create(0, W * H * spp)
+        ray, _uv, wl, _ = sample_rays(scene, sampler, W, H, spp, cfg)
+        fused = np.asarray(integ._sample_impl(scene, sampler, ray, wl, cfg))
+        bounces, wl2 = integ.sample_phase(scene, sampler, ray, cfg)
+        solved = np.asarray(
+            integ.solve_phase(scene, sampler, bounces, wl2, cfg)
+        )
+        np.testing.assert_allclose(fused, solved, rtol=2e-4, atol=1e-5,
+                                   err_msg=f"cfg={cfg.name}")
+
+
+def test_polarized_wave_path_stokes():
+    """Full Mueller transport through the PLT chain (VERDICT r4 item 2):
+    the wave path's diffraction + conductor Fresnel produces genuinely
+    polarized radiance — S1/S2 from the grating scene are nonzero where
+    there is signal, DoLP <= 1, and S0 stays finite and positive."""
+    from mitsuba3_plt_tpu.config import RGB
+    from mitsuba3_plt_tpu.integrators.stokes import StokesIntegrator
+
+    scene, _ = grating_scene(24, 24, coherence=1e3)
+    integ = StokesIntegrator(inner=PLTIntegrator(max_depth=3, rr_depth=8))
+    img = np.asarray(
+        render(scene, integ.sample, seed=0, spp=32, cfg=RGB,
+               n_out_channels=15)
+    )
+    assert not np.isnan(img).any()
+    s0 = img[..., 3:6]
+    s1 = img[..., 6:9]
+    s2 = img[..., 9:12]
+    assert s0.max() > 0.01
+    # oblique conductor reflections through the grating polarize
+    lp = np.sqrt(s1 ** 2 + s2 ** 2)
+    sig = s0 > 0.05 * s0.max()
+    assert float(lp[sig].max()) > 1e-4 * float(s0.max())
+    dolp = np.sqrt((s1 ** 2 + s2 ** 2).sum(-1)) / np.maximum(
+        s0.sum(-1), 1e-6
+    )
+    assert float(dolp[s0.sum(-1) > 1e-3].max()) <= 1.0 + 1e-3
+
+
 def test_measure_beam_contract():
     """measure() decision record (VERDICT r3 item 9): the beam reaching
     the sensor is LIVE — propagation grows coherence opl by the covered

@@ -95,6 +95,32 @@ def test_polvis_false_color():
     assert vis_s1[:, : W // 2].max() < 1e-6
 
 
+def test_depolarizer_collapse_equivalence():
+    """The static depolarizer collapse (stokes.py _S0_SEPARABLE_TYPES) must
+    be EXACT: on an all-diffuse scene the full [N,4,4,C] Mueller transport
+    and the collapsed scalar path produce the same Stokes image (same
+    sampler dims, same RR chain; S1..S3 identically zero)."""
+    from mitsuba3_plt_tpu.integrators.stokes import (
+        PolarizedPathIntegrator, depolarizer_collapse_ok,
+    )
+
+    scene, _ = cornell_box(16, 16)
+    assert depolarizer_collapse_ok(scene)
+    img_fast = np.asarray(
+        render(scene, StokesIntegrator().sample, seed=0, spp=8, cfg=RGB,
+               n_out_channels=15)
+    )
+    full = StokesIntegrator(inner=PolarizedPathIntegrator(force_full=True))
+    img_full = np.asarray(
+        render(scene, full.sample, seed=0, spp=8, cfg=RGB,
+               n_out_channels=15)
+    )
+    np.testing.assert_allclose(img_fast, img_full, rtol=2e-5, atol=1e-6)
+    # and a polarizing scene must NOT collapse
+    scene_d, _ = cornell_box(8, 8, box_material="dielectric")
+    assert not depolarizer_collapse_ok(scene_d)
+
+
 def test_path_scene_renders_under_polarized_variant():
     """A plain `path` scene under a polarized variant must transparently
     switch to Mueller transport (reference: the polarized Spectrum type
