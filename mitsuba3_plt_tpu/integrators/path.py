@@ -150,7 +150,9 @@ class PathIntegrator:
             # escaped -> environment
             escaped = active & ~si.valid
             if scene.env_emitter >= 0:
-                env_val = _to_channels(em_mod.eval_env(em, ray_d), cfg)
+                env_val = em_mod.env_value(
+                    em, scene.env_emitter, ray_d, cfg, wavelengths
+                )
                 # MIS vs the environment emitter's NEE pdf
                 env_pdf = jnp.where(
                     prev_delta, 0.0, em_mod.escape_pdf(em, ray_d)

@@ -50,7 +50,7 @@ from ..plt.coherence import Coherence, GeneralizedRadiance
 from ..scene import emitters as em_mod
 from .common import mis_weight
 from .path import _to_channels
-from .stokes import _unpol_stokes
+from .stokes import _unpol_stokes, _s_add, _s_scale, _s_stack
 
 
 @jax.tree_util.register_dataclass
@@ -153,8 +153,12 @@ class PLTIntegrator:
             bs = sd.bs
 
             # Russian roulette (plt.py:133-143)
-            w_max = jnp.max(weight if not cfg.polarized else weight[..., 0, 0, :],
-                            axis=-1)
+            w_max = jnp.max(
+                weight if not cfg.polarized else jnp.broadcast_to(
+                    weight.m00(), (n, C)
+                ),
+                axis=-1,
+            )
             rr_prob = jnp.minimum(jnp.maximum(w_max, 0.05), 0.95)
             rr_active = (b + 1) >= self.rr_depth
             u_rr = sampler.next_1d(bounce_dim(b, 6))
@@ -181,7 +185,7 @@ class PLTIntegrator:
                 wi=si.wi, mat_idx=si.mat_idx, emitter_idx=si.emitter_idx,
                 wo=bs.wo, bsdf_flags=bs.sampled_type, rr_rcp=rr_rcp,
                 bsdf_weight=(weight if not cfg.polarized
-                             else weight[..., 0, 0, :]),
+                             else jnp.broadcast_to(weight.m00(), (n, C))),
                 is_emitter=is_emitter, last_nd_pdf=last_nd_pdf,
                 lobe=sd.lobe, active=hit,
             )
@@ -233,29 +237,22 @@ class PLTIntegrator:
             )
             if cfg.polarized:
                 W_w = bsdfs.to_world_mueller(si, w, -bounce_j.wo, si.wi)
-                W_w = W_w * bounce_j.rr_rcp[..., None, None, None]
-                eye = jnp.broadcast_to(
-                    jnp.eye(4, dtype=jnp.float32)[None, :, :, None],
-                    (n, 4, 4, C),
-                )
-                return jnp.where(
-                    bounce_j.active[..., None, None, None], W_w, eye
-                )
+                W_w = mu.p_scale(W_w, bounce_j.rr_rcp[..., None])
+                eye = mu.MuellerP.identity().materialize(n, C)
+                return mu.p_where(bounce_j.active, W_w, eye)
             w = w * bounce_j.rr_rcp[..., None]
             return jnp.where(bounce_j.active[..., None], w, 1.0)
 
-        W = jax.vmap(weight_at)(bounces)  # [D, N, C] / [D, N, 4, 4, C]
+        W = jax.vmap(weight_at)(bounces)  # [D, N, C] / planar [D, N, C]x16
         # exclusive cumulative product: alpha[i] = prod_{j<i} W_j (camera-
         # first matrix order in the polarized case)
         if cfg.polarized:
-            eye0 = jnp.broadcast_to(
-                jnp.eye(4, dtype=jnp.float32)[None, :, :, None], (n, 4, 4, C)
-            )
+            eye0 = mu.MuellerP.identity().materialize(n, C)
 
             def chain(carry, Wj):
-                return mu.matmul_spectral(carry, Wj), carry
+                return mu.p_matmul(carry, Wj), carry
 
-            _, alpha = jax.lax.scan(chain, eye0, W)  # [D, N, 4, 4, C]
+            _, alpha = jax.lax.scan(chain, eye0, W)  # planar [D, N, C]x16
         else:
             cum = jnp.cumprod(W, axis=0)
             alpha = jnp.concatenate(
@@ -289,23 +286,27 @@ class PLTIntegrator:
         # the same fused kernels run for every prefix)
         def solve_body(L, xs):
             b_i, prev_p_i, prev_delta_i, alpha_i, i = xs
-            L = L + self._emissive_term(
+            em_t = self._emissive_term(
                 scene, b_i, prev_p_i, prev_delta_i, alpha_i, wavelengths, cfg
             )
-            L = L + self._nee_term(
+            nee_t = self._nee_term(
                 scene, sampler, b_i, i, alpha_i, wavelengths, cfg,
                 rgb_colour=rgb_colour,
             )
+            if cfg.polarized:
+                L = _s_add(L, _s_add(em_t, nee_t))
+            else:
+                L = L + em_t + nee_t
             return L, None
 
-        L0 = (jnp.zeros((n, 4, C), jnp.float32) if cfg.polarized
-              else jnp.zeros((n, C), jnp.float32))
+        L0 = (tuple(jnp.zeros((n, C), jnp.float32) for _ in range(4))
+              if cfg.polarized else jnp.zeros((n, C), jnp.float32))
         L, _ = jax.lax.scan(
             solve_body, L0,
             (bounces, prev_p, prev_delta, alpha,
              jnp.arange(D, dtype=jnp.uint32)),
         )
-        return L
+        return _s_stack(L, n, C) if cfg.polarized else L
 
     # ------------------------------------------------------------------
     def _emissive_term(self, scene, b_i, prev_p, prev_delta, alpha_i,
@@ -342,16 +343,21 @@ class PLTIntegrator:
             e_val = _to_channels(e_val, cfg)
         beam = self.source_beam(em, b_i, ds.d, ds.dist, e_val)
         if cfg.polarized:
-            S = mu.apply_stokes(alpha_i, _unpol_stokes(e_val))
-            contrib = S * mis_bsdf[..., None, None]
+            # planar: alpha_i @ (e, 0, 0, 0), masked + MIS-scaled
+            w = jnp.where(active & facing, mis_bsdf, 0.0)
+            S = _s_scale(
+                mu.p_apply(alpha_i, (e_val, None, None, None)), w
+            )
+            z = jnp.zeros((n, e_val.shape[-1]), jnp.float32)
             gr_in = GeneralizedRadiance(
-                L=contrib[:, 0, :], L1=contrib[:, 1, :],
-                L2=contrib[:, 2, :], L3=contrib[:, 3, :],
+                L=S[0] if S[0] is not None else z,
+                L1=S[1] if S[1] is not None else z,
+                L2=S[2] if S[2] is not None else z,
+                L3=S[3] if S[3] is not None else z,
                 coherence=beam.coherence,
             )
             gr_out = self.measure(beam, prev_p, gr_in)
-            contrib = gr_out.stokes()
-            return jnp.where((active & facing)[..., None, None], contrib, 0.0)
+            return (gr_out.L, gr_out.L1, gr_out.L2, gr_out.L3)
         contrib = e_val * alpha_i * mis_bsdf[..., None]
         # beam sourcing + measurement (coherence plumbing; radiometrically
         # the replayed contribution — see measure())
@@ -454,6 +460,8 @@ class PLTIntegrator:
         n = b_i.valid.shape[0]
         ctx = BSDFContext()
         if em.count == 0:
+            if cfg.polarized:
+                return (None, None, None, None)
             return jnp.zeros((n, cfg.n_channels), jnp.float32)
 
         smooth = (b_i.bsdf_flags & jnp.uint32(BSDFFlags.Smooth)) != 0
@@ -516,13 +524,15 @@ class PLTIntegrator:
             # full Mueller NEE (ref roughgrating.cpp:925-999 carries the
             # polarized Spectrum): rotate the local-basis Mueller to world
             # implicit bases and push the emitter Stokes through
-            # alpha @ (M @ S) — two matrix-vector applies.
+            # alpha @ (M @ S) — two planar matrix-vector applies.
             M_world = bsdfs.to_world_mueller(si, bsdf_val, -wo_local, si.wi)
-            S = _unpol_stokes(e_val / jnp.maximum(ds.pdf, 1e-20)[..., None])
-            contrib = mu.apply_stokes(
-                alpha_i, mu.apply_stokes(M_world, S)
-            ) * mis_em[..., None, None]
-            return jnp.where(vis[..., None, None], contrib, 0.0)
+            s0 = e_val / jnp.maximum(ds.pdf, 1e-20)[..., None]
+            return _s_scale(
+                mu.p_apply(
+                    alpha_i, mu.p_apply(M_world, (s0, None, None, None))
+                ),
+                jnp.where(vis, mis_em, 0.0),
+            )
         em_weight = e_val / jnp.maximum(ds.pdf, 1e-20)[..., None]
         contrib = em_weight * bsdf_val * alpha_i * mis_em[..., None]
         return jnp.where(vis[..., None], contrib, 0.0)
@@ -610,7 +620,9 @@ class PLTIntegrator:
 
             # Russian roulette (plt.py:133-143)
             w_max = jnp.max(
-                weight if not cfg.polarized else weight[..., 0, 0, :],
+                weight if not cfg.polarized else jnp.broadcast_to(
+                    weight.m00(), (n, C)
+                ),
                 axis=-1,
             )
             rr_prob = jnp.minimum(jnp.maximum(w_max, 0.05), 0.95)
@@ -632,7 +644,7 @@ class PLTIntegrator:
                 wi=si.wi, mat_idx=si.mat_idx, emitter_idx=si.emitter_idx,
                 wo=bs.wo, bsdf_flags=bs.sampled_type, rr_rcp=rr_rcp,
                 bsdf_weight=(weight if not cfg.polarized
-                             else weight[..., 0, 0, :]),
+                             else jnp.broadcast_to(weight.m00(), (n, C))),
                 is_emitter=is_emitter, last_nd_pdf=last_nd_pdf,
                 lobe=lobe, active=hit,
             )
@@ -641,13 +653,17 @@ class PLTIntegrator:
             prev_p_eff = jnp.where(
                 (b == 0), si.p + si.to_world(si.wi), prev_p
             )
-            L = L + self._emissive_term(
+            em_term = self._emissive_term(
                 scene, b_i, prev_p_eff, prev_delta, alpha, wl, cfg
             )
-            L = L + self._nee_term(
+            nee_term = self._nee_term(
                 scene, sampler, b_i, b, alpha, wl, cfg,
                 rgb_colour=rgb_colour,
             )
+            if cfg.polarized:
+                L = _s_add(L, _s_add(em_term, nee_term))
+            else:
+                L = L + em_term + nee_term
 
             # running replay weight (solve_phase weight_at)
             sd_w = wb.PLTSamplePhaseData(
@@ -668,11 +684,8 @@ class PLTIntegrator:
                 # world implicit bases and right-multiply (camera-first
                 # order, exactly the polarized path tracer's T chain)
                 W_world = bsdfs.to_world_mueller(si, w_rep, -bs.wo, si.wi)
-                W_world = W_world * rr_rcp[..., None, None, None]
-                alpha = jnp.where(
-                    hit[..., None, None, None],
-                    mu.matmul_spectral(alpha, W_world), alpha,
-                )
+                W_world = mu.p_scale(W_world, rr_rcp[..., None])
+                alpha = mu.p_where(hit, mu.p_matmul(alpha, W_world), alpha)
             else:
                 w_rep = w_rep * rr_rcp[..., None]
                 alpha = alpha * jnp.where(hit[..., None], w_rep, 1.0)
@@ -700,10 +713,8 @@ class PLTIntegrator:
             return carry, None
 
         if cfg.polarized:
-            alpha0 = jnp.broadcast_to(
-                jnp.eye(4, dtype=jnp.float32)[None, :, :, None], (n, 4, 4, C)
-            )
-            L0 = jnp.zeros((n, 4, C), jnp.float32)
+            alpha0 = mu.MuellerP.identity().materialize(n, C)
+            L0 = tuple(jnp.zeros((n, C), jnp.float32) for _ in range(4))
         else:
             alpha0 = jnp.ones((n, C), jnp.float32)
             L0 = jnp.zeros((n, C), jnp.float32)
@@ -718,7 +729,8 @@ class PLTIntegrator:
         carry0, _ = jax.lax.scan(
             body, carry0, jnp.arange(self.max_depth, dtype=jnp.uint32)
         )
-        return carry0[-1]
+        L = carry0[-1]
+        return _s_stack(L, n, C) if cfg.polarized else L
 
     # ------------------------------------------------------------------
     def sample_stokes(self, scene, sampler: Sampler, ray: Ray, wavelengths,

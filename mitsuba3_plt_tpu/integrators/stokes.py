@@ -33,34 +33,39 @@ from .common import mis_weight
 from .path import _to_channels
 
 
-def _mm_chain(T, M):
-    """Per-channel Mueller chain: T @ M, shapes [N, 4, 4, C].
-
-    Unrolled as 64 [N, C] vector FMAs instead of einsum: the dot_general
-    lowering batches over (n, c) with 4x4 contractions, forcing layout
-    transposes of the [N, 4, 4, C] operands in and out of the scan — the
-    explicit form stays a fused elementwise expression."""
-    rows = []
-    for i in range(4):
-        cols = []
-        for k in range(4):
-            acc = T[:, i, 0, :] * M[:, 0, k, :]
-            for j in range(1, 4):
-                acc = acc + T[:, i, j, :] * M[:, j, k, :]
-            cols.append(acc)
-        rows.append(jnp.stack(cols, axis=1))
-    return jnp.stack(rows, axis=1)
+def _s_add(a, b):
+    """Add two planar Stokes 4-tuples (None = structural zero)."""
+    return tuple(
+        y if x is None else (x if y is None else x + y) for x, y in zip(a, b)
+    )
 
 
-def _apply(T, s):
-    """T [N,4,4,C] @ s [N,4,C] -> [N,4,C] (unrolled, see _mm_chain)."""
-    rows = []
-    for i in range(4):
-        acc = T[:, i, 0, :] * s[:, 0, :]
-        for j in range(1, 4):
-            acc = acc + T[:, i, j, :] * s[:, j, :]
-        rows.append(acc)
-    return jnp.stack(rows, axis=1)
+def _s_scale(s, f):
+    """Scale a planar Stokes 4-tuple by [N] (broadcast over C)."""
+    fc = f[..., None]
+    return tuple(None if x is None else x * fc for x in s)
+
+
+def _s_where(mask, a, b):
+    mc = mask[..., None]
+    return tuple(
+        None if (x is None and y is None) else jnp.where(
+            mc,
+            jnp.zeros((), jnp.float32) if x is None else x,
+            jnp.zeros((), jnp.float32) if y is None else y,
+        )
+        for x, y in zip(a, b)
+    )
+
+
+def _s_stack(s, n, C):
+    """Planar Stokes 4-tuple -> stacked [N, 4, C]."""
+    return jnp.stack([
+        jnp.broadcast_to(
+            jnp.zeros((), jnp.float32) if x is None else x, (n, C)
+        )
+        for x in s
+    ], axis=1)
 
 
 def _unpol_stokes(value):
@@ -145,10 +150,8 @@ class PolarizedPathIntegrator:
         has_emitters = em.count > 0
         ctx = BSDFContext()
 
-        L = jnp.zeros((n, 4, C), jnp.float32)
-        T = jnp.broadcast_to(
-            jnp.eye(4, dtype=jnp.float32)[None, :, :, None], (n, 4, 4, C)
-        )
+        L = tuple(jnp.zeros((n, C), jnp.float32) for _ in range(4))
+        T = mu.MuellerP.identity().materialize(n, C)
         eta0 = jnp.ones((n,), jnp.float32)
         active = jnp.ones((n,), bool)
         prev_pdf = jnp.ones((n,), jnp.float32)
@@ -190,21 +193,28 @@ class PolarizedPathIntegrator:
                 )
                 if not cfg.spectral:
                     e_val = _to_channels(e_val, cfg)
-                S = _unpol_stokes(e_val)
                 w = jnp.where(hit_emitter, mis_bsdf, 0.0)
-                L = L + _apply(T, S) * w[:, None, None]
+                L = _s_add(
+                    L,
+                    _s_scale(mu.p_apply(T, (e_val, None, None, None)), w),
+                )
 
                 # escaped -> environment (parity with path.py)
                 escaped = active & ~si.valid
                 if scene.env_emitter >= 0:
-                    env_val = _to_channels(em_mod.eval_env(em, ray_d), cfg)
+                    env_val = em_mod.env_value(
+                        em, scene.env_emitter, ray_d, cfg, wavelengths
+                    )
                     env_pdf = jnp.where(
                         prev_delta, 0.0, em_mod.escape_pdf(em, ray_d)
                     )
                     mis_env = mis_weight(prev_pdf, env_pdf)
                     w_env = jnp.where(escaped, mis_env, 0.0)
-                    L = L + _apply(T, _unpol_stokes(env_val)) * (
-                        w_env[:, None, None]
+                    L = _s_add(
+                        L,
+                        _s_scale(
+                            mu.p_apply(T, (env_val, None, None, None)), w_env
+                        ),
                     )
 
             active_next = hit & (b + 1 < self.max_depth)
@@ -246,14 +256,14 @@ class PolarizedPathIntegrator:
                 )
                 if not cfg.spectral:
                     e_val = _to_channels(e_val, cfg)
-                S = _unpol_stokes(e_val)
                 # associativity: T @ (M @ S) — two matrix-VECTOR applies
-                # (32 FMAs, [N,4,C] temporaries) instead of materializing
-                # the [N,4,4,C] product per NEE bounce
-                contrib = _apply(T, _apply(M_world, S)) * (
-                    mis_em / jnp.maximum(ds.pdf, 1e-20)
-                )[:, None, None]
-                L = L + jnp.where(vis[:, None, None], contrib, 0.0)
+                contrib = _s_scale(
+                    mu.p_apply(
+                        T, mu.p_apply(M_world, (e_val, None, None, None))
+                    ),
+                    jnp.where(vis, mis_em / jnp.maximum(ds.pdf, 1e-20), 0.0),
+                )
+                L = _s_add(L, contrib)
 
             # ---- BSDF sampling ----------------------------------------
             u1 = sampler.next_1d(bounce_dim(b, 0))
@@ -263,14 +273,14 @@ class PolarizedPathIntegrator:
                 ctx, cfg, wavelengths,
             )
             W_world = world_mueller(si, weight, bs.wo)
-            T_next = _mm_chain(T, W_world)
+            T_next = mu.p_matmul(T, W_world)
             eta_next = eta * bs.eta
             wo_world = si.to_world(bs.wo)
             new_o = si.p + si.n * jnp.where(
                 fr.dot(wo_world, si.n) >= 0, mth.RayEpsilon, -mth.RayEpsilon
             )[..., None]
 
-            thr = jnp.abs(T_next[:, 0, 0, :]).max(axis=-1)
+            thr = jnp.abs(T_next.m00()).max(axis=-1)
             active_next = active_next & ok & (bs.pdf > 0) & (thr > 0)
 
             # ---- Russian roulette (eta^2-corrected, parity with path.py)
@@ -281,14 +291,13 @@ class PolarizedPathIntegrator:
             rr_scale = jnp.where(
                 rr_active, 1.0 / jnp.maximum(rr_prob, 1e-6), 1.0
             )
-            T_next = T_next * rr_scale[:, None, None, None]
+            T_next = mu.p_scale(T_next, rr_scale[:, None])
             active_next = active_next & rr_continue
 
             is_delta = (bs.sampled_type & jnp.uint32(BSDFFlags.Delta)) != 0
-            sel = active_next[:, None, None, None]
             carry = (
                 new_o, wo_world, L,
-                jnp.where(sel, T_next, T),
+                mu.p_where(active_next, T_next, T),
                 jnp.where(active_next, eta_next, eta),
                 active_next,
                 jnp.where(active_next, bs.pdf, prev_pdf),
@@ -302,7 +311,7 @@ class PolarizedPathIntegrator:
         carry, _ = jax.lax.scan(
             body, carry, jnp.arange(self.max_depth, dtype=jnp.uint32)
         )
-        return carry[2]
+        return _s_stack(carry[2], n, C)
 
 
 @dataclasses.dataclass(frozen=True)

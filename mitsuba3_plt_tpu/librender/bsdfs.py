@@ -5,11 +5,14 @@ parameter dicts, operating in the local shading frame (z-up, wi/wo point away
 from the surface). `sample` returns (BSDFSample, weight) where weight is
 f*cos/pdf — the same contract as the reference (bsdf.h sample()).
 
-Value shapes: unpolarized [N, C]; polarized [N, 4, 4, C] Mueller stacks whose
-implicit Stokes bases follow the reference convention (light travels
+Value shapes: unpolarized [N, C]; polarized values are PLANAR Mueller stacks
+(mueller.MuellerP: 16 row-major [N, C] planes with None = structural zero)
+whose implicit Stokes bases follow the reference convention (light travels
 -wo_hat -> +wi_hat, bases = stokes_basis of those local directions; cf.
 src/bsdfs/conductor.cpp:270-305) — converted to world bases by the caller via
-`to_world_mueller`.
+`to_world_mueller`. Planar instead of [N, 4, 4, C]: every jnp.stack lowers
+to a materializing XLA concatenate (~4 GB/bounce of HBM traffic at a 500k
+polarized wavefront, measured round 5); planes fuse.
 """
 from __future__ import annotations
 
@@ -129,35 +132,38 @@ def depolarized(value, cfg: RenderConfig):
     """Lift an unpolarized [N, C] value to the configured representation."""
     if not cfg.polarized:
         return value
-    out = jnp.zeros((*value.shape[:-1], 4, 4, value.shape[-1]), value.dtype)
-    return out.at[..., 0, 0, :].set(value)
+    return mu.MuellerP.depolarizer(value)
 
 
 def mueller_from_unpolarized(mueller_nc, cfg):
-    """[N, C, 4, 4] -> [N, 4, 4, C]."""
-    return jnp.moveaxis(mueller_nc, -3, -1)
+    """[N, C, 4, 4] stacked -> planar MuellerP."""
+    return mu.MuellerP(m=tuple(
+        mueller_nc[..., i, j] for i in range(4) for j in range(4)
+    ))
 
 
 def mul_value(a, b_unpol, cfg: RenderConfig):
     """Multiply a (possibly Mueller) value by an unpolarized [N, C] factor."""
     if cfg.polarized:
-        return a * b_unpol[..., None, None, :]
+        return mu.p_scale(a, b_unpol)
     return a * b_unpol
 
 
 def zeros_value(n, cfg: RenderConfig):
     if cfg.polarized:
-        return jnp.zeros((n, 4, 4, cfg.n_channels), jnp.float32)
+        return mu.MuellerP.zero()
     return jnp.zeros((n, cfg.n_channels), jnp.float32)
 
 
 def where_value(mask, a, b, cfg: RenderConfig):
     if cfg.polarized:
-        return jnp.where(mask[..., None, None, None], a, b)
+        return mu.p_where(mask, a, b)
     return jnp.where(mask[..., None], a, b)
 
 
 def add_value(a, b, cfg: RenderConfig):
+    if cfg.polarized:
+        return mu.p_padd(a, b)
     return a + b
 
 
@@ -180,14 +186,15 @@ def _bitmap_bilinear(tex_stack, ti, uv):
     )
 
 
-def _spec_reflect_mueller(wo_hat, wi_hat, cos_theta_mueller_fn, normal, cfg):
+def _spec_reflect_mueller(wo_hat, wi_hat, mueller_fn, normal, cfg):
     """Shared polarized specular-reflection assembly in the local frame.
 
-    `cos_theta_mueller_fn(ct)` builds [N, C, 4, 4] reflection matrices;
+    `mueller_fn()` builds the planar reflection MuellerP ([N, C] planes);
     normal is the (local) reflection normal (z or microfacet normal m).
-    Implements the reference's basis alignment (conductor.cpp:270-305).
+    Implements the reference's basis alignment (conductor.cpp:270-305),
+    entirely in planar form (no [N, 4, 4, C] stacks materialize).
     """
-    M = cos_theta_mueller_fn()  # [N, C, 4, 4]
+    M = mueller_fn()  # MuellerP
 
     s_axis_in = jnp.cross(normal, -wo_hat)
     s_axis_out = jnp.cross(normal, wi_hat)
@@ -198,52 +205,28 @@ def _spec_reflect_mueller(wo_hat, wi_hat, cos_theta_mueller_fn, normal, cfg):
     s_axis_in = jnp.where(degenerate[..., None], fallback, fr.normalize(s_axis_in))
     s_axis_out = jnp.where(degenerate[..., None], fallback, fr.normalize(s_axis_out))
 
-    R_in = mu.rotate_stokes_basis(-wo_hat, s_axis_in, mu.stokes_basis(-wo_hat))
-    R_out = mu.rotate_stokes_basis(wi_hat, s_axis_out, mu.stokes_basis(wi_hat))
-    # [N,4,4] x [N,C,4,4] x [N,4,4]^T, broadcast over C — unrolled (the
-    # dot_general lowering transposes the [N,C,4,4] stack; see
-    # mueller.matmul_spectral)
-    MR = jnp.stack([
-        jnp.stack([
-            sum(M[..., :, j, k] * R_in[..., None, l, k] for k in range(4))
-            for l in range(4)
-        ], axis=-1)
-        for j in range(4)
-    ], axis=-2)  # [N, C, 4(j), 4(l)] = M @ R_in^T
-    Mr = jnp.stack([
-        jnp.stack([
-            sum(R_out[..., None, i, j] * MR[..., j, l] for j in range(4))
-            for l in range(4)
-        ], axis=-1)
-        for i in range(4)
-    ], axis=-2)  # [N, C, 4(i), 4(l)]
-    return mueller_from_unpolarized(Mr, cfg)  # [N, 4, 4, C]
+    R_in = mu.p_rotate_stokes_basis(
+        -wo_hat, s_axis_in, mu.stokes_basis(-wo_hat)
+    )
+    R_out = mu.p_rotate_stokes_basis(
+        wi_hat, s_axis_out, mu.stokes_basis(wi_hat)
+    )
+    return mu.p_matmul(R_out, mu.p_matmul(M, mu.p_transpose(R_in)))
 
 
 def to_world_mueller(si, M, in_forward_local, out_forward_local):
-    """Rotate a local-basis Mueller stack [N,4,4,C] to world implicit bases."""
+    """Rotate a local-basis planar MuellerP to world implicit bases."""
     in_fwd_w = si.to_world(in_forward_local)
     out_fwd_w = si.to_world(out_forward_local)
     in_basis_cur = si.to_world(mu.stokes_basis(in_forward_local))
     out_basis_cur = si.to_world(mu.stokes_basis(out_forward_local))
-    R_in = mu.rotate_stokes_basis(in_fwd_w, in_basis_cur, mu.stokes_basis(in_fwd_w))
-    R_out = mu.rotate_stokes_basis(out_fwd_w, out_basis_cur, mu.stokes_basis(out_fwd_w))
-    # unrolled R_out @ M @ R_in^T over the trailing channel axis (see
-    # mueller.matmul_spectral for why not einsum)
-    MR = jnp.stack([
-        jnp.stack([
-            sum(M[..., j, k, :] * R_in[..., l, k, None] for k in range(4))
-            for l in range(4)
-        ], axis=-2)
-        for j in range(4)
-    ], axis=-3)  # [..., 4(j), 4(l), C]
-    return jnp.stack([
-        jnp.stack([
-            sum(R_out[..., i, j, None] * MR[..., j, l, :] for j in range(4))
-            for l in range(4)
-        ], axis=-2)
-        for i in range(4)
-    ], axis=-3)  # [..., 4(i), 4(l), C]
+    R_in = mu.p_rotate_stokes_basis(
+        in_fwd_w, in_basis_cur, mu.stokes_basis(in_fwd_w)
+    )
+    R_out = mu.p_rotate_stokes_basis(
+        out_fwd_w, out_basis_cur, mu.stokes_basis(out_fwd_w)
+    )
+    return mu.p_matmul(R_out, mu.p_matmul(M, mu.p_transpose(R_in)))
 
 
 # ---------------------------------------------------------------------------
@@ -344,9 +327,9 @@ class Conductor:
             ct = fr.cos_theta(wo_hat)
 
             def build():
-                return mu.specular_reflection_conductor(
+                return mu.p_specular_reflection_conductor(
                     ct[..., None], eta_re, eta_im
-                )  # [N, C, 4, 4]
+                )  # planar [N, C] planes
 
             normal = jnp.broadcast_to(
                 jnp.asarray([0.0, 0.0, 1.0], jnp.float32), wo.shape
@@ -384,7 +367,7 @@ class RoughConductor:
             ct = fr.dot(wo_hat, mvec)
 
             def build():
-                return mu.specular_reflection_conductor(
+                return mu.p_specular_reflection_conductor(
                     ct[..., None], eta_re, eta_im
                 )
 
@@ -493,17 +476,20 @@ class Dielectric:
             wo_hat = wo if ctx.mode == TransportMode.Radiance else si.wi
             wi_hat = si.wi if ctx.mode == TransportMode.Radiance else wo
             ct_hat = fr.cos_theta(wo_hat)
-            MR = mu.specular_reflection_dielectric(ct_hat[..., None], eta[..., None])
-            MT = mu.specular_transmission(ct_hat[..., None], eta[..., None])
-            Msel = jnp.where(sel_reflect[..., None, None, None], MR, MT)  # [N,1,4,4]
+            MR = mu.p_specular_reflection_dielectric(
+                ct_hat[..., None], eta[..., None]
+            )
+            MT = mu.p_specular_transmission(ct_hat[..., None], eta[..., None])
+            Msel = mu.p_where(sel_reflect, MR, MT)
             # weight contract is f/pdf: divide the Mueller by the detached
             # lobe probability (reference dielectric.cpp:335-337
             # `weight = select(selected_r, R, T) / bs.pdf`) — the scalar
             # branch below cancels F analytically; without this division
             # the polarized S0 was F (resp. 1-F) times too dark
             pdf_det = jax.lax.stop_gradient(pdf)
-            Msel = Msel / jnp.maximum(pdf_det, 1e-6)[..., None, None, None]
-            Msel = jnp.broadcast_to(Msel, (n, cfg.n_channels, 4, 4))
+            Msel = mu.p_scale(
+                Msel, (1.0 / jnp.maximum(pdf_det, 1e-6))[..., None]
+            )
             normal = jnp.broadcast_to(
                 jnp.asarray([0.0, 0.0, 1.0], jnp.float32), wo.shape
             )
@@ -559,13 +545,7 @@ class Null:
         )
         one = jnp.ones((n, cfg.n_channels), jnp.float32)
         # identity mueller for pass-through (not depolarizing!)
-        if cfg.polarized:
-            val = jnp.broadcast_to(
-                jnp.eye(4, dtype=jnp.float32)[None, :, :, None],
-                (n, 4, 4, cfg.n_channels),
-            )
-        else:
-            val = one
+        val = mu.MuellerP.identity() if cfg.polarized else one
         return bs, val, jnp.ones((n,), bool)
 
     @staticmethod
@@ -1562,10 +1542,13 @@ class MeasuredPolarized:
         from . import measured_polarized as mp_mod
 
         tab = p["_mpol"]
-        return mp_mod.eval_pbsdf(
+        val = mp_mod.eval_pbsdf(
             tab, si.wi, wo, ctx.mode == TransportMode.Radiance, cfg,
             wavelengths,
         )
+        # eval_pbsdf keeps its public stacked [N, 4, 4, C] contract; the
+        # dispatch layer trades in planar MuellerP values
+        return mu.MuellerP.from_stack(val) if cfg.polarized else val
 
     @staticmethod
     def pdf(p, si, wo, ctx, cfg):
@@ -1699,8 +1682,7 @@ class Polarizer:
         refl = eval_color(p, "base_color", cfg, wavelengths)  # transmittance
         if cfg.polarized:
             M = mu.rotated_element(theta, mu.linear_polarizer(jnp.ones_like(theta)))
-            M = jnp.broadcast_to(M[..., None], (n, 4, 4, cfg.n_channels))
-            value = mul_value(M, refl, cfg)
+            value = mul_value(mu.MuellerP.from_stack(M), refl, cfg)
         else:
             value = 0.5 * refl
         bs = BSDFSample(
@@ -1731,8 +1713,7 @@ class Retarder:
         refl = eval_color(p, "base_color", cfg, wavelengths)
         if cfg.polarized:
             M = mu.rotated_element(theta, mu.linear_retarder(delta))
-            M = jnp.broadcast_to(M[..., None], (n, 4, 4, cfg.n_channels))
-            value = mul_value(M, refl, cfg)
+            value = mul_value(mu.MuellerP.from_stack(M), refl, cfg)
         else:
             value = refl
         bs = BSDFSample(
@@ -1770,8 +1751,7 @@ class CircularPolarizer:
                 mu.right_circular_polarizer((n,)),
                 mu.left_circular_polarizer((n,)),
             )
-            M = jnp.broadcast_to(M[..., None], (n, 4, 4, cfg.n_channels))
-            value = mul_value(M, refl, cfg)
+            value = mul_value(mu.MuellerP.from_stack(M), refl, cfg)
         else:
             value = 0.5 * refl
         bs = BSDFSample(
@@ -1819,8 +1799,9 @@ class PPlastic:
             wo_hat = wo if ctx.mode == TransportMode.Radiance else si.wi
             wi_hat = si.wi if ctx.mode == TransportMode.Radiance else wo
             ct_hat = fr.cos_theta(wo_hat)
-            MR = mu.specular_reflection_dielectric(ct_hat[..., None], eta[..., None])
-            MR = jnp.broadcast_to(MR, (n, cfg.n_channels, 4, 4))
+            MR = mu.p_specular_reflection_dielectric(
+                ct_hat[..., None], eta[..., None]
+            )
             normal = jnp.broadcast_to(
                 jnp.asarray([0.0, 0.0, 1.0], jnp.float32), wo.shape
             )

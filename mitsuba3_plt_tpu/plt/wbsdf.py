@@ -568,20 +568,19 @@ def wbsdf_weight(mat: MaterialTable, midx, si, wo, sd, ctx, cfg):
                 wo_hat = wo_eff if radiance else si_eff.wi
                 wi_hat = si_eff.wi if radiance else wo_eff
                 ct_hat = fr.cos_theta(wo_hat)
-                MR = mu.specular_reflection_dielectric(
+                MR = mu.p_specular_reflection_dielectric(
                     ct_hat[..., None], eta[..., None]
                 )
-                MT = mu.specular_transmission(
+                MT = mu.p_specular_transmission(
                     ct_hat[..., None], eta[..., None]
                 )
-                Msel = jnp.where(is_reflect[..., None, None, None], MR, MT)
+                Msel = mu.p_where(is_reflect, MR, MT)
                 pdf_det = jax.lax.stop_gradient(
                     jnp.where(is_reflect, F, 1.0 - F)
                 )
-                Msel = Msel / jnp.maximum(
-                    pdf_det, 1e-6
-                )[..., None, None, None]
-                Msel = jnp.broadcast_to(Msel, (n, cfg.n_channels, 4, 4))
+                Msel = mu.p_scale(
+                    Msel, (1.0 / jnp.maximum(pdf_det, 1e-6))[..., None]
+                )
                 normal = jnp.broadcast_to(
                     jnp.asarray([0.0, 0.0, 1.0], jnp.float32), wo_eff.shape
                 )

@@ -448,6 +448,23 @@ def eval_emitter_spectral(em: EmitterTable, e_idx, wavelengths, active):
     return jnp.where((active & (e_idx >= 0))[..., None], out, 0.0)
 
 
+def env_value(em: EmitterTable, env_idx: int, d, cfg, wavelengths):
+    """Environment radiance for escaped rays in the active representation
+    [N, C] — the spectral twin of `eval_env` (same per-emitter curve as
+    emitter_value, so the BSDF-hit and NEE env estimators agree)."""
+    rgb = eval_env(em, d)
+    if not cfg.spectral or wavelengths is None:
+        return rgb
+    from ..core import spectrum as spec
+
+    n = d.shape[0]
+    e_idx = jnp.full((n,), env_idx, jnp.int32)
+    base = spec.luminance_rgb(em.radiance[env_idx])
+    factor = spec.luminance_rgb(rgb) / jnp.maximum(base, 1e-20)
+    act = jnp.ones((n,), bool)
+    return eval_emitter_spectral(em, e_idx, wavelengths, act) * factor[..., None]
+
+
 def escape_pdf(em: EmitterTable, d):
     """NEE pdf of the environment emitter (constant or envmap) producing
     direction d — the MIS counterpart for escaped rays."""
