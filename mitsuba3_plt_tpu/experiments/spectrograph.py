@@ -173,6 +173,64 @@ def render_srf_binned(scene, integ, spp: int, seed: int = 0,
     return np.asarray(img).reshape(height, width).mean(0)  # [width = S]
 
 
+def render_interferogram(scene, integ, spp: int, seed: int = 0,
+                         cfg: RenderConfig = SPECTRAL):
+    """Coherent-summation render through the PhasorImageBlock (the
+    reference's unfinished phasor film, phasorimageblock.h:14-81, completed
+    per its documented intent): every path sample contributes a complex
+    phasor  sqrt(L_c) * exp(i * 2pi * opl / lambda_c)  where opl is the
+    sample's geometric path length from the two-phase bounce buffer, so
+    equal-OPL path families interfere in the film. Returns
+    (intensity [H, W, C], incoherent [H, W, C]) — the incoherent image is
+    the same samples splat as |a|^2 (phase ignored), the classic film
+    limit; fringes appear only in the coherent image."""
+    from ..librender.phasor import PhasorImageBlock
+    from ..librender.records import Ray as _Ray
+
+    width, height = scene.sensor.resolution
+    n = width * height * spp
+
+    @jax.jit
+    def run(seed_):
+        sampler = Sampler.create(0, n)
+        sampler = dataclasses.replace(
+            sampler, seed=jnp.asarray(seed_, jnp.uint32)
+        )
+        lane = jnp.arange(n, dtype=jnp.uint32)
+        pix = (lane // spp).astype(jnp.uint32)
+        px = (pix % width).astype(jnp.float32)
+        py = (pix // width).astype(jnp.float32)
+        jitter = sampler.next_2d(0)
+        uv = jnp.stack(
+            [(px + jitter[..., 0]) / width, (py + jitter[..., 1]) / height],
+            axis=-1,
+        )
+        o, d = scene.sensor.sample_ray(uv)
+        ray = _Ray.create(o, d)
+
+        bounces, wl = integ.sample_phase(scene, sampler, ray, cfg)
+        L = integ.solve_phase(scene, sampler, bounces, wl, cfg)  # [n, C]
+
+        # geometric path length of the sampled chain: sum of active-bounce
+        # hit distances (the opl the PLT Coherence state propagates)
+        opl = jnp.sum(
+            jnp.where(bounces.active, bounces.t, 0.0), axis=0
+        )  # [n]
+        amp = jnp.sqrt(jnp.maximum(L, 0.0))
+        phase = (2.0 * jnp.pi) * (opl[:, None] * 1e9) / jnp.maximum(wl, 1e-3)
+
+        blk = PhasorImageBlock.create(width, height, cfg.n_channels)
+        blk = blk.put(uv, amp, phase)
+        # incoherent reference: sum |a|^2 (splat a^2 as the "amplitude" and
+        # read the weight-normalized accumulation)
+        blk0 = PhasorImageBlock.create(width, height, cfg.n_channels)
+        blk0 = blk0.put(uv, amp * amp, jnp.zeros_like(phase))
+        return blk.develop_intensity(), blk0.develop_amplitude()
+
+    coh, inc = run(seed)
+    return np.asarray(coh), np.asarray(inc)
+
+
 def run_spectrograph(n_sensors: int = 16, spp: int = 2048, seed: int = 0,
                      spectrum: Dict | None = None, truth: Callable = None):
     """Full experiment (reference render_spectrograph.py:115-174).
