@@ -327,10 +327,16 @@ class StokesIntegrator:
     inner: Any = None
     forward_basis: bool = True
     n_out_channels: int = 15
+    # byte-compatible 16-channel layout [R, G, B, A, S0..S3] — what the
+    # reference's polvis consumers assert (16-channel EXR, alpha at ch 3,
+    # S0 at 4:7; src/python/python/polvis.py:16)
+    compat16: bool = False
 
     def __post_init__(self):
         if self.inner is None:
             object.__setattr__(self, "inner", PolarizedPathIntegrator())
+        if self.compat16:
+            object.__setattr__(self, "n_out_channels", 16)
 
     def sample(self, scene, sampler: Sampler, ray: Ray, wavelengths,
                cfg: RenderConfig):
@@ -361,7 +367,13 @@ class StokesIntegrator:
 
         rgb = S[:, 0, :]
         n = ray.o.shape[0]
-        out = jnp.concatenate(
-            [rgb, S.reshape(n, 4 * S.shape[-1])], axis=-1
-        )
+        if self.compat16:
+            alpha = jnp.ones((n, 1), jnp.float32)
+            out = jnp.concatenate(
+                [rgb, alpha, S.reshape(n, 4 * S.shape[-1])], axis=-1
+            )
+        else:
+            out = jnp.concatenate(
+                [rgb, S.reshape(n, 4 * S.shape[-1])], axis=-1
+            )
         return out, jnp.ones((n,), bool)

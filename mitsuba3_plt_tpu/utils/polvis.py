@@ -12,11 +12,20 @@ import numpy as np
 
 
 def split_stokes(img: np.ndarray):
-    """[H, W, >=15] stokes-AOV image -> (rgb, s0, s1, s2, s3) with
-    [H, W, 3] each (reference stokes.cpp AOV ordering)."""
+    """Stokes-AOV image -> (rgb, s0, s1, s2, s3) with [H, W, 3] each.
+
+    Accepts BOTH layouts: the native 15-channel [rgb, S0..S3] of
+    integrators/stokes.py and the reference's 16-channel EXR layout
+    [R, G, B, A, S0..S3] that its polvis consumers assert
+    (src/python/python/polvis.py:16, s0 at channels 4:7)."""
     img = np.asarray(img)
-    if img.shape[-1] < 15:
-        raise ValueError(f"need >= 15 channels, got {img.shape[-1]}")
+    ch = img.shape[-1]
+    if ch == 16:
+        rgb = img[..., 0:3]
+        s = [img[..., 4 + 3 * i : 7 + 3 * i] for i in range(4)]
+        return (rgb, *s)
+    if ch < 15:
+        raise ValueError(f"need >= 15 channels, got {ch}")
     rgb = img[..., 0:3]
     s = [img[..., 3 + 3 * i : 6 + 3 * i] for i in range(4)]
     return (rgb, *s)

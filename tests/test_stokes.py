@@ -95,6 +95,26 @@ def test_polvis_false_color():
     assert vis_s1[:, : W // 2].max() < 1e-6
 
 
+def test_compat16_layout():
+    """StokesIntegrator(compat16=True) emits the reference's 16-channel
+    layout [R, G, B, A, S0..S3] (polvis.py:16 asserts 16 channels, S0 at
+    4:7) and polvis.split_stokes auto-detects it."""
+    from mitsuba3_plt_tpu.utils.polvis import split_stokes
+
+    scene, _ = cornell_box(8, 8)
+    integ = StokesIntegrator(compat16=True)
+    assert integ.n_out_channels == 16
+    img = np.asarray(
+        render(scene, integ.sample, seed=0, spp=4, cfg=RGB,
+               n_out_channels=16)
+    )
+    assert img.shape[-1] == 16
+    np.testing.assert_allclose(img[..., 3], 1.0)  # alpha
+    rgb, s0, s1, s2, s3 = split_stokes(img)
+    np.testing.assert_allclose(s0, img[..., 4:7])
+    np.testing.assert_allclose(rgb, s0, rtol=1e-5, atol=1e-6)
+
+
 def test_depolarizer_collapse_equivalence():
     """The static depolarizer collapse (stokes.py _S0_SEPARABLE_TYPES) must
     be EXACT: on an all-diffuse scene the full [N,4,4,C] Mueller transport
