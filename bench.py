@@ -271,12 +271,13 @@ def bench_gratings_polarized():
     )
     integ = PLTIntegrator(max_depth=6, rr_depth=4)
     stats = {}
-    # polarized wave path: Mueller-valued wbsdf weights — keep the
-    # wavefront at 480k lanes (1 spp/pass)
+    # polarized wave path: FULL Mueller chain through the wave BSDF
+    # (round 5 — no more (0,0) truncation); planar Mueller planes keep the
+    # 960k-lane wavefront (2 spp/pass) comfortable
     np.asarray(
         mi.render(
             (scene, meta), integrator=integ, spp=16, seed=0,
-            cfg=RGB_POLARIZED, stats=stats, spp_per_pass=1,
+            cfg=RGB_POLARIZED, stats=stats, spp_per_pass=2,
         )
     )
     spp_pass = stats["spp_done"] // stats["passes_done"]

@@ -32,6 +32,7 @@ correct for any parameterization that moves coincident soup rows together
 """
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 from typing import Any, Dict
 
@@ -356,6 +357,296 @@ def nee_boundary_grad(
         )
         out = {k: out[k] + g[k] for k in out}
     return out
+
+
+def area_nee_boundary_grad(
+    scene,
+    grad_image,
+    key: int | Any = 0,
+    n_samples: int = 1 << 14,
+    cfg: RenderConfig = RenderConfig(),
+    delta_px: float = 0.8,
+):
+    """Penumbra (area-light shadow-boundary) cotangents for
+    d(loss)/d(vertex rows) — the term the reference's PSIntegrator +
+    guiding machinery estimates (src/python/python/ad/integrators/
+    common.py:785-1298, ad/guiding.py), reformulated without guiding as a
+    fixed-shape (edge point, emitter point) pair sampler:
+
+    For a FIXED emitter point e on the area light, the moving occluder
+    edge sweeps a sharp visibility discontinuity whose radiance jump is
+    the closed-form single-point direct term
+        delta(y; e) = f(y; w_cam, w_e) * Le * cos(theta_e) / r^2
+    (no probe renders needed — unlike the point-light estimator, the
+    penumbra is smooth in screen space, so probing total radiance would
+    measure nothing). The lit/shadow orientation of the projected curve is
+    resolved with two shadow rays from y +- delta on the receiver plane;
+    velocities pull back through the analytic e->x->receiver-plane
+    extension exactly as in the point-light case.
+
+    Samples ALL area emitters (emitter chosen per-sample by area).
+    Returns {geo.tri_p0/1/2: [F, 3]} cotangents (zero without area lights).
+    FD-validated by tests/test_projective.py::test_area_penumbra_grad_vs_fd.
+    """
+    from ..librender import bsdfs as bsdfs_mod
+    from ..librender.bsdf import BSDFContext
+    from ..scene.emitters import EMITTER_AREA
+
+    em = scene.emitters
+    geo = scene.geo
+    F = geo.tri_p0.shape[0]
+    zeros = {
+        "geo.tri_p0": jnp.zeros((F, 3), jnp.float32),
+        "geo.tri_p1": jnp.zeros((F, 3), jnp.float32),
+        "geo.tri_p2": jnp.zeros((F, 3), jnp.float32),
+    }
+    etype = np.asarray(em.etype)
+    area_em = np.where(etype == EMITTER_AREA)[0]
+    area_em = [
+        int(i) for i in area_em if float(np.asarray(em.area)[i]) > 0
+    ]
+    if not area_em:
+        return zeros
+
+    sensor = scene.sensor
+    wpx, hpx = sensor.resolution
+    tri_p = (geo.tri_p0, geo.tri_p1, geo.tri_p2)
+    ed = _edges_for(scene)
+
+    a_face = jnp.asarray(ed["a_face"])
+    a_corner = jnp.asarray(ed["a_corner"])
+    b_face = jnp.asarray(ed["b_face"])
+    b_corner = jnp.asarray(ed["b_corner"])
+    f1 = jnp.asarray(ed["f1"])
+    f2 = jnp.asarray(ed["f2"])
+
+    def corner_pos(face, corner):
+        stacked = jnp.stack([p[face] for p in tri_p], axis=0)
+        return jnp.take_along_axis(
+            stacked, corner[None, :, None].astype(jnp.int32), axis=0
+        )[0]
+
+    pa_all = corner_pos(a_face, a_corner)
+    pb_all = corner_pos(b_face, b_corner)
+    # exclude edges that belong to an emitter mesh: those are the light's
+    # own silhouette (a different, emitter-side term), and the analytic
+    # extension degenerates for them
+    on_emitter = (geo.tri_emitter[f1] >= 0) | (
+        geo.tri_emitter[jnp.maximum(f2, 0)] >= 0
+    )
+    elen = jnp.where(
+        on_emitter, 0.0, jnp.linalg.norm(pb_all - pa_all, axis=-1)
+    )
+    cum = jnp.cumsum(elen)
+    total_len = cum[-1]
+
+    sampler = Sampler.create(int(key), n_samples)
+    r_e = sampler.next_1d(0)
+    r_u = sampler.next_1d(1)
+    e_idx = jnp.clip(
+        jnp.searchsorted(cum, r_e * total_len), 0, elen.shape[0] - 1
+    ).astype(jnp.int32)
+    u = r_u
+
+    pa = pa_all[e_idx]
+    pb = pb_all[e_idx]
+    x = pa + (pb - pa) * u[:, None]
+
+    # ---- emitter point: pick an area emitter by area, then a triangle by
+    # its cdf, then a uniform barycentric point --------------------------
+    areas = np.asarray([float(np.asarray(em.area)[i]) for i in area_em])
+    probs = areas / areas.sum()
+    u_sel = sampler.next_1d(2)
+    cdf_sel = jnp.asarray(np.cumsum(probs), jnp.float32)
+    which = jnp.clip(
+        jnp.searchsorted(cdf_sel, u_sel), 0, len(area_em) - 1
+    ).astype(jnp.int32)
+    ei_arr = jnp.asarray(np.asarray(area_em, np.int32))[which]  # [N]
+
+    u_tri = sampler.next_1d(3)
+    tri_cdf = em.tri_cdf[ei_arr]                    # [N, maxT]
+    ti = jnp.clip(
+        jnp.sum((tri_cdf < u_tri[:, None]).astype(jnp.int32), axis=-1),
+        0, tri_cdf.shape[-1] - 1,
+    )
+    f_e = em.tri_idx[ei_arr, ti]                    # [N] face index
+    f_e = jnp.maximum(f_e, 0)
+    ub = sampler.next_2d(4)
+    b1 = ub[:, 0]
+    b2 = ub[:, 1]
+    fold = b1 + b2 > 1.0
+    b1 = jnp.where(fold, 1.0 - b1, b1)
+    b2 = jnp.where(fold, 1.0 - b2, b2)
+    e_pt = (
+        geo.tri_p0[f_e]
+        + b1[:, None] * (geo.tri_p1[f_e] - geo.tri_p0[f_e])
+        + b2[:, None] * (geo.tri_p2[f_e] - geo.tri_p0[f_e])
+    )
+    n_e = geo.face_n[f_e]
+    # per-sample reciprocal pdf over the joint (emitter, point) measure:
+    # pdf = (area_i / sum) * (1 / area_i) = 1 / sum(areas)
+    inv_pdf_e = jnp.float32(areas.sum())
+    Le = em.radiance[ei_arr]                        # [N, 3]
+
+    # ---- silhouette w.r.t. the sampled emitter point -------------------
+    lview = x - e_pt
+    fn = geo.face_n
+    s1 = jnp.sum(fn[f1[e_idx]] * lview, axis=-1)
+    f2e = f2[e_idx]
+    s2 = jnp.sum(fn[jnp.maximum(f2e, 0)] * lview, axis=-1)
+    sil = jnp.where(f2e >= 0, s1 * s2 < 0.0, True)
+
+    ldist = jnp.linalg.norm(lview, axis=-1)
+    ldir = lview / jnp.maximum(ldist, 1e-9)[:, None]
+    cos_e = jnp.sum(n_e * ldir, axis=-1)  # emission side: cos > 0
+    occ_l = scene.ray_test(
+        Ray(o=e_pt + ldir * 1e-4, d=ldir, maxt=ldist * (1.0 - 2e-3))
+    )
+
+    # ---- extend past x to the receiver ---------------------------------
+    si = scene.ray_intersect(Ray.create(x + ldir * 1e-4, ldir))
+    y = si.p
+    recv_n = si.n
+    recv_q0 = si.p
+    hit_recv = si.valid
+
+    px, z = _project_px(sensor, y)
+    cam_o = sensor.to_world[:3, 3]
+    cview = y - cam_o
+    cdist = jnp.linalg.norm(cview, axis=-1)
+    cdir = cview / jnp.maximum(cdist, 1e-9)[:, None]
+    occ_c = scene.ray_test(
+        Ray(o=jnp.broadcast_to(cam_o, y.shape), d=cdir,
+            maxt=cdist * (1.0 - 1e-3))
+    )
+    on_screen = (
+        (z > 1e-4)
+        & (px[:, 0] > 0.5) & (px[:, 0] < wpx - 0.5)
+        & (px[:, 1] > 0.5) & (px[:, 1] < hpx - 0.5)
+    )
+    active = (
+        sil & ~occ_l & hit_recv & on_screen & ~occ_c & (cos_e > 1e-4)
+        & (total_len > 0)
+    )
+
+    # ---- screen direction of the penumbra curve ------------------------
+    def shadow_pt(a3, b3, uu, e3):
+        xx = a3 + (b3 - a3) * uu[..., None]
+        w = xx - e3
+        denom = jnp.sum(w * recv_n, axis=-1)
+        s = jnp.sum((recv_q0 - e3) * recv_n, axis=-1) / jnp.where(
+            jnp.abs(denom) > 1e-9, denom, 1e-9
+        )
+        return e3 + w * s[..., None]
+
+    eps_u = 1e-3
+    p_l, _ = _project_px(sensor, shadow_pt(pa, pb, u - eps_u, e_pt))
+    p_r, _ = _project_px(sensor, shadow_pt(pa, pb, u + eps_u, e_pt))
+    e2d = p_r - p_l
+    e2d_len = jnp.linalg.norm(e2d, axis=-1)
+    n2d = jnp.stack([-e2d[:, 1], e2d[:, 0]], axis=-1) / jnp.maximum(
+        e2d_len, 1e-9
+    )[:, None]
+    arc = e2d_len / (2 * eps_u)
+    active = active & (e2d_len > 1e-6)
+
+    # ---- closed-form radiance jump at y for emitter point e ------------
+    # direction conventions of the NEE integrand: si.wi = camera side,
+    # wo = light side (librender/bsdfs eval contract)
+    to_cam = -cdir
+    wi_cam = si.to_local(to_cam)
+    wo_e = si.to_local(-ldir)
+    si_eval = dataclasses.replace(si, wi=wi_cam)
+    ctx = BSDFContext()
+    wl = None
+    if cfg.spectral:
+        from ..core import spectrum as spec
+
+        wl, _ = spec.sample_hero_wavelengths(
+            sampler.next_1d(1023), cfg.n_channels
+        )
+    f_val = bsdfs_mod.eval_(
+        scene.materials, jnp.maximum(si.mat_idx, 0), si_eval, wo_e, ctx,
+        cfg, wl,
+    )  # [N, C] (includes cos at y)
+    r_ye = jnp.linalg.norm(y - e_pt, axis=-1)
+    Le_c = Le if not cfg.spectral else jnp.broadcast_to(
+        jnp.mean(Le, axis=-1, keepdims=True), (n_samples, cfg.n_channels)
+    )
+    delta_rgb = f_val * Le_c * (
+        cos_e / jnp.maximum(r_ye * r_ye, 1e-9)
+    )[:, None]
+
+    # ---- lit/shadow orientation via two receiver-plane shadow rays -----
+    res = jnp.asarray([wpx, hpx], jnp.float32)
+
+    def plane_point(px2):
+        o2, d2 = sensor.sample_ray(px2 / res)
+        denom = jnp.sum(d2 * recv_n, axis=-1)
+        t = jnp.sum((recv_q0 - o2) * recv_n, axis=-1) / jnp.where(
+            jnp.abs(denom) > 1e-6, denom, 1e-6
+        )
+        return o2 + d2 * t[:, None]
+
+    y_plus = plane_point(px + delta_px * n2d)
+    y_minus = plane_point(px - delta_px * n2d)
+
+    def vis_from(yq):
+        dv = e_pt - yq
+        dl = jnp.linalg.norm(dv, axis=-1)
+        dn = dv / jnp.maximum(dl, 1e-9)[:, None]
+        off = jnp.where(
+            jnp.sum(dn * recv_n, axis=-1) >= 0, 1e-4, -1e-4
+        )[:, None] * recv_n
+        occ = scene.ray_test(
+            Ray(o=yq + off, d=dn, maxt=dl * (1.0 - 2e-3))
+        )
+        return (~occ).astype(jnp.float32)
+
+    v_jump = vis_from(y_plus) - vis_from(y_minus)  # +1: +n2d side is lit
+
+    # ---- pixel weight + velocity pullback ------------------------------
+    pix = jnp.clip(px.astype(jnp.int32),
+                   jnp.zeros(2, jnp.int32),
+                   jnp.asarray([wpx - 1, hpx - 1], jnp.int32))
+    w_px = grad_image[pix[:, 1], pix[:, 0]]
+    # moving the curve along +n2d converts lit <-> shadow by v_jump sign:
+    # growth of the LIT region adds +delta to the pixel
+    jump = jnp.sum(w_px * delta_rgb, axis=-1) * (-v_jump)
+
+    def s_of(a3, b3, uu, nn, q0, nr, e3):
+        xx = a3 + (b3 - a3) * uu
+        w = xx - e3
+        denom = jnp.sum(w * nr)
+        s = jnp.sum((q0 - e3) * nr) / jnp.where(
+            jnp.abs(denom) > 1e-9, denom, 1e-9
+        )
+        yy = e3 + w * s
+        p2d, _ = _project_px(sensor, yy)
+        return jnp.sum(p2d * nn)
+
+    g_a, g_b = jax.vmap(jax.grad(s_of, argnums=(0, 1)))(
+        pa, pb, u, n2d, recv_q0, recv_n, e_pt
+    )
+
+    inv_pdf = total_len / jnp.maximum(elen[e_idx], 1e-12)
+    coef = jnp.where(
+        active, jump * arc * inv_pdf * inv_pdf_e, 0.0
+    ) / n_samples
+
+    cot_a = g_a * coef[:, None]
+    cot_b = g_b * coef[:, None]
+    slots = jnp.concatenate(
+        [a_face[e_idx] * 3 + a_corner[e_idx],
+         b_face[e_idx] * 3 + b_corner[e_idx]]
+    )
+    cots = jnp.concatenate([cot_a, cot_b], axis=0)
+    acc = jnp.zeros((3 * F, 3), jnp.float32).at[slots].add(cots)
+    return {
+        "geo.tri_p0": acc[0::3],
+        "geo.tri_p1": acc[1::3],
+        "geo.tri_p2": acc[2::3],
+    }
 
 
 def _nee_boundary_grad_one(

@@ -102,7 +102,9 @@ def render_loss_grad(scene, integrator_sample, loss_fn: Callable,
     (loss, img), grads = jax.value_and_grad(f, has_aux=True)(p0)
 
     if geometry_boundary and any(k.startswith("geo.tri_p") for k in grads):
-        from .projective import nee_boundary_grad, primary_boundary_grad
+        from .projective import (
+            area_nee_boundary_grad, nee_boundary_grad, primary_boundary_grad,
+        )
 
         grad_img = jax.grad(loss_fn)(img)
         cots = primary_boundary_grad(
@@ -114,9 +116,14 @@ def render_loss_grad(scene, integrator_sample, loss_fn: Callable,
             scene, integrator_sample, grad_img, key=seed + 0x85EB,
             n_samples=boundary_samples, cfg=cfg,
         )
+        # penumbra term (area emitters; zero otherwise)
+        cots_area = area_nee_boundary_grad(
+            scene, grad_img, key=seed + 0x27D4,
+            n_samples=boundary_samples, cfg=cfg,
+        )
         for k in grads:
             if k in cots:
-                grads[k] = grads[k] + cots[k] + cots_nee[k]
+                grads[k] = grads[k] + cots[k] + cots_nee[k] + cots_area[k]
     return loss, grads
 
 

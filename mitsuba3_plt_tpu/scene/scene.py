@@ -342,16 +342,69 @@ class Scene:
             self.ctab2, sg(ray.o), sg(ray.d), sg(ray.maxt)
         )
 
+    def _incoherent_sort_key(self, o, d):
+        """u32 (octant | origin-morton) key grouping incoherent rays so
+        clu2 tiles get tight treelet unions (round-5
+        tools/experiments/isect_bounce_octant.py: sorted clu2 ANY-HIT beats
+        q brute 27.6 vs 33 ms/M on cbox bounce shadow rays, sort included;
+        closest-hit stays with q — 70-78 vs 42)."""
+        lo = jnp.minimum(
+            jnp.min(self.geo.tri_p0, axis=0),
+            jnp.minimum(jnp.min(self.geo.tri_p1, axis=0),
+                        jnp.min(self.geo.tri_p2, axis=0)),
+        )
+        hi = jnp.maximum(
+            jnp.max(self.geo.tri_p0, axis=0),
+            jnp.maximum(jnp.max(self.geo.tri_p1, axis=0),
+                        jnp.max(self.geo.tri_p2, axis=0)),
+        )
+        rel = jnp.clip((o - lo) / jnp.maximum(hi - lo, 1e-9), 0.0, 0.999)
+        cell = (rel * 16.0).astype(jnp.int32)
+
+        def spread4(v):
+            v = (v | (v << 8)) & 0xF00F
+            v = (v | (v << 4)) & 0xC3C3
+            v = (v | (v << 2)) & 0x9249
+            return v
+
+        morton = (spread4(cell[:, 0]) | (spread4(cell[:, 1]) << 1)
+                  | (spread4(cell[:, 2]) << 2))
+        octant = ((d[:, 0] < 0).astype(jnp.int32)
+                  | ((d[:, 1] < 0).astype(jnp.int32) << 1)
+                  | ((d[:, 2] < 0).astype(jnp.int32) << 2))
+        return ((octant << 12) | morton).astype(jnp.uint32)
+
+    def _clu2_occluded_sorted(self, ray: Ray):
+        from ..ops.intersect_pallas import pallas_occluded_clu2
+
+        sg = jax.lax.stop_gradient
+        o, d, mt = sg(ray.o), sg(ray.d), sg(ray.maxt)
+        perm = jnp.argsort(self._incoherent_sort_key(o, d))
+        inv = jnp.zeros_like(perm).at[perm].set(
+            jnp.arange(perm.shape[0], dtype=perm.dtype)
+        )
+        return pallas_occluded_clu2(
+            self.ctab2, o[perm], d[perm], mt[perm]
+        )[inv]
+
     def intersect_route(self, brute_force: bool = False, coherent=False,
-                        on_tpu: bool | None = None) -> str:
+                        on_tpu: bool | None = None,
+                        anyhit: bool = False) -> str:
         """The SINGLE routing decision used by ray_intersect/ray_test —
         exposed so tests can tripwire which kernel a scene selects
         (tests/test_golden.py::test_intersect_routing_tripwire).
 
         coherent: False | True | "pred" (a traced scalar hint).
+        anyhit: shadow-ray (occlusion) queries. NOTE (round 5, negative
+        result): sorted clu2 any-hit beats q in the chained microbenchmark
+        (27.6 vs 33 ms/M incl. sort — tools/experiments/
+        isect_bounce_octant.py) but REGRESSES the full render 109.5 ->
+        120.1 ms/spp on cbox.xml — inside the bounce scan the argsort +
+        three gathers serialize against the kernel instead of
+        overlapping, so the routing keeps q for incoherent any-hit.
         Returns one of "brute", "clu2", "cond(clu2,q)", "packet",
         "xla-walk". ("brute" is the q kernel on TPU, the chunked scan on
-        CPU — see _small_scene_intersect.)"""
+        CPU.)"""
         if on_tpu is None:
             on_tpu = jax.default_backend() == "tpu"
         small = self.geo.n_faces <= Scene.BRUTE_FORCE_MAX_FACES
@@ -649,7 +702,7 @@ class Scene:
         route = self.intersect_route(
             coherent=(True if coh_static is True
                       else ("pred" if coh_pred is not None else False)),
-            on_tpu=on_tpu,
+            on_tpu=on_tpu, anyhit=True,
         )
         if route == "clu2":
             occ = self._clu2_occluded(ray)

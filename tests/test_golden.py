@@ -163,6 +163,13 @@ def test_intersect_routing_tripwire():
     assert cbox.intersect_route(coherent="pred",
                                 on_tpu=True) == "cond(clu2,q)"
     assert cbox.intersect_route(brute_force=True, on_tpu=True) == "brute"
+    # ANY-HIT routing matches closest-hit: the round-5 sorted-clu2 any-hit
+    # experiment won its microbenchmark but regressed the full render
+    # (see intersect_route docstring) — pin that it stays OFF
+    assert cbox.intersect_route(coherent=False, on_tpu=True,
+                                anyhit=True) == "brute"
+    assert cbox.intersect_route(coherent="pred", on_tpu=True,
+                                anyhit=True) == "cond(clu2,q)"
 
     # big mesh (> brute cap): clu2 for every ray class on TPU; the CPU
     # fallback is the XLA skip-link walk
