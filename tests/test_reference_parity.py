@@ -77,6 +77,56 @@ def test_cbox_path_parity():
 
 
 @pytest.mark.slow
+def test_cbox_path_stokes_sign_parity():
+    """S1/S2 structure vs the reference's SHIPPED stokes EXRs
+    (results/cbox-path/result_s{1,2}.exr, 8192 spp, stokes-wrapped
+    mispath): per-pixel correlation and sign agreement on strong pixels.
+
+    Anchor choice (round 5): the reference's cbox-PLT stokes EXRs are NOT
+    self-consistent with its own cbox-path ones (S1 corr 0.18, sign
+    agreement 42% — the fork's Python plt chain loses/realigns the
+    polarized state), so cbox-path is the meaningful convention anchor.
+    Measured at these settings: corr 0.72-0.77, agree 0.69-0.78."""
+    import mitsuba3_plt_tpu as mi
+    from mitsuba3_plt_tpu.config import RGB
+    from mitsuba3_plt_tpu.integrators.stokes import (
+        PolarizedPathIntegrator, StokesIntegrator,
+    )
+    from mitsuba3_plt_tpu.utils.exr import read_exr
+
+    R = 50
+    scene, meta = mi.load_file(f"{REF}/scenes/cbox/cbox.xml", resx=R, resy=R)
+    integ = StokesIntegrator(
+        inner=PolarizedPathIntegrator(max_depth=7, rr_depth=50),
+        forward_basis=False,  # the reference wraps in plain `stokes`
+    )
+    img = np.asarray(
+        mi.render((scene, meta), integrator=integ, spp=160, seed=0, cfg=RGB)
+    )
+
+    def ref_s(ch):
+        chans, _ = read_exr(f"{REF}/results/cbox-path/result_{ch}.exr")
+        a = np.stack([chans[k] for k in ("R", "G", "B")], -1).mean(-1)
+        h, w = a.shape
+        return a[: h // R * R, : w // R * R].reshape(
+            R, h // R, R, w // R
+        ).mean((1, 3))
+
+    for i, nm in ((1, "s1"), (2, "s2")):
+        ours = img[..., 3 + 3 * i : 6 + 3 * i].mean(-1)
+        rr = ref_s(nm)
+        # magnitude-weighted sign agreement: counting flips of near-zero
+        # pixels is MC/executable-noise-limited; weighting by |ours * ref|
+        # asks "does the polarized ENERGY agree in sign"
+        w = np.abs(ours * rr)
+        same = np.sign(ours) == np.sign(rr)
+        agree_w = float(w[same].sum() / max(w.sum(), 1e-20))
+        corr = float(np.corrcoef(ours.ravel(), rr.ravel())[0, 1])
+        assert corr > 0.5, f"{nm} corr {corr:.3f}"
+        assert agree_w > 0.75, f"{nm} weighted sign agreement {agree_w:.3f}"
+
+
+@pytest.mark.slow
 def test_cbox_plt_parity():
     """cbox.xml via the PLT integrator vs results/cbox-plt/result_s0.exr —
     the wave-transport estimator must converge to the same radiometry on a
