@@ -65,7 +65,9 @@ def bench_gratings():
     scene, _ = mi.load_file(
         "/root/reference/scenes/gratings/gratings.xml", resx=W, resy=H
     )
-    integ = PLTIntegrator(max_depth=6, rr_depth=4)
+    # anchor-exact integrator config: the reference harness overrides every
+    # recorded run to max_depth=7, rr_depth=50 (render.py:21-28)
+    integ = PLTIntegrator(max_depth=7, rr_depth=50)
 
     @jax.jit
     def render_pass(block_data, pass_idx):
@@ -100,7 +102,8 @@ def bench_cbox():
     W = H = 512
     spp_pass = 8
     scene, _ = cornell_box(W, H)
-    integ = PathIntegrator(max_depth=6, rr_depth=5)
+    # anchor-exact depth/RR (render.py:21-28: max_depth=7, rr_depth=50)
+    integ = PathIntegrator(max_depth=7, rr_depth=50)
 
     @jax.jit
     def render_pass(block_data, pass_idx):
@@ -200,11 +203,17 @@ def bench_cbox_xml():
 
     import numpy as np
 
+    from mitsuba3_plt_tpu.integrators.path import PathIntegrator
+
     scene, meta = mi.load_file(
         "/root/reference/scenes/cbox/cbox.xml", resx=500, resy=500
     )
     stats = {}
-    np.asarray(mi.render((scene, meta), spp=64, seed=0, stats=stats))
+    # anchor-exact depth/RR (render.py:21-28), not the scene's max_depth=6
+    np.asarray(mi.render(
+        (scene, meta), integrator=PathIntegrator(max_depth=7, rr_depth=50),
+        spp=64, seed=0, stats=stats,
+    ))
     spp_pass = stats["spp_done"] // stats["passes_done"]
     dt = stats["steady_s_per_pass"]
     return {
@@ -231,9 +240,17 @@ def bench_cbox_xml_polarized():
     scene, meta = mi.load_file(
         "/root/reference/scenes/cbox/cbox.xml", resx=500, resy=500
     )
-    from mitsuba3_plt_tpu.integrators.stokes import depolarizer_collapse_ok
+    from mitsuba3_plt_tpu.integrators.stokes import (
+        PolarizedPathIntegrator, depolarizer_collapse_ok,
+    )
 
-    integ = StokesIntegrator()  # stokes_fw ∘ polarized path (max_depth 6)
+    # the anchor's EXACT integrator config: the reference harness wraps in
+    # `stokes` and OVERRIDES max_depth=7, rr_depth=50 (scripts/rendering/
+    # utils/render.py:21-28), not the scene's max_depth=6
+    integ = StokesIntegrator(
+        inner=PolarizedPathIntegrator(max_depth=7, rr_depth=50),
+        forward_basis=False,
+    )
     stats = {}
     # cbox is all-diffuse, so the static depolarizer collapse applies: the
     # Stokes transport runs the scalar chain (exact; equivalence pinned by
@@ -269,7 +286,7 @@ def bench_gratings_polarized():
     scene, meta = mi.load_file(
         "/root/reference/scenes/gratings/gratings.xml", resx=800, resy=600
     )
-    integ = PLTIntegrator(max_depth=6, rr_depth=4)
+    integ = PLTIntegrator(max_depth=7, rr_depth=50)  # anchor-exact config
     stats = {}
     # polarized wave path: FULL Mueller chain through the wave BSDF
     # (round 5 — no more (0,0) truncation); planar Mueller planes keep the
