@@ -362,8 +362,11 @@ class StokesIntegrator:
             tgt = jnp.where(
                 degenerate[..., None], cur, tgt / jnp.maximum(tgt_len, 1e-12)
             )
-            R = mu.rotate_stokes_basis(forward, cur, tgt)  # [N, 4, 4]
-            S = jnp.einsum("nij,njc->nic", R, S)
+            # planar rotator apply (the einsum's dot_general cost ~1.6
+            # ms/spp at a 2M wavefront; the rotator has 5 live entries)
+            R = mu.p_rotate_stokes_basis(forward, cur, tgt)
+            s4 = mu.p_apply(R, (S[:, 0], S[:, 1], S[:, 2], S[:, 3]))
+            S = _s_stack(s4, S.shape[0], S.shape[-1])
 
         rgb = S[:, 0, :]
         n = ray.o.shape[0]
