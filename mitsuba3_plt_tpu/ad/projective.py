@@ -366,6 +366,8 @@ def area_nee_boundary_grad(
     n_samples: int = 1 << 14,
     cfg: RenderConfig = RenderConfig(),
     delta_px: float = 0.8,
+    edge_weights: Any = None,
+    return_edge_mass: bool = False,
 ):
     """Penumbra (area-light shadow-boundary) cotangents for
     d(loss)/d(vertex rows) — the term the reference's PSIntegrator +
@@ -437,7 +439,12 @@ def area_nee_boundary_grad(
     elen = jnp.where(
         on_emitter, 0.0, jnp.linalg.norm(pb_all - pa_all, axis=-1)
     )
-    cum = jnp.cumsum(elen)
+    # edge-sampling density: length-uniform, or guided weights (the
+    # reference ad/guiding.py role — see area_nee_boundary_grad_guided)
+    samp_w = elen if edge_weights is None else jnp.where(
+        elen > 0, jnp.maximum(edge_weights, 0.0), 0.0
+    )
+    cum = jnp.cumsum(samp_w)
     total_len = cum[-1]
 
     sampler = Sampler.create(int(key), n_samples)
@@ -629,7 +636,8 @@ def area_nee_boundary_grad(
         pa, pb, u, n2d, recv_q0, recv_n, e_pt
     )
 
-    inv_pdf = total_len / jnp.maximum(elen[e_idx], 1e-12)
+    # sampling density per unit u on edge e is samp_w_e / total (see above)
+    inv_pdf = total_len / jnp.maximum(samp_w[e_idx], 1e-12)
     coef = jnp.where(
         active, jump * arc * inv_pdf * inv_pdf_e, 0.0
     ) / n_samples
@@ -642,11 +650,71 @@ def area_nee_boundary_grad(
     )
     cots = jnp.concatenate([cot_a, cot_b], axis=0)
     acc = jnp.zeros((3 * F, 3), jnp.float32).at[slots].add(cots)
-    return {
+    out = {
         "geo.tri_p0": acc[0::3],
         "geo.tri_p1": acc[1::3],
         "geo.tri_p2": acc[2::3],
     }
+    if return_edge_mass:
+        mass = jnp.zeros((elen.shape[0],), jnp.float32).at[e_idx].add(
+            jnp.abs(coef)
+        )
+        return out, mass
+    return out
+
+
+def area_nee_boundary_grad_guided(
+    scene,
+    grad_image,
+    key: int | Any = 0,
+    n_samples: int = 1 << 14,
+    cfg: RenderConfig = RenderConfig(),
+    delta_px: float = 0.8,
+    pilot_frac: float = 0.25,
+):
+    """Guided penumbra estimator — the role of the reference's projective
+    GUIDING machinery (ad/guiding.py octree/grid), recast fixed-shape:
+
+    pass 1 (pilot, pilot_frac of the budget): length-uniform edge sampling
+    that also accumulates per-edge contribution mass |coef|;
+    pass 2: edge sampling proportional to (pilot mass, defensively mixed
+    with a uniform floor so unvisited edges keep coverage).
+
+    Both passes are unbiased; the result is their sample-count-weighted
+    average. Variance reduction pinned by
+    tests/test_projective.py::test_area_penumbra_guiding_reduces_variance.
+    """
+    n1 = max(int(n_samples * pilot_frac), 256)
+    n2 = max(n_samples - n1, 256)
+    g1, mass = area_nee_boundary_grad(
+        scene, grad_image, key=key, n_samples=n1, cfg=cfg,
+        delta_px=delta_px, return_edge_mass=True,
+    )
+    # defensive mixture (reference guiding keeps an exploration floor):
+    # 75% proportional to pilot mass, 25% by length
+    ed = _edges_for(scene)
+    a_face = jnp.asarray(ed["a_face"])
+    total = jnp.maximum(jnp.sum(mass), 1e-20)
+    # length term for the floor (recomputed cheaply host-side cache)
+    tri_p = (scene.geo.tri_p0, scene.geo.tri_p1, scene.geo.tri_p2)
+
+    def corner_pos(face, corner):
+        stacked = jnp.stack([p[face] for p in tri_p], axis=0)
+        return jnp.take_along_axis(
+            stacked, corner[None, :, None].astype(jnp.int32), axis=0
+        )[0]
+
+    pa = corner_pos(a_face, jnp.asarray(ed["a_corner"]))
+    pb = corner_pos(jnp.asarray(ed["b_face"]), jnp.asarray(ed["b_corner"]))
+    elen = jnp.linalg.norm(pb - pa, axis=-1)
+    tot_len = jnp.maximum(jnp.sum(elen), 1e-20)
+    weights = 0.75 * mass / total + 0.25 * elen / tot_len
+    g2 = area_nee_boundary_grad(
+        scene, grad_image, key=int(key) + 7919, n_samples=n2, cfg=cfg,
+        delta_px=delta_px, edge_weights=weights,
+    )
+    w1 = n1 / (n1 + n2)
+    return {k: w1 * g1[k] + (1.0 - w1) * g2[k] for k in g1}
 
 
 def _nee_boundary_grad_one(

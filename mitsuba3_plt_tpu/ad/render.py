@@ -103,7 +103,8 @@ def render_loss_grad(scene, integrator_sample, loss_fn: Callable,
 
     if geometry_boundary and any(k.startswith("geo.tri_p") for k in grads):
         from .projective import (
-            area_nee_boundary_grad, nee_boundary_grad, primary_boundary_grad,
+            area_nee_boundary_grad_guided as area_nee_boundary_grad,
+            nee_boundary_grad, primary_boundary_grad,
         )
 
         grad_img = jax.grad(loss_fn)(img)

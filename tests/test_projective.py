@@ -222,6 +222,34 @@ def test_area_penumbra_grad_vs_fd():
     assert abs(g - f) / abs(f) < 0.25, (g, f)
 
 
+def test_area_penumbra_guiding_reduces_variance():
+    """Guided edge sampling (reference ad/guiding.py role): pilot-mass
+    proportional edge selection must cut the estimator's variance vs
+    length-uniform sampling at equal budget, and stay unbiased."""
+    from mitsuba3_plt_tpu.ad.projective import (
+        area_nee_boundary_grad, area_nee_boundary_grad_guided,
+    )
+
+    scene, _ = _build_shadow_area(0.0)
+    W_ = jnp.asarray(WMAP)
+
+    def g_of(fn, key):
+        cots = fn(scene, W_, key=key, n_samples=1 << 12, cfg=mi.config())
+        return sum(float(jnp.sum(c[2:4, 0])) for c in cots.values())
+
+    uni = np.array([g_of(area_nee_boundary_grad, 11 + 31 * k)
+                    for k in range(8)])
+    gui = np.array([g_of(area_nee_boundary_grad_guided, 11 + 31 * k)
+                    for k in range(8)])
+    # unbiasedness: same mean within noise
+    se = np.sqrt(uni.var() / 8 + gui.var() / 8)
+    assert abs(uni.mean() - gui.mean()) < 4 * se + 0.05 * abs(uni.mean()), (
+        uni.mean(), gui.mean(), se,
+    )
+    # variance reduction
+    assert gui.std() < 0.8 * uni.std(), (gui.std(), uni.std())
+
+
 def test_nee_boundary_grad_vs_fd():
     """Occluder-translation FD vs the shadow-silhouette estimator
     (reference role: PSIntegrator indirect boundary, common.py:785-1298)."""
