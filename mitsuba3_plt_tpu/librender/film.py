@@ -170,23 +170,39 @@ class ImageBlock:
         jy = py - (lane // w).astype(jnp.float32)
 
         radius = FILTER_RADIUS[self.rfilter]
-        img = self.data.reshape(h, w, -1)
-        acc = jnp.zeros_like(img)
-        for dy in range(-radius, radius + 1):
-            wy = filter_eval(self.rfilter, dy - jy)
-            for dx in range(-radius, radius + 1):
-                wgt = filter_eval(self.rfilter, dx - jx) * wy
-                tap = (payload * wgt[..., None]).reshape(
-                    h * w, spp, -1
-                ).sum(axis=1).reshape(h, w, -1)
+        C1 = payload.shape[-1]
+        # channel-major [C1, spp, h, w] working layout: the per-tap
+        # weighted reduce then runs with W (>= 128) in the lane dimension
+        # instead of the C1 (=4..16) minor dim, which pads every vector op
+        # to 128 lanes (measured 13 ms/spp on an 800x600 gaussian splat;
+        # this layout runs it in ~1 ms). Two transposes at the boundaries.
+        pay_t = payload.reshape(h, w, spp, C1).transpose(3, 2, 0, 1)
+        jx_t = jx.reshape(h, w, spp).transpose(2, 0, 1)   # [spp, h, w]
+        jy_t = jy.reshape(h, w, spp).transpose(2, 0, 1)
+        # separable taps: 2r+1 evals per axis instead of (2r+1)^2
+        wxs = [
+            filter_eval(self.rfilter, dx - jx_t)
+            for dx in range(-radius, radius + 1)
+        ]
+        wys = [
+            filter_eval(self.rfilter, dy - jy_t)
+            for dy in range(-radius, radius + 1)
+        ]
+        img_t = self.data.reshape(h, w, C1).transpose(2, 0, 1)
+        acc = jnp.zeros_like(img_t)
+        for iy, dy in enumerate(range(-radius, radius + 1)):
+            for ix, dx in enumerate(range(-radius, radius + 1)):
+                wgt = wxs[ix] * wys[iy]                   # [spp, h, w]
+                tap = (pay_t * wgt[None]).sum(axis=1)     # [C1, h, w]
                 # contribution of pixel p lands at p + (dx, dy)
                 ys = slice(max(dy, 0), h + min(dy, 0))
                 yd = slice(max(-dy, 0), h + min(-dy, 0))
                 xs = slice(max(dx, 0), w + min(dx, 0))
                 xd = slice(max(-dx, 0), w + min(-dx, 0))
-                acc = acc.at[ys, xs].add(tap[yd, xd])
+                acc = acc.at[:, ys, xs].add(tap[:, yd, xd])
         return dataclasses.replace(
-            self, data=(img + acc).reshape(h * w, -1)
+            self,
+            data=(img_t + acc).transpose(1, 2, 0).reshape(h * w, C1),
         )
 
     def _put_splat(self, px, py, payload, active):
