@@ -23,9 +23,11 @@ Scope: perspective sensors. `primary_boundary_grad` covers camera-visibility
 silhouettes; `nee_boundary_grad` covers shadow silhouettes of occluders
 under point-like emitters (the same screen-space estimator driven through
 the light->edge->receiver extension; FD-validated in
-tests/test_projective.py::test_nee_boundary_grad_vs_fd). Area-light shadow
-boundaries (penumbra edges) remain future work — they need the reference's
-guiding machinery (ad/guiding.py) to find contributing edge-emitter pairs.
+tests/test_projective.py::test_nee_boundary_grad_vs_fd);
+`area_nee_boundary_grad` covers area-light penumbra boundaries via
+(edge, emitter-point) pair sampling with a closed-form visibility jump
+(FD-validated), and `area_nee_boundary_grad_guided` adds the reference's
+guiding role (ad/guiding.py) as a two-pass pilot-mass edge sampler.
 Cotangents for a shared vertex land on the sampled edge's OWN face rows —
 correct for any parameterization that moves coincident soup rows together
 (translations, LargeSteps vertex fields).

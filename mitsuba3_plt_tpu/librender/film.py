@@ -171,9 +171,32 @@ class ImageBlock:
 
         radius = FILTER_RADIUS[self.rfilter]
         C1 = payload.shape[-1]
+        if C1 > 8:
+            # wide-payload films (stokes AOVs, spectral bands): the
+            # channel-major transposes + [C1, spp, H, W] working set LOSE
+            # to the plain layout (measured 156.9 vs 167.0 ms/spp on the
+            # 16-channel polarized cbox row); minor-16 padding wastes only
+            # 8x and the tap loop stays transpose-free
+            img = self.data.reshape(h, w, -1)
+            acc = jnp.zeros_like(img)
+            for dy in range(-radius, radius + 1):
+                wy = filter_eval(self.rfilter, dy - jy)
+                for dx in range(-radius, radius + 1):
+                    wgt = filter_eval(self.rfilter, dx - jx) * wy
+                    tap = (payload * wgt[..., None]).reshape(
+                        h * w, spp, -1
+                    ).sum(axis=1).reshape(h, w, -1)
+                    ys = slice(max(dy, 0), h + min(dy, 0))
+                    yd = slice(max(-dy, 0), h + min(-dy, 0))
+                    xs = slice(max(dx, 0), w + min(dx, 0))
+                    xd = slice(max(-dx, 0), w + min(-dx, 0))
+                    acc = acc.at[ys, xs].add(tap[yd, xd])
+            return dataclasses.replace(
+                self, data=(img + acc).reshape(h * w, -1)
+            )
         # channel-major [C1, spp, h, w] working layout: the per-tap
         # weighted reduce then runs with W (>= 128) in the lane dimension
-        # instead of the C1 (=4..16) minor dim, which pads every vector op
+        # instead of the C1 (<= 8) minor dim, which pads every vector op
         # to 128 lanes (measured 13 ms/spp on an 800x600 gaussian splat;
         # this layout runs it in ~1 ms). Two transposes at the boundaries.
         pay_t = payload.reshape(h, w, spp, C1).transpose(3, 2, 0, 1)

@@ -385,10 +385,14 @@ class RoughGratingW:
                 spec.xyz_to_srgb(spec.cie1931_xyz(wl_nm))  # [N, C, 3]
                 if rgb_colour is None else rgb_colour
             )
-            # (a [N,3]x[N,3,3] einsum pads to full MXU tiles and loses to
-            # the fused elementwise reduce — repo perf notes)
-            result = jnp.sum(
-                per_wl[..., None] * jnp.maximum(colour, 0.0), axis=1
+            # unrolled over the (static) hero axis: the [N, C, 3]
+            # sum(axis=1) reduce runs in the padded minor-3 layout
+            # (~1.3 ms/bounce at 960k lanes); C elementwise FMAs fuse
+            # (an einsum pads to full MXU tiles and also loses)
+            C_h = per_wl.shape[-1]
+            result = sum(
+                per_wl[:, k:k + 1] * jnp.maximum(colour[:, k, :], 0.0)
+                for k in range(C_h)
             )
 
         # Fresnel at the half vector
