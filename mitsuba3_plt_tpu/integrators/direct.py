@@ -38,6 +38,17 @@ class DirectIntegrator:
     def sample(self, scene, sampler: Sampler, ray: Ray, wavelengths,
                cfg: RenderConfig):
         """Returns (L [N, C], valid [N])."""
+        if cfg.polarized:
+            # single-scattering transport with unpolarized emitters: the
+            # S0 of the one-bounce Mueller chain is EXACTLY the scalar
+            # value (row 0 of M @ (s, 0, 0, 0) is m00 * s), so the film's
+            # S0 comes from the scalar estimator with no approximation
+            import dataclasses as _dc
+
+            return self.sample(
+                scene, sampler, ray, wavelengths,
+                _dc.replace(cfg, polarized=False),
+            )
         n = ray.o.shape[0]
         C = cfg.n_channels
         em = scene.emitters

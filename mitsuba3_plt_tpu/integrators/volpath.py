@@ -44,6 +44,23 @@ class VolPathIntegrator:
 
     def sample(self, scene, sampler: Sampler, ray: Ray, wavelengths,
                cfg: RenderConfig):
+        if cfg.polarized:
+            # volumetric transport under a polarized config records S0
+            # from the scalar estimator: the shipped phase functions
+            # (HG/Rayleigh/SGGX/tabulated) are scalar here, i.e.
+            # depolarizing, so medium chains are S0-separable and the
+            # scalar S0 is exact whenever the SURFACE chain is too
+            # (depolarizer_collapse_ok); scenes mixing media with
+            # polarizing surfaces get the r4-style S0 approximation —
+            # full Mueller volumetric transport is future work (the
+            # reference's polarized Rayleigh phase matrix would slot into
+            # a planar chain exactly like the surface path's).
+            import dataclasses as _dc
+
+            return self.sample(
+                scene, sampler, ray, wavelengths,
+                _dc.replace(cfg, polarized=False),
+            )
         n = ray.o.shape[0]
         C = cfg.n_channels
         em = scene.emitters
