@@ -156,3 +156,47 @@ def test_medium_albedo_grad_vs_fd():
           - float(loss(jnp.float32(0.6 - eps)))) / (2 * eps)
     assert np.isfinite(g) and np.sign(g) == np.sign(fd)
     assert abs(g - fd) / max(abs(fd), 1e-6) < 0.25, (g, fd)
+
+
+def test_polarized_volpath_s0_matches_scalar():
+    """Full Mueller volumetric transport (round 5): on an all-diffuse fog
+    scene the chain is S0-separable, so the polarized S0 must equal the
+    scalar estimator (same sampler dims by construction)."""
+    from mitsuba3_plt_tpu.config import RGB_POLARIZED
+
+    scene, _ = cornell_box(12, 12)
+    scene_f = dataclasses.replace(
+        scene, medium=Medium.create(sigma_t=(0.4,) * 3, albedo=(0.8,) * 3,
+                                    g=0.2)
+    )
+    integ = VolPathIntegrator(max_depth=4, rr_depth=9)
+    img_s = np.asarray(render(scene_f, integ.sample, spp=16, cfg=RGB))
+    img_p = np.asarray(
+        render(scene_f, integ.sample, spp=16, cfg=RGB_POLARIZED)
+    )
+    np.testing.assert_allclose(img_p, img_s, rtol=2e-5, atol=1e-6)
+
+
+def test_polarized_volpath_fog_conductor_polarizes():
+    """A mirror box in fog: oblique conductor reflections through the
+    medium must produce genuine S1/S2 (the r4-style scalar approximation
+    returned exactly zero there), bounded by DoP <= 1."""
+    from mitsuba3_plt_tpu.config import RGB
+    from mitsuba3_plt_tpu.integrators.stokes import StokesIntegrator
+
+    scene, _ = cornell_box(16, 16, box_material="conductor")
+    scene_f = dataclasses.replace(
+        scene, medium=Medium.create(sigma_t=(0.1,) * 3, albedo=(0.6,) * 3)
+    )
+    integ = StokesIntegrator(
+        inner=VolPathIntegrator(max_depth=4, rr_depth=9)
+    )
+    img = np.asarray(
+        render(scene_f, integ.sample, spp=24, cfg=RGB, n_out_channels=15)
+    )
+    assert not np.isnan(img).any()
+    s0 = img[..., 3:6]
+    lp = np.sqrt(img[..., 6:9] ** 2 + img[..., 9:12] ** 2)
+    assert float(lp.max()) > 1e-4 * float(s0.max())
+    dop = lp.sum(-1) / np.maximum(s0.sum(-1), 1e-6)
+    assert float(dop[s0.sum(-1) > 1e-3].max()) <= 1.0 + 1e-3
