@@ -93,8 +93,30 @@ class ParticleTracer:
         )[:, :C] / n_particles
         nrm0 = jnp.where(is_surface[..., None], n_area, d0)
 
-        def connect(p, nvec, beta_c, si_opt, wi_world, is_emitter_vertex, b):
-            """Connect a vertex to the sensor; returns (uv, value, ok)."""
+        # polarized adjoint transport carries the particle's STOKES VECTOR
+        # directly (the light-side start is known unpolarized): each bounce
+        # is one planar matrix-VECTOR apply, and the sensor splat records
+        # S0 — exact, no Mueller chain needed (cf. the camera-side
+        # integrators which must carry the full prefix matrix)
+        pol = cfg.polarized
+        if pol:
+            from ..librender import mueller as mu
+
+            def s_concrete(s):
+                return tuple(
+                    jnp.broadcast_to(
+                        jnp.zeros((), jnp.float32) if x is None else x,
+                        (n, C),
+                    )
+                    for x in s
+                )
+
+        def connect(p, nvec, beta_c, si_opt, wi_world, is_emitter_vertex, b,
+                    s_c=None):
+            """Connect a vertex to the sensor; returns (uv, value, ok).
+
+            Polarized: s_c is the particle's planar Stokes 4-tuple; the
+            connection BSDF's Mueller applies to it and the splat is S0."""
             cam_pos = sensor.to_world[:3, 3]
             to_cam = cam_pos[None, :] - p
             dist = fr.norm(to_cam)
@@ -133,6 +155,7 @@ class ParticleTracer:
 
             if si_opt is None:
                 # emission vertex: cosine-weighted exitance toward camera
+                # (unpolarized emission: S0 is the scalar value exactly)
                 cos_e = jnp.maximum(fr.dot(d, nvec), 0.0)
                 f = beta_c * (cos_e * mth.InvPi)[..., None]
                 f = jnp.where(is_emitter_vertex[..., None], f, 0.0)
@@ -142,7 +165,20 @@ class ParticleTracer:
                     scene.materials, jnp.maximum(si_opt.mat_idx, 0), si_opt,
                     wo_local, ctx, cfg, None,
                 )
-                f = beta_c * f_bsdf
+                if pol:
+                    # light arrives along the particle's travel dir
+                    # (-si.wi local) and leaves toward the camera (wo_local)
+                    M_w = bsdfs.to_world_mueller(
+                        si_opt, f_bsdf, -si_opt.wi, wo_local
+                    )
+                    s_out = mu.p_apply(M_w, s_c)
+                    f = jnp.broadcast_to(
+                        jnp.zeros((), jnp.float32)
+                        if s_out[0] is None else s_out[0],
+                        (n, C),
+                    )
+                else:
+                    f = beta_c * f_bsdf
             value = f * importance[..., None]
             return jnp.stack([u, v], -1), jnp.where(vis[..., None], value, 0.0)
 
@@ -162,11 +198,17 @@ class ParticleTracer:
         vals.append(v0)
 
         def body(carry, b):
-            o, d, beta_c, active = carry
+            if pol:
+                o, d, s_c, active = carry
+                beta_c = s_c[0]
+            else:
+                o, d, beta_c, active = carry
+                s_c = None
             si = scene.ray_intersect(Ray.create(o, d))
             hit = si.valid & active
 
-            uv_b, val_b = connect(si.p, si.n, beta_c, si, -d, hit, b)
+            uv_b, val_b = connect(si.p, si.n, beta_c, si, -d, hit, b,
+                                  s_c=s_c)
             val_b = jnp.where(hit[..., None], val_b, 0.0)
 
             u1 = sampler.next_1d(bounce_dim(b, 0))
@@ -176,7 +218,12 @@ class ParticleTracer:
                 ctx, cfg, None,
             )
             wo_world = si.to_world(bs.wo)
-            beta_next = beta_c * w
+            if pol:
+                W_w = bsdfs.to_world_mueller(si, w, -si.wi, bs.wo)
+                s_next = s_concrete(mu.p_apply(W_w, s_c))
+                beta_next = s_next[0]
+            else:
+                beta_next = beta_c * w
             new_o = si.p + si.n * jnp.where(
                 fr.dot(wo_world, si.n) >= 0, mth.RayEpsilon, -mth.RayEpsilon
             )[..., None]
@@ -189,17 +236,27 @@ class ParticleTracer:
             rr_p = jnp.minimum(bmax / jnp.maximum(bmax.mean(), 1e-9), 0.95)
             rr_on = b + 1 >= self.rr_depth
             keep = ~rr_on | (u_rr < rr_p)
-            beta_next = beta_next * jnp.where(
+            rr_scale = jnp.where(
                 rr_on, 1.0 / jnp.maximum(rr_p, 1e-6), 1.0
             )[..., None]
             active_next = active_next & keep
 
-            carry = (new_o, wo_world,
-                     jnp.where(active_next[..., None], beta_next, beta_c),
-                     active_next)
+            if pol:
+                s_next = tuple(x * rr_scale for x in s_next)
+                s_kept = tuple(
+                    jnp.where(active_next[..., None], sn, sc)
+                    for sn, sc in zip(s_next, s_c)
+                )
+                carry = (new_o, wo_world, s_kept, active_next)
+            else:
+                beta_next = beta_next * rr_scale
+                carry = (new_o, wo_world,
+                         jnp.where(active_next[..., None], beta_next, beta_c),
+                         active_next)
             return carry, (uv_b, val_b)
 
-        carry = (p0 + nrm0 * mth.RayEpsilon, d0, beta, jnp.ones((n,), bool))
+        w0 = beta if not pol else s_concrete((beta, None, None, None))
+        carry = (p0 + nrm0 * mth.RayEpsilon, d0, w0, jnp.ones((n,), bool))
         _, (uv_s, val_s) = jax.lax.scan(
             body, carry, jnp.arange(self.max_depth, dtype=jnp.uint32)
         )
