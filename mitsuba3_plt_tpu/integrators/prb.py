@@ -251,6 +251,18 @@ class PRBIntegrator:
     def sample(self, scene, sampler: Sampler, ray: Ray, wavelengths,
                cfg: RenderConfig):
         """(L [N, C], valid [N]); jax.grad of this IS the PRB gradient."""
+        if cfg.polarized:
+            # PRB differentiates the S0 radiance; the reference's prb is
+            # likewise an intensity-loss gradient estimator. Run the
+            # scalar formulation (exact S0 for S0-separable scenes; the
+            # polarized PRIMAL image, when needed, comes from the
+            # StokesIntegrator whose transport is fully Mueller).
+            import dataclasses as _dc
+
+            return self.sample(
+                scene, sampler, ray, wavelengths,
+                _dc.replace(cfg, polarized=False),
+            )
         n = ray.o.shape[0]
         C = cfg.n_channels
         ctx = BSDFContext()
