@@ -21,14 +21,21 @@ import dataclasses
 class RenderConfig:
     polarized: bool = False
     spectral: bool = False
+    # monochrome variant (reference mitsuba.conf mono modes): one
+    # luminance channel; color-valued inputs collapse via Rec.709
+    # luminance at evaluation time (the reference converts on load)
+    mono: bool = False
 
     @property
     def n_channels(self) -> int:
-        return 4 if self.spectral else 3
+        if self.spectral:
+            return 4
+        return 1 if self.mono else 3
 
     @property
     def name(self) -> str:
-        base = "spectral" if self.spectral else "rgb"
+        base = ("spectral" if self.spectral
+                else ("mono" if self.mono else "rgb"))
         return base + ("_polarized" if self.polarized else "")
 
 
@@ -36,10 +43,14 @@ RGB = RenderConfig(polarized=False, spectral=False)
 RGB_POLARIZED = RenderConfig(polarized=True, spectral=False)
 SPECTRAL = RenderConfig(polarized=False, spectral=True)
 SPECTRAL_POLARIZED = RenderConfig(polarized=True, spectral=True)
+MONO = RenderConfig(mono=True)
+MONO_POLARIZED = RenderConfig(mono=True, polarized=True)
 
 VARIANTS = {
     "rgb": RGB,
     "rgb_polarized": RGB_POLARIZED,
     "spectral": SPECTRAL,
     "spectral_polarized": SPECTRAL_POLARIZED,
+    "mono": MONO,
+    "mono_polarized": MONO_POLARIZED,
 }

@@ -220,7 +220,9 @@ def render(
         else:
             spp_per_pass = 1 << (cap.bit_length() - 1)
     n_pass = (spp + spp_per_pass - 1) // spp_per_pass
-    ch = n_out_channels or 3
+    # default film channels: RGB, or the variant's own channel count for
+    # non-spectral configs (mono = 1); spectral converts to RGB at develop
+    ch = n_out_channels or (cfg.n_channels if not cfg.spectral else 3)
 
     # TPU + filtered splat: fusing the 25-tap ordered splat into the
     # render program wedges the TPU compiler (>9 min, worker crash), and

@@ -371,6 +371,7 @@ def _to_channels(rgb, cfg: RenderConfig):
 
     Spectral mode: treat stored RGB radiance as a smooth spectrum via
     luminance (proper spectral emitter curves arrive with the spectra module).
+    Mono mode: Rec.709 luminance channel.
     """
     if cfg.spectral:
         from ..core import spectrum as spec
@@ -378,4 +379,8 @@ def _to_channels(rgb, cfg: RenderConfig):
         return jnp.broadcast_to(
             spec.luminance_rgb(rgb)[..., None], (*rgb.shape[:-1], cfg.n_channels)
         )
+    if cfg.mono:
+        from ..core import spectrum as spec
+
+        return spec.luminance_rgb(rgb)[..., None]
     return rgb

@@ -121,6 +121,8 @@ def eval_color(p, key: str, cfg: RenderConfig, wavelengths):
             # spectral upsampling arrives with the rgb2spec table module)
             return jnp.where((p["tex_mode"] == 0)[..., None], up, flat)
         return up
+    if cfg.mono:
+        return spec.luminance_rgb(rgb)[..., None]
     return rgb
 
 
@@ -281,6 +283,11 @@ def spectral_eta(p, cfg, wavelengths, n):
     the embedded IOR curves (core/ior.py, the resources/data/ior role) at
     the hero wavelengths; RGB variants use the RGB triples directly."""
     if not cfg.spectral or wavelengths is None:
+        if cfg.mono:
+            return (
+                jnp.mean(p["eta_re"], -1, keepdims=True),
+                jnp.mean(p["eta_im"], -1, keepdims=True),
+            )
         return (
             p["eta_re"][..., : cfg.n_channels],
             p["eta_im"][..., : cfg.n_channels],

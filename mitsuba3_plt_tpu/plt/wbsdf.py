@@ -394,6 +394,8 @@ class RoughGratingW:
                 per_wl[:, k:k + 1] * jnp.maximum(colour[:, k, :], 0.0)
                 for k in range(C_h)
             )
+            if cfg.mono:
+                result = spec.luminance_rgb(result)[..., None]
 
         # Fresnel at the half vector
         h = fr.normalize(si.wi + wo)

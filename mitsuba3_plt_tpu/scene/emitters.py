@@ -454,6 +454,10 @@ def env_value(em: EmitterTable, env_idx: int, d, cfg, wavelengths):
     emitter_value, so the BSDF-hit and NEE env estimators agree)."""
     rgb = eval_env(em, d)
     if not cfg.spectral or wavelengths is None:
+        if getattr(cfg, "mono", False):
+            from ..core import spectrum as spec
+
+            return spec.luminance_rgb(rgb)[..., None]
         return rgb
     from ..core import spectrum as spec
 
