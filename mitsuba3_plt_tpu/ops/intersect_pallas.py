@@ -872,8 +872,13 @@ def _q_anyhit_kernel(tri_ref, ox, oy, oz, dx, dy, dz, mt, occ_out, *,
 # (src/render/scene_embree.inl) for moderate instance counts.
 # ---------------------------------------------------------------------------
 
-SUB_C = 16  # rays per cluster-kernel tile: small tiles keep the lane bundle
-            # spatially tight (more treelet skips); 2048 rays still fill VPU
+SUB_C = 64  # rays per cluster-kernel tile (8192 rays). Round-5 sweep
+            # (tools/experiments/README.md): the per-tile SEQUENTIAL
+            # super/cluster loop overhead dominates the union-tightening a
+            # smaller tile buys — 64 beats 16 by 1.7-2.8x on every
+            # workload (mesh82k bounce 57->34, cbox camera 29.7->10.6,
+            # cbox shadow 18->7.7 ms/M); 8 is 2x WORSE than 16 and
+            # 128/256 regress the camera-ray rows (VMEM working set).
 
 
 def _clu_kernel(box_ref, tri_ref, ox, oy, oz, dx, dy, dz, mt,
