@@ -395,13 +395,17 @@ class Scene:
         (tests/test_golden.py::test_intersect_routing_tripwire).
 
         coherent: False | True | "pred" (a traced scalar hint).
-        anyhit: shadow-ray (occlusion) queries. NOTE (round 5, negative
-        result): sorted clu2 any-hit beats q in the chained microbenchmark
-        (27.6 vs 33 ms/M incl. sort — tools/experiments/
-        isect_bounce_octant.py) but REGRESSES the full render 109.5 ->
-        120.1 ms/spp on cbox.xml — inside the bounce scan the argsort +
-        three gathers serialize against the kernel instead of
-        overlapping, so the routing keeps q for incoherent any-hit.
+        anyhit: shadow-ray (occlusion) queries. DOUBLY-confirmed negative
+        result (round 5): clu2 any-hit on incoherent bounce sets wins the
+        chained microbenchmark both sorted-at-SUB_C=16 (27.6 vs q's 33
+        ms/M) and unsorted-at-SUB_C=64 (24.8-26.5 vs 32.4), yet BOTH
+        routings regress the full render (109.5 -> 120.1 and
+        106.3 -> 113.7 ms/spp respectively) — inside the bounce scan the
+        q kernel overlaps with the surrounding fused work in a way the
+        treelet kernel's gated grid does not. Only end-to-end renders
+        gate routing changes; incoherent any-hit stays on q.
+        CLOSEST-hit bounce rays also stay on q (41.5 vs clu2's 56.8 ms/M
+        at SUB_C=64).
         Returns one of "brute", "clu2", "cond(clu2,q)", "packet",
         "xla-walk". ("brute" is the q kernel on TPU, the chunked scan on
         CPU.)"""
